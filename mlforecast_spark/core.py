@@ -1,0 +1,421 @@
+"""Feature-plan compiler: turns the transforms registry into one lazy
+Spark DataFrame DAG.
+
+This is the Spark-native replacement for the reference's ``TimeSeries``
+(`/root/reference/mlforecast/core.py:152-1059`). Key differences in HOW while
+preserving WHAT:
+
+- The panel stays one distributed DataFrame; there is no ``GroupedArray``.
+  ``Window.partitionBy(id).orderBy(ds)`` replaces indptr slicing.
+- All expression-capable transforms for a given window spec are emitted in a
+  single ``select`` so Catalyst fuses them into one ``WindowExec`` pass per
+  distinct (partition, order, frame-type) spec — the per-series shuffle/sort
+  happens once regardless of how many features are requested.
+- Pooled transforms (``global_``/``groupby``/``partition_by``/``time_agg``,
+  `/root/reference/mlforecast/pooled.py:475-815`) compile to
+  agg → range-window over a dense time ordinal → (for time_agg) join-back.
+  This is the plan shape the reference's own SQL oracle uses
+  (`/root/reference/tests/test_pooled_sqlite_oracle.py:115-213`). Because the
+  engine is not sharded by series id, pooled transforms work distributed —
+  something the reference's own distributed mode forbids
+  (`/root/reference/mlforecast/distributed/forecast.py:128-146`).
+- Only order-dependent recurrences (EWM) leave the JVM, via one Arrow-batched
+  ``applyInPandas`` pass per (mode, sort) group.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .date_features import DateFeature, apply_date_features
+from .lag_transforms import Combine, Lag, _BaseLagTransform
+from .utils import Freq
+
+ORD_COL = "_mlfs_ord"
+
+LagTransform = _BaseLagTransform
+LagTransforms = dict[int, Sequence[Union[LagTransform, Callable, tuple]]]
+
+
+@dataclass
+class PanelSchema:
+    id_col: str = "unique_id"
+    time_col: str = "ds"
+    target_col: str = "y"
+
+
+class _CallableTransform(_BaseLagTransform):
+    """Legacy callable lag transform ``fn(series, *args)`` — the UDF escape
+    hatch (`/root/reference/mlforecast/grouped_array.py:24-57`). Runs on the
+    pandas path per series."""
+
+    def __init__(self, fn: Callable, args: tuple = ()):
+        self.fn = fn
+        self.args = args
+
+    def _get_name(self, lag: int) -> str:
+        name = f"{self.fn.__name__}_lag{lag}"
+        if self.args:
+            name += "_" + "_".join(str(a) for a in self.args)
+        return name
+
+    def update_samples(self, lag: int) -> int:
+        return -1
+
+    def expr(self, ctx, lag: int):
+        return None
+
+    def pandas_fn(self, lag: int):
+        fn, args = self.fn, self.args
+
+        def run(s):
+            import pandas as pd
+
+            res = fn(s.shift(lag).to_numpy(), *args)
+            return pd.Series(res, index=s.index)
+
+        return run
+
+
+def _parse_transforms(
+    lags: Sequence[int],
+    lag_transforms: Optional[LagTransforms],
+) -> "OrderedDict[str, tuple[int, _BaseLagTransform]]":
+    """Build the ordered name → (lag, transform) registry
+    (mirrors `/root/reference/mlforecast/core.py:193-213`)."""
+    registry: OrderedDict[str, tuple[int, _BaseLagTransform]] = OrderedDict()
+    for lag in lags or []:
+        tfm = Lag(lag)
+        registry[tfm._get_name(lag)] = (lag, tfm)
+    for lag, tfms in (lag_transforms or {}).items():
+        for tfm in tfms:
+            if isinstance(tfm, tuple):
+                tfm = _CallableTransform(tfm[0], tfm[1:])
+            elif callable(tfm) and not isinstance(tfm, _BaseLagTransform):
+                tfm = _CallableTransform(tfm)
+            name = tfm._get_name(lag)
+            if name in registry:
+                raise ValueError(f"Duplicate feature name: {name}")
+            registry[name] = (lag, tfm)
+    return registry
+
+
+@dataclass
+class FrameCtx:
+    """What a transform needs to emit its Column (local mode)."""
+
+    y: Column
+    id_col: str
+    time_col: str
+    use_range: bool = False
+    order_col: Optional[str] = None  # ordinal column for range frames
+    partition_cols: tuple = ()
+
+    def _base(self, extra_partition: tuple = ()) -> WindowSpec:
+        parts = [F.col(c) for c in (*self.partition_cols, *extra_partition)]
+        order = F.col(self.order_col if self.use_range else self.time_col)
+        if not parts:
+            # global pooled mode: constant partition (single logical series);
+            # acceptable because it only runs over per-timestamp aggregates
+            return Window.partitionBy(F.lit(0)).orderBy(order)
+        return Window.partitionBy(*parts).orderBy(order)
+
+    def frame(self, lo: Optional[int], hi: int, extra_partition: tuple = ()) -> WindowSpec:
+        w = self._base(extra_partition)
+        lo_b = Window.unboundedPreceding if lo is None else lo
+        if self.use_range:
+            return w.rangeBetween(lo_b, hi)
+        return w.rowsBetween(lo_b, hi)
+
+    def shift(self, n: int) -> Column:
+        return F.lag(self.y, n).over(self._base())
+
+    def seasonal_frame(self, season_length: int, lo: int, hi: int) -> WindowSpec:
+        phase = F.pmod(F.col(ORD_COL), F.lit(season_length))
+        parts = [F.col(c) for c in self.partition_cols] + [phase]
+        return (
+            Window.partitionBy(*parts)
+            .orderBy(F.col(self.time_col))
+            .rowsBetween(lo, hi)
+        )
+
+    def window(self, extra_partition: tuple = ()) -> WindowSpec:
+        return self._base(extra_partition)
+
+
+_TIME_AGG_FN = {"sum": F.sum, "count": F.count, "mean": F.avg, "min": F.min, "max": F.max}
+
+
+def _null_safe_key(df: DataFrame, col: str) -> Column:
+    """NaN == null for bucket keys (`/root/reference/mlforecast/pooled.py:21-66`)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.nanvl(F.col(col), F.lit(None))
+    return F.col(col)
+
+
+@dataclass
+class FeaturePlan:
+    """Compiles the transforms registry against a panel DataFrame."""
+
+    schema: PanelSchema
+    registry: "OrderedDict[str, tuple[int, _BaseLagTransform]]"
+    date_features: Sequence[DateFeature] = field(default_factory=list)
+
+    # ------------------------------------------------------------------
+    def feature_names(self) -> list[str]:
+        names = list(self.registry)
+        names += [f if isinstance(f, str) else f.__name__ for f in self.date_features]
+        return names
+
+    def keep_last_n_bound(self) -> Optional[int]:
+        """Max rows of history any transform needs for a one-step update
+        (mirrors `/root/reference/mlforecast/core.py:404-425`); None = all."""
+        bound = 0
+        for name, (lag, tfm) in self.registry.items():
+            u = tfm.update_samples(lag)
+            if u == -1:
+                return None
+            bound = max(bound, u)
+        return bound
+
+    def _needs_ord(self) -> bool:
+        from .lag_transforms import _SeasonalRollingBase
+
+        def seasonal(t):
+            if isinstance(t, _SeasonalRollingBase):
+                return True
+            if isinstance(t, Combine):
+                return seasonal(t.tfm1) or seasonal(t.tfm2)
+            inner = getattr(t, "tfm", None)
+            return seasonal(inner) if inner is not None else False
+
+        return any(seasonal(t) for _, t in self.registry.values())
+
+    # ------------------------------------------------------------------
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Attach every feature column; stays lazy."""
+        s = self.schema
+        local_exprs: dict[str, Column] = {}
+        python_local: dict[str, tuple[int, _BaseLagTransform]] = {}
+        pooled: dict[tuple, dict[str, tuple[int, _BaseLagTransform]]] = {}
+
+        if self._needs_ord():
+            w = Window.partitionBy(s.id_col).orderBy(s.time_col)
+            df = df.withColumn(ORD_COL, F.row_number().over(w) - 1)
+
+        ctx = FrameCtx(
+            y=F.col(s.target_col),
+            id_col=s.id_col,
+            time_col=s.time_col,
+            partition_cols=(s.id_col,),
+        )
+        for name, (lag, tfm) in self.registry.items():
+            if tfm.is_pooled:
+                pooled.setdefault(tfm.mode_key, {})[name] = (lag, tfm)
+                continue
+            col = tfm.expr(ctx, lag)
+            if col is not None:
+                local_exprs[name] = col
+            elif isinstance(tfm, Combine):
+                self._plan_mixed_combine(name, lag, tfm, ctx, local_exprs, python_local)
+            else:
+                python_local[name] = (lag, tfm)
+
+        if local_exprs:
+            df = df.select("*", *[c.alias(n) for n, c in local_exprs.items()])
+        if python_local:
+            df = self._apply_python_local(df, python_local)
+        for mode_key, feats in pooled.items():
+            df = self._apply_pooled(df, mode_key, feats)
+        if self.date_features:
+            df, _ = apply_date_features(df, s.time_col, self.date_features)
+        if ORD_COL in df.columns:
+            df = df.drop(ORD_COL)
+        return df
+
+    # ------------------------------------------------------------------
+    def _plan_mixed_combine(self, name, lag, tfm, ctx, local_exprs, python_local):
+        """Combine with one python side: compute sides as hidden features then
+        apply the operator column-wise."""
+        n1, n2 = f"_mlfs_c1_{name}", f"_mlfs_c2_{name}"
+        for side_name, side in ((n1, tfm.tfm1), (n2, tfm.tfm2)):
+            e = side.expr(ctx, lag)
+            if e is not None:
+                local_exprs[side_name] = e
+            else:
+                python_local[side_name] = (lag, side)
+        op = Combine._OP_COLS.get(tfm.operator, tfm.operator)
+        self._pending_combines = getattr(self, "_pending_combines", [])
+        self._pending_combines.append((name, n1, n2, op))
+
+    def _finish_combines(self, df: DataFrame) -> DataFrame:
+        for name, n1, n2, op in getattr(self, "_pending_combines", []):
+            if n1 in df.columns and n2 in df.columns:
+                df = df.withColumn(name, op(F.col(n1), F.col(n2))).drop(n1, n2)
+        self._pending_combines = []
+        return df
+
+    # ------------------------------------------------------------------
+    def _apply_python_local(
+        self, df: DataFrame, feats: dict[str, tuple[int, _BaseLagTransform]]
+    ) -> DataFrame:
+        """One Arrow-batched applyInPandas pass per series computing every
+        python-path feature; rows pass through so no join-back is needed."""
+        import pandas as pd
+
+        s = self.schema
+        fns = {name: tfm.pandas_fn(lag) for name, (lag, tfm) in feats.items()}
+        out_schema = T.StructType(
+            df.schema.fields + [T.StructField(n, T.DoubleType()) for n in fns]
+        )
+        time_col, target_col = s.time_col, s.target_col
+
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            ser = pdf[target_col].astype("float64")
+            for n, fn in fns.items():
+                pdf[n] = fn(ser).to_numpy()
+            return pdf
+
+        res = df.groupBy(s.id_col).applyInPandas(compute, schema=out_schema)
+        return self._finish_combines(res)
+
+    # ------------------------------------------------------------------
+    def _mode_cols(self, mode_key) -> tuple[list[str], list[str]]:
+        """(parent_scope_cols, bucket_cols) for a pooled mode
+        (`/root/reference/mlforecast/pooled.py:475-518` semantics)."""
+        global_, groupby, partition_by, _ = mode_key
+        s = self.schema
+        if global_:
+            parent: list[str] = []
+        elif groupby:
+            parent = list(groupby)
+        else:  # local partition mode
+            parent = [s.id_col]
+        bucket = parent + list(partition_by)
+        return parent, bucket
+
+    def _apply_pooled(self, df: DataFrame, mode_key, feats) -> DataFrame:
+        global_, groupby, partition_by, time_agg = mode_key
+        s = self.schema
+        parent, bucket = self._mode_cols(mode_key)
+
+        ord_name = f"_mlfs_ord_{abs(hash(mode_key)) % 10**8}"
+        w_parent = (
+            Window.partitionBy(*parent).orderBy(s.time_col)
+            if parent
+            else Window.partitionBy(F.lit(0)).orderBy(s.time_col)
+        )
+        df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
+
+        # NaN/null-unified bucket keys
+        key_cols = {c: _null_safe_key(df, c) for c in bucket}
+
+        expr_feats, py_feats = {}, {}
+        probe = FrameCtx(
+            y=F.col(s.target_col),
+            id_col=s.id_col,
+            time_col=s.time_col,
+            use_range=True,
+            order_col=ord_name,
+            partition_cols=tuple(bucket),
+        )
+        for name, (lag, tfm) in feats.items():
+            if tfm.expr(probe, lag) is None:
+                py_feats[name] = (lag, tfm)
+            else:
+                expr_feats[name] = (lag, tfm)
+
+        if time_agg is None:
+            # window directly over the rows: RANGE over the parent ordinal,
+            # partitioned by the bucket — no join needed
+            ctx = probe
+            cols = {n: tfm.expr(ctx, lag) for n, (lag, tfm) in expr_feats.items()}
+            df = df.select("*", *[c.alias(n) for n, c in cols.items()])
+            if py_feats:
+                df = self._pooled_python(df, bucket, ord_name, py_feats, collapsed=False)
+            return df.drop(ord_name)
+
+        # time_agg: collapse to one row per (bucket, ord), window over the
+        # collapsed frame, then join back — the oracle's CTE shape
+        agg_fn = _TIME_AGG_FN[time_agg]
+        collapsed = df.groupBy(
+            *[key_cols[c].alias(c) for c in bucket], F.col(ord_name)
+        ).agg(agg_fn(F.col(s.target_col)).alias("_mlfs_v"))
+        cctx = FrameCtx(
+            y=F.col("_mlfs_v"),
+            id_col=s.id_col,
+            time_col=s.time_col,
+            use_range=True,
+            order_col=ord_name,
+            partition_cols=tuple(bucket),
+        )
+        cols = {n: tfm.expr(cctx, lag) for n, (lag, tfm) in expr_feats.items()}
+        collapsed = collapsed.select("*", *[c.alias(n) for n, c in cols.items()])
+        if py_feats:
+            collapsed = self._pooled_python(
+                collapsed, bucket, ord_name, py_feats, collapsed=True
+            )
+        feat_names = list(feats)
+        right = collapsed.select(*bucket, ord_name, *feat_names)
+        join_cond = [df[ord_name].eqNullSafe(right[ord_name])]
+        for c in bucket:
+            join_cond.append(key_cols[c].eqNullSafe(right[c]))
+        cond = join_cond[0]
+        for c in join_cond[1:]:
+            cond = cond & c
+        res = df.join(right, cond, "left")
+        for c in bucket + [ord_name]:
+            res = res.drop(right[c])
+        return res.drop(ord_name)
+
+    def _pooled_python(self, df, bucket, ord_name, feats, collapsed):
+        """EWM over pooled buckets via applyInPandas keyed by bucket.
+
+        The recurrence consumes values by *ordinal value*, not position
+        (`/root/reference/mlforecast/lag_transforms.py:1607-1640`): partition
+        buckets may have parent-calendar holes, so ``result[k]`` is the EWM
+        state after consuming every bucket value with ``ord <= ord[k] - lag``.
+        """
+        import numpy as np
+        import pandas as pd
+
+        s = self.schema
+        value_col = "_mlfs_v" if collapsed else s.target_col
+        specs = {name: (lag, tfm.alpha) for name, (lag, tfm) in feats.items()}
+        out_schema = T.StructType(
+            df.schema.fields + [T.StructField(n, T.DoubleType()) for n in specs]
+        )
+
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ord_name)
+            ords = pdf[ord_name].to_numpy()
+            vals = pdf[value_col].astype("float64").to_numpy()
+            for n, (lag, alpha) in specs.items():
+                # running EWM state after consuming row i (NaNs skipped)
+                state = np.full(len(vals), np.nan)
+                ewm = np.nan
+                for i, v in enumerate(vals):
+                    if not np.isnan(v):
+                        ewm = v if np.isnan(ewm) else alpha * v + (1 - alpha) * ewm
+                    state[i] = ewm
+                # last index with ord <= ord[k] - lag
+                idx = np.searchsorted(ords, ords - lag, side="right") - 1
+                res = np.full(len(vals), np.nan)
+                mask = idx >= 0
+                res[mask] = state[idx[mask]]
+                pdf[n] = res
+            return pdf
+
+        if bucket:
+            grouped = df.groupBy(*bucket)
+        else:
+            grouped = df.groupBy(F.lit(0).alias("_mlfs_g"))
+        return grouped.applyInPandas(compute, schema=out_schema)

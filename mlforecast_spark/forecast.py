@@ -1,0 +1,466 @@
+"""MLForecast: the public pipeline API on Spark DataFrames.
+
+Mirrors `/root/reference/mlforecast/forecast.py` (fit/preprocess/predict/
+cross_validation/make_future_dataframe/update, `forecast.py:423-2126`) with a
+Spark-native execution strategy:
+
+- ``preprocess`` is one lazy DataFrame DAG (windows + joins), see core.py.
+- Training runs distributed via sufficient statistics (models.py); only
+  model coefficients live on the driver.
+- The recursive predict loop (`/root/reference/mlforecast/core.py:1648-1681`)
+  operates on a compact per-series *tail* frame bounded by the inferred
+  ``keep_last_n`` (`core.py:404-425` semantics): h sequential narrow jobs,
+  each = window features over the tail → JVM-expression scoring → union one
+  new row per series. State is checkpointed per step to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .core import FeaturePlan, PanelSchema, _parse_transforms
+from .date_features import DateFeature
+from .target_transforms import BaseTargetTransform
+from .utils import Freq, qcol, time_plus
+
+
+def _get_model_name(model) -> str:
+    return type(model).__name__
+
+
+class MLForecast:
+    """Forecasting pipeline: feature engineering + models + recursive or
+    direct multi-horizon prediction (`/root/reference/mlforecast/forecast.py:185-421`)."""
+
+    def __init__(
+        self,
+        models,
+        freq: Freq,
+        lags: Optional[Sequence[int]] = None,
+        lag_transforms: Optional[dict] = None,
+        date_features: Optional[Sequence[DateFeature]] = None,
+        target_transforms: Optional[Sequence[BaseTargetTransform]] = None,
+        num_threads: int = 1,  # accepted for API parity; Spark parallelizes
+    ):
+        if isinstance(models, list):
+            self.models = {_get_model_name(m): m for m in models}
+        elif isinstance(models, dict):
+            self.models = models
+        else:
+            self.models = {_get_model_name(models): models}
+        from .utils import parse_freq
+
+        parse_freq(freq)  # fail fast on unsupported aliases
+        self.freq = freq
+        self.lags = list(lags or [])
+        self.lag_transforms = lag_transforms or {}
+        self.date_features = list(date_features or [])
+        self.target_transforms = list(target_transforms or [])
+        self.registry = _parse_transforms(self.lags, self.lag_transforms)
+
+    # ------------------------------------------------------------------
+    def _build_plan(self, schema: PanelSchema) -> FeaturePlan:
+        return FeaturePlan(
+            schema=schema, registry=self.registry, date_features=self.date_features
+        )
+
+    @property
+    def ts(self):  # API-parity convenience
+        return self
+
+    # ------------------------------------------------------------------
+    def preprocess(
+        self,
+        df: DataFrame,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+        static_features: Optional[Sequence[str]] = None,
+        dropna: bool = True,
+        keep_last_n: Optional[int] = None,
+        fit_transforms: bool = True,
+    ) -> DataFrame:
+        schema = PanelSchema(id_col, time_col, target_col)
+        self.schema_ = schema
+        plan = self._build_plan(schema)
+        self.plan_ = plan
+
+        extra_cols = [c for c in df.columns if c not in (id_col, time_col, target_col)]
+        if static_features is None:
+            self.static_cols_ = extra_cols
+            self.dynamic_cols_ = []
+        else:
+            self.static_cols_ = list(static_features)
+            self.dynamic_cols_ = [c for c in extra_cols if c not in self.static_cols_]
+
+        if fit_transforms:
+            for tfm in self.target_transforms:
+                tfm.set_column_names(id_col, time_col, target_col)
+                df = tfm.fit_transform(df)
+            # keep the transformed panel: it is the recursive-predict state
+            self.transformed_panel_ = df
+
+        feats = plan.apply(df)
+        self.feature_names_ = plan.feature_names()
+        self.features_order_ = extra_cols + self.feature_names_
+        if dropna:
+            cond = None
+            for c in self.feature_names_:
+                nn = qcol(c).isNotNull()
+                cond = nn if cond is None else (cond & nn)
+            if cond is not None:
+                feats = feats.filter(cond)
+        if keep_last_n is not None:
+            w = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
+            feats = (
+                feats.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= keep_last_n)
+                .drop("_rn")
+            )
+        return feats
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        df: DataFrame,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+        static_features: Optional[Sequence[str]] = None,
+        dropna: bool = True,
+        keep_last_n: Optional[int] = None,
+        max_horizon: Optional[int] = None,
+    ) -> "MLForecast":
+        feats = self.preprocess(
+            df,
+            id_col=id_col,
+            time_col=time_col,
+            target_col=target_col,
+            static_features=static_features,
+            dropna=dropna,
+            keep_last_n=keep_last_n,
+        )
+        self.max_horizon_ = max_horizon
+        feats = feats.cache()
+        try:
+            if max_horizon is None:
+                self.models_ = {}
+                for name, model in self.models.items():
+                    self.models_[name] = self._fit_one(model, feats, target_col)
+            else:
+                # direct multi-horizon: one model per horizon on lead targets
+                # (`/root/reference/mlforecast/core.py:1061-1186`)
+                w = Window.partitionBy(id_col).orderBy(time_col)
+                leads = feats
+                lead_cols = []
+                for h in range(max_horizon):
+                    c = f"_mlfs_target{h}"
+                    leads = leads.withColumn(c, F.lead(target_col, h).over(w))
+                    lead_cols.append(c)
+                leads = leads.cache()
+                self.models_ = {}
+                for name, model in self.models.items():
+                    per_h = []
+                    for h in range(max_horizon):
+                        sub = leads.filter(F.col(lead_cols[h]).isNotNull())
+                        per_h.append(self._fit_one(model, sub, lead_cols[h], clone_of=model))
+                    self.models_[name] = per_h
+        finally:
+            pass
+        self._capture_state(df, id_col, time_col, target_col)
+        return self
+
+    def _fit_one(self, model, feats: DataFrame, target_col: str, clone_of=None):
+        import copy
+
+        model = copy.deepcopy(model)
+        if hasattr(model, "fit_spark"):
+            model.fit_spark(feats, self.features_order_, target_col)
+        else:
+            pdf = feats.select(
+                *[qcol(c).alias(c) for c in self.features_order_], target_col
+            ).toPandas()
+            X = pdf[self.features_order_].to_numpy()
+            y = pdf[target_col].to_numpy()
+            model.fit(X, y)
+        return model
+
+    # ------------------------------------------------------------------
+    def _capture_state(self, df: DataFrame, id_col, time_col, target_col):
+        """Tail frame + per-series statics (the predict state)."""
+        panel = getattr(self, "transformed_panel_", df)
+        keep = self.plan_.keep_last_n_bound()
+        state_cols = [id_col, time_col, target_col, *self.static_cols_, *self.dynamic_cols_]
+        state = panel.select(*state_cols)
+        if keep is not None and keep > 0:
+            w = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
+            state = (
+                state.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= keep)
+                .drop("_rn")
+            )
+        self.state_ = state.localCheckpoint(eager=True)
+        w_last = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
+        self.statics_ = (
+            panel.select(id_col, time_col, *self.static_cols_)
+            .withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumnRenamed(time_col, "_last_ds")
+            .localCheckpoint(eager=True)
+        )
+
+    # ------------------------------------------------------------------
+    def make_future_dataframe(self, h: int) -> DataFrame:
+        """ids × next h timestamps (`/root/reference/mlforecast/forecast.py:1425-1443`)."""
+        s = self.schema_
+        steps = F.explode(F.sequence(F.lit(1), F.lit(h))).alias("_step")
+        out = self.statics_.select(s.id_col, "_last_ds").select(
+            s.id_col, "_last_ds", steps
+        )
+        ds_type = self.state_.schema[s.time_col].dataType
+        out = out.withColumn(
+            s.time_col,
+            time_plus(F.col("_last_ds"), self.freq, F.col("_step")).cast(ds_type),
+        )
+        return out.select(s.id_col, s.time_col)
+
+    def get_missing_future(self, h: int, X_df: DataFrame) -> DataFrame:
+        """Expected future rows minus provided ones
+        (`/root/reference/mlforecast/forecast.py:1445-1457`)."""
+        s = self.schema_
+        expected = self.make_future_dataframe(h)
+        return expected.join(
+            X_df.select(s.id_col, s.time_col), on=[s.id_col, s.time_col], how="left_anti"
+        )
+
+    # ------------------------------------------------------------------
+    def predict(
+        self,
+        h: int,
+        X_df: Optional[DataFrame] = None,
+        ids: Optional[Sequence[str]] = None,
+        before_predict_callback: Optional[Callable] = None,
+        after_predict_callback: Optional[Callable] = None,
+    ) -> DataFrame:
+        s = self.schema_
+        if getattr(self, "max_horizon_", None) is not None:
+            return self._predict_direct(h, X_df=X_df, ids=ids)
+        results = None
+        for name, model in self.models_.items():
+            preds = self._predict_recursive_one(
+                name, model, h, X_df, ids, before_predict_callback, after_predict_callback
+            )
+            results = preds if results is None else results.join(
+                preds, on=[s.id_col, s.time_col], how="inner"
+            )
+        results = self._inverse_transforms(results, list(self.models_))
+        return results.orderBy(s.id_col, s.time_col)
+
+    def _inverse_transforms(self, preds: DataFrame, pred_cols: list[str]) -> DataFrame:
+        for tfm in reversed(self.target_transforms):
+            preds = tfm.inverse_transform(preds, pred_cols)
+        return preds
+
+    def _score_col(self, model):
+        if hasattr(model, "to_spark_column"):
+            return model.to_spark_column(self.features_order_)
+        # generic numpy model: Arrow-batched pandas UDF with broadcast model
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        feats = list(self.features_order_)
+        mdl = model
+
+        @pandas_udf("double")
+        def score(*cols: pd.Series) -> pd.Series:
+            import numpy as np
+
+            X = np.column_stack([c.to_numpy(dtype="float64") for c in cols])
+            return pd.Series(mdl.predict(X))
+
+        return score(*[qcol(c) for c in feats])
+
+    def _predict_recursive_one(
+        self, name, model, h, X_df, ids, before_cb, after_cb
+    ) -> DataFrame:
+        s = self.schema_
+        state = self.state_
+        statics = self.statics_
+        if ids is not None:
+            state = state.filter(F.col(s.id_col).isin(list(ids)))
+            statics = statics.filter(F.col(s.id_col).isin(list(ids)))
+        state = state.withColumn("_is_future", F.lit(False))
+        ds_type = self.state_.schema[s.time_col].dataType
+        score_col = self._score_col(model)
+        dyn_cols = list(self.dynamic_cols_)
+        for step in range(1, h + 1):
+            frontier = statics.withColumn(
+                s.time_col,
+                time_plus(F.col("_last_ds"), self.freq, step).cast(ds_type),
+            ).drop("_last_ds")
+            frontier = frontier.withColumn(s.target_col, F.lit(None).cast("double"))
+            if dyn_cols:
+                if X_df is None:
+                    raise ValueError(
+                        f"Dynamic features {dyn_cols} require `X_df` at predict."
+                    )
+                frontier = frontier.join(
+                    X_df.select(s.id_col, s.time_col, *dyn_cols),
+                    on=[s.id_col, s.time_col],
+                    how="left",
+                )
+            frontier = frontier.withColumn("_is_future", F.lit(True))
+            frontier = frontier.withColumn("_is_new", F.lit(True))
+            work = state.withColumn("_is_new", F.lit(False)).unionByName(
+                frontier, allowMissingColumns=True
+            )
+            feats = self.plan_.apply(work)
+            new_rows = feats.filter(F.col("_is_new"))
+            if before_cb is not None:
+                new_rows = before_cb(new_rows)
+            scored = new_rows.withColumn("_pred", score_col)
+            if after_cb is not None:
+                scored = after_cb(scored)
+            appended = scored.select(
+                *[
+                    F.col("_pred").alias(s.target_col) if c == s.target_col else F.col(c)
+                    for c in state.columns
+                ]
+            )
+            state = state.unionByName(appended).localCheckpoint(eager=True)
+        preds = (
+            state.filter(F.col("_is_future"))
+            .select(s.id_col, s.time_col, F.col(s.target_col).alias(name))
+        )
+        return preds
+
+    def _predict_direct(self, h, X_df=None, ids=None) -> DataFrame:
+        s = self.schema_
+        if h > self.max_horizon_:
+            raise ValueError(f"h={h} exceeds max_horizon={self.max_horizon_}")
+        state = self.state_
+        if ids is not None:
+            state = state.filter(F.col(s.id_col).isin(list(ids)))
+        feats = self.plan_.apply(state)
+        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+        origin = (
+            feats.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        results = None
+        for name, per_h_models in self.models_.items():
+            per_h_frames = []
+            for step in range(1, h + 1):
+                model = per_h_models[step - 1]
+                scored = origin.withColumn("_pred", self._score_col(model))
+                ds_type = self.state_.schema[s.time_col].dataType
+                scored = scored.select(
+                    s.id_col,
+                    time_plus(F.col(s.time_col), self.freq, step)
+                    .cast(ds_type)
+                    .alias(s.time_col),
+                    F.col("_pred").alias(name),
+                )
+                per_h_frames.append(scored)
+            from functools import reduce
+
+            frame = reduce(DataFrame.unionByName, per_h_frames)
+            results = frame if results is None else results.join(
+                frame, on=[s.id_col, s.time_col], how="inner"
+            )
+        results = self._inverse_transforms(results, list(self.models_))
+        return results.orderBy(s.id_col, s.time_col)
+
+    # ------------------------------------------------------------------
+    def update(self, df: DataFrame) -> None:
+        """Append new observations (and new series) to the predict state
+        (`/root/reference/mlforecast/core.py:2019-2113`)."""
+        if self.target_transforms:
+            raise ValueError("update() is not supported with target_transforms")
+        s = self.schema_
+        state = self.state_.unionByName(df, allowMissingColumns=True)
+        keep = self.plan_.keep_last_n_bound()
+        if keep is not None and keep > 0:
+            w = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+            state = (
+                state.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= keep)
+                .drop("_rn")
+            )
+        self.state_ = state.localCheckpoint(eager=True)
+        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+        self.statics_ = (
+            state.select(s.id_col, s.time_col, *self.static_cols_)
+            .withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumnRenamed(s.time_col, "_last_ds")
+            .localCheckpoint(eager=True)
+        )
+
+    # ------------------------------------------------------------------
+    def cross_validation(
+        self,
+        df: DataFrame,
+        n_windows: int,
+        h: int,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+        step_size: Optional[int] = None,
+        static_features: Optional[Sequence[str]] = None,
+        dropna: bool = True,
+        refit: bool = True,
+        max_horizon: Optional[int] = None,
+    ) -> DataFrame:
+        """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
+        per-series cutoffs relative to each series' own end; result is the
+        union over windows of (id, ds, cutoff, y, *model predictions)."""
+        step_size = step_size or h
+        w_last = Window.partitionBy(id_col)
+        df = df.withColumn("_max_ds", F.max(time_col).over(w_last))
+        results = []
+        for i in range(n_windows):
+            back = h + (n_windows - 1 - i) * step_size
+            cutoff_col = time_plus(F.col("_max_ds"), self.freq, -back)
+            train = df.filter(F.col(time_col) <= cutoff_col).drop("_max_ds")
+            valid = df.filter(
+                (F.col(time_col) > cutoff_col)
+                & (F.col(time_col) <= time_plus(cutoff_col, self.freq, h))
+            )
+            cutoffs = (
+                df.select(id_col, cutoff_col.alias("cutoff")).distinct()
+            )
+            if refit or i == 0:
+                self.fit(
+                    train,
+                    id_col=id_col,
+                    time_col=time_col,
+                    target_col=target_col,
+                    static_features=static_features,
+                    dropna=dropna,
+                    max_horizon=max_horizon,
+                )
+            else:
+                if self.target_transforms:
+                    raise ValueError(
+                        "refit=False with target_transforms is not supported yet"
+                    )
+                self.transformed_panel_ = train
+                self._capture_state(train, id_col, time_col, target_col)
+            preds = self.predict(h)
+            merged = (
+                valid.select(id_col, time_col, target_col)
+                .join(preds, on=[id_col, time_col], how="inner")
+                .join(cutoffs, on=id_col, how="left")
+                .select(id_col, time_col, "cutoff", target_col, *self.models_.keys())
+            )
+            results.append(merged)
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName, results)

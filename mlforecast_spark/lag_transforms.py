@@ -1,0 +1,641 @@
+"""Lag-transform library: every feature is a Spark ``Column`` over a window.
+
+API parity with the reference's ``mlforecast/lag_transforms.py`` (see
+`/root/reference/mlforecast/lag_transforms.py:320-1885`): same class names,
+constructor signatures and deterministic feature naming
+(`/root/reference/mlforecast/lag_transforms.py:145-167`), but the execution
+strategy is Spark-first — each transform *emits an expression* against a
+window frame built by the planner (``mlforecast_spark/core.py``), so Catalyst
+plans the whole feature set as one WindowExec pass per distinct window spec.
+
+Frame semantics (validated against the reference's SQL oracle,
+`/root/reference/tests/test_pooled_sqlite_oracle.py:115-133`):
+
+- rolling:   ``BETWEEN lag+window_size-1 PRECEDING AND lag PRECEDING``
+- expanding: ``BETWEEN UNBOUNDED PRECEDING AND lag PRECEDING``
+
+In local (per-series) mode grids are gap-free so ROWS == RANGE and we use
+``rowsBetween`` (whole-stage-codegen friendly); pooled modes use
+``rangeBetween`` over a dense time ordinal.
+
+Only ``ExponentiallyWeightedMean`` is not expressible as a Spark window
+aggregate (order-dependent recurrence); it goes through an Arrow-batched
+``applyInPandas`` pass grouped by series/bucket (the one sanctioned slow
+path; see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import operator
+import re
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Lag",
+    "LookupLag",
+    "RollingMean",
+    "RollingStd",
+    "RollingMin",
+    "RollingMax",
+    "RollingQuantile",
+    "SeasonalRollingMean",
+    "SeasonalRollingStd",
+    "SeasonalRollingMin",
+    "SeasonalRollingMax",
+    "SeasonalRollingQuantile",
+    "ExpandingMean",
+    "ExpandingStd",
+    "ExpandingMin",
+    "ExpandingMax",
+    "ExpandingQuantile",
+    "ExponentiallyWeightedMean",
+    "Offset",
+    "Combine",
+]
+
+
+def _pascal2snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+def _normalize_columns(cols: Optional[Sequence[str]]):
+    if cols is None:
+        return None
+    if isinstance(cols, str):
+        return [cols]
+    return list(cols)
+
+
+_VALID_TIME_AGGS = ("sum", "count", "mean", "min", "max")
+
+
+def _validate_time_agg(time_agg, global_, groupby):
+    if time_agg is None:
+        return
+    if time_agg not in _VALID_TIME_AGGS:
+        raise ValueError(f"time_agg must be one of {_VALID_TIME_AGGS}, got {time_agg!r}")
+    if not (global_ or groupby):
+        raise ValueError("time_agg requires `global_` or `groupby`.")
+
+
+class _BaseLagTransform:
+    """Base: pooled-mode attributes + reference-parity naming.
+
+    Subclasses implement :meth:`expr` (emit a Column against a ``FrameCtx``)
+    and/or :meth:`pandas_fn` (per-group pandas fallback, EWM only).
+    """
+
+    global_: bool = False
+    groupby = None
+    partition_by = None
+    time_agg = None
+
+    # ordered (name, value, default) params for name generation
+    def _name_params(self):
+        return []
+
+    def _get_name(self, lag: int) -> str:
+        prefix = ""
+        if getattr(self, "global_", False):
+            prefix = "global_"
+        elif getattr(self, "groupby", None):
+            prefix = "groupby_" + "__".join(self.groupby) + "_"
+        if getattr(self, "partition_by", None):
+            prefix += "partby_" + "__".join(self.partition_by) + "_"
+        result = f"{prefix}{_pascal2snake(type(self).__name__)}_lag{lag}"
+        changed = [f"{n}{v}" for n, v, d in self._name_params() if v != d]
+        if changed:
+            result += "_" + "_".join(changed)
+        return result
+
+    @property
+    def is_pooled(self) -> bool:
+        return bool(self.global_ or self.groupby or self.partition_by)
+
+    @property
+    def mode_key(self):
+        """Grouping key for pooled sub-plans (mirrors `core.py:323-355`)."""
+        return (
+            bool(self.global_),
+            tuple(self.groupby or ()),
+            tuple(self.partition_by or ()),
+            self.time_agg,
+        )
+
+    def update_samples(self, lag: int) -> int:
+        """Rows of history needed to produce the value at a new step; -1 = all."""
+        raise NotImplementedError
+
+    # --- emission API -----------------------------------------------------
+    def expr(self, ctx, lag: int) -> Optional[Column]:
+        """Return the feature Column, or None if a pandas pass is needed."""
+        return None
+
+    def pandas_fn(self, lag: int):
+        """Return fn(pd.Series) -> pd.Series for the per-group pandas path."""
+        raise NotImplementedError(f"{type(self).__name__} has no pandas path")
+
+
+def _pop_legacy(kwargs, global_, groupby, partition_by):
+    if "global" in kwargs:
+        global_ = kwargs.pop("global")
+    if kwargs:
+        raise TypeError(f"Unexpected keyword arguments: {list(kwargs)}")
+    return global_, groupby, partition_by
+
+
+class Lag(_BaseLagTransform):
+    """Plain lag. `/root/reference/mlforecast/lag_transforms.py:320-340`."""
+
+    def __init__(self, lag: int):
+        self.lag = lag
+
+    def _get_name(self, lag: int) -> str:
+        return f"lag{lag}"
+
+    def __eq__(self, other):
+        return isinstance(other, Lag) and self.lag == other.lag
+
+    def update_samples(self, lag: int) -> int:
+        return self.lag
+
+    def expr(self, ctx, lag: int) -> Column:
+        return ctx.shift(self.lag)
+
+
+class LookupLag(_BaseLagTransform):
+    """Previous value within ``(unique_id, *partition_by)`` buckets.
+
+    `/root/reference/mlforecast/lag_transforms.py:375-482`.
+    """
+
+    def __init__(self, partition_by: Optional[Sequence[str]] = None):
+        self.partition_by = _normalize_columns(partition_by)
+        if not self.partition_by:
+            raise ValueError(
+                "LookupLag requires `partition_by`; it defines the buckets "
+                "used for the occurrence lookup."
+            )
+
+    def _get_name(self, lag: int) -> str:
+        return "partby_" + "__".join(self.partition_by) + f"_lookup_lag{lag}"
+
+    def update_samples(self, lag: int) -> int:
+        return -1  # the previous matching occurrence may be arbitrarily far back
+
+    @property
+    def is_pooled(self) -> bool:
+        # handled as a local expression with a custom window, not a pooled plan
+        return False
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.window(extra_partition=tuple(self.partition_by))
+        return F.lag(ctx.y, lag).over(w)
+
+
+class _RollingBase(_BaseLagTransform):
+    """Rolling statistic. `/root/reference/mlforecast/lag_transforms.py:485-613`."""
+
+    _agg: str = ""
+
+    def __init__(
+        self,
+        window_size: int,
+        min_samples: Optional[int] = None,
+        global_: bool = False,
+        groupby: Optional[Sequence[str]] = None,
+        partition_by: Optional[Sequence[str]] = None,
+        time_agg: Optional[str] = None,
+        **kwargs,
+    ):
+        global_, groupby, partition_by = _pop_legacy(kwargs, global_, groupby, partition_by)
+        self.window_size = window_size
+        self.min_samples = min_samples
+        self.global_ = global_
+        self.groupby = _normalize_columns(groupby)
+        self.partition_by = _normalize_columns(partition_by)
+        self.time_agg = time_agg
+        if self.global_ and self.groupby:
+            raise ValueError("`global_` and `groupby` can't be used together.")
+        _validate_time_agg(time_agg, self.global_, self.groupby)
+
+    def _name_params(self):
+        return [
+            ("window_size", self.window_size, None),
+            ("min_samples", self.min_samples, None),
+            ("time_agg", self.time_agg, None),
+        ]
+
+    def _effective_min_samples(self) -> int:
+        if self.min_samples is not None:
+            ms = self.min_samples
+        elif self.partition_by and not (self.global_ or self.groupby):
+            ms = 1  # local partition mode default (see reference docstring)
+        else:
+            ms = self.window_size
+        if not self.is_pooled:
+            ms = min(ms, self.window_size)  # coreforecast caps in local mode
+        return ms
+
+    def update_samples(self, lag: int) -> int:
+        return lag + self.window_size - 1
+
+    def _stat(self, y: Column, w) -> Column:
+        fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
+        return fn(y).over(w)
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.frame(-(lag + self.window_size - 1), -lag)
+        cnt = F.count(ctx.y).over(w)
+        ms = self._effective_min_samples()
+        return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
+
+
+class RollingMean(_RollingBase):
+    _agg = "mean"
+
+
+class RollingMin(_RollingBase):
+    _agg = "min"
+
+
+class RollingMax(_RollingBase):
+    _agg = "max"
+
+
+class RollingStd(_RollingBase):
+    """Sample std via the reference's explicit sum/sum²/count formula with a
+    clamp at zero (`/root/reference/mlforecast/lag_transforms.py:721-742`,
+    mirrored by the oracle `tests/test_pooled_sqlite_oracle.py:33-45`)."""
+
+    _agg = "std"
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.frame(-(lag + self.window_size - 1), -lag)
+        y = ctx.y
+        s = F.sum(y).over(w)
+        s2 = F.sum(y * y).over(w)
+        cnt = F.count(y).over(w)
+        ms = self._effective_min_samples()
+        var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
+        return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
+
+
+class RollingQuantile(_RollingBase):
+    """Exact rolling quantile (numpy linear interpolation == Spark
+    ``percentile``). `/root/reference/mlforecast/lag_transforms.py:949-992`."""
+
+    def __init__(self, p: float, window_size: int, min_samples: Optional[int] = None, **kwargs):
+        super().__init__(window_size=window_size, min_samples=min_samples, **kwargs)
+        self.p = p
+
+    def _name_params(self):
+        return [("p", self.p, None)] + super()._name_params()
+
+    def _stat(self, y: Column, w) -> Column:
+        return F.percentile(y, F.lit(self.p)).over(w)
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.frame(-(lag + self.window_size - 1), -lag)
+        cnt = F.count(ctx.y).over(w)
+        ms = self._effective_min_samples()
+        return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
+
+
+class _ExpandingBase(_BaseLagTransform):
+    """Expanding statistic. `/root/reference/mlforecast/lag_transforms.py:1184-1272`."""
+
+    _agg: str = ""
+
+    def __init__(
+        self,
+        global_: bool = False,
+        groupby: Optional[Sequence[str]] = None,
+        partition_by: Optional[Sequence[str]] = None,
+        time_agg: Optional[str] = None,
+        **kwargs,
+    ):
+        global_, groupby, partition_by = _pop_legacy(kwargs, global_, groupby, partition_by)
+        self.global_ = global_
+        self.groupby = _normalize_columns(groupby)
+        self.partition_by = _normalize_columns(partition_by)
+        self.time_agg = time_agg
+        if self.global_ and self.groupby:
+            raise ValueError("`global_` and `groupby` can't be used together.")
+        _validate_time_agg(time_agg, self.global_, self.groupby)
+
+    def _name_params(self):
+        return [("time_agg", self.time_agg, None)]
+
+    def update_samples(self, lag: int) -> int:
+        return -1
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.frame(None, -lag)
+        y = ctx.y
+        cnt = F.count(y).over(w)
+        if self._agg == "std":
+            s = F.sum(y).over(w)
+            s2 = F.sum(y * y).over(w)
+            var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
+            return F.when(cnt > 1, F.sqrt(var))
+        fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
+        return F.when(cnt > 0, fn(y).over(w))
+
+
+class ExpandingMean(_ExpandingBase):
+    _agg = "mean"
+
+
+class ExpandingStd(_ExpandingBase):
+    _agg = "std"
+
+
+class ExpandingMin(_ExpandingBase):
+    _agg = "min"
+
+
+class ExpandingMax(_ExpandingBase):
+    _agg = "max"
+
+
+class ExpandingQuantile(_ExpandingBase):
+    """`/root/reference/mlforecast/lag_transforms.py:1465-1499`."""
+
+    def __init__(self, p: float, **kwargs):
+        super().__init__(**kwargs)
+        self.p = p
+
+    def _name_params(self):
+        return [("p", self.p, None)] + super()._name_params()
+
+    def expr(self, ctx, lag: int) -> Column:
+        w = ctx.frame(None, -lag)
+        cnt = F.count(ctx.y).over(w)
+        return F.when(cnt > 0, F.percentile(ctx.y, F.lit(self.p)).over(w))
+
+
+class _SeasonalRollingBase(_BaseLagTransform):
+    """Rolling statistic over same-phase seasonal positions
+    (`/root/reference/mlforecast/lag_transforms.py:995-1132`): the window for
+    position *o* covers ``o - lag - i*season_length`` for i in 0..ws-1.
+
+    Spark strategy: lag the target by ``lag`` with the base per-series window,
+    then aggregate over a ROWS window partitioned by
+    ``(unique_id, ord % season_length)`` — same-phase rows are exactly
+    ``season_length`` apart, so ``ROWS window_size-1 PRECEDING`` hits the
+    seasonal positions without a self-join.
+    """
+
+    _agg: str = ""
+
+    def __init__(
+        self,
+        season_length: int,
+        window_size: int,
+        min_samples: Optional[int] = None,
+        global_: bool = False,
+        groupby: Optional[Sequence[str]] = None,
+        partition_by: Optional[Sequence[str]] = None,
+        time_agg: Optional[str] = None,
+        **kwargs,
+    ):
+        global_, groupby, partition_by = _pop_legacy(kwargs, global_, groupby, partition_by)
+        self.season_length = season_length
+        self.window_size = window_size
+        self.min_samples = min_samples
+        self.global_ = global_
+        self.groupby = _normalize_columns(groupby)
+        self.partition_by = _normalize_columns(partition_by)
+        self.time_agg = time_agg
+        _validate_time_agg(time_agg, self.global_, self.groupby)
+        if self.is_pooled:
+            raise NotImplementedError(
+                "Pooled seasonal rolling transforms are not implemented yet "
+                "(the reference itself only has a slow row-level fallback)."
+            )
+
+    def _name_params(self):
+        return [
+            ("season_length", self.season_length, None),
+            ("window_size", self.window_size, None),
+            ("min_samples", self.min_samples, None),
+        ]
+
+    def update_samples(self, lag: int) -> int:
+        return lag + self.season_length * (self.window_size - 1)
+
+    def _effective_min_samples(self) -> int:
+        ms = self.min_samples if self.min_samples is not None else self.window_size
+        return min(ms, self.window_size)
+
+    def _stat(self, y: Column, w) -> Column:
+        fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
+        return fn(y).over(w)
+
+    def expr(self, ctx, lag: int) -> Column:
+        lagged = ctx.shift(lag)
+        w = ctx.seasonal_frame(self.season_length, -(self.window_size - 1), 0)
+        cnt = F.count(lagged).over(w)
+        ms = self._effective_min_samples()
+        if self._agg == "std":
+            s = F.sum(lagged).over(w)
+            s2 = F.sum(lagged * lagged).over(w)
+            var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
+            return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
+        if self._agg == "quantile":
+            stat = F.percentile(lagged, F.lit(self.p)).over(w)
+        else:
+            stat = self._stat(lagged, w)
+        return F.when(cnt >= max(ms, 1), stat)
+
+
+class SeasonalRollingMean(_SeasonalRollingBase):
+    _agg = "mean"
+
+
+class SeasonalRollingStd(_SeasonalRollingBase):
+    _agg = "std"
+
+
+class SeasonalRollingMin(_SeasonalRollingBase):
+    _agg = "min"
+
+
+class SeasonalRollingMax(_SeasonalRollingBase):
+    _agg = "max"
+
+
+class SeasonalRollingQuantile(_SeasonalRollingBase):
+    _agg = "quantile"
+
+    def __init__(self, p: float, season_length: int, window_size: int, **kwargs):
+        super().__init__(season_length=season_length, window_size=window_size, **kwargs)
+        self.p = p
+
+    def _name_params(self):
+        return [("p", self.p, None)] + super()._name_params()
+
+
+class ExponentiallyWeightedMean(_BaseLagTransform):
+    """EWM (order-dependent recurrence ``s_t = a*y_t + (1-a)*s_{t-1}``,
+    NaNs skipped). `/root/reference/mlforecast/lag_transforms.py:1530-1699`.
+
+    Not expressible as a Spark window aggregate — computed in an
+    Arrow-batched ``applyInPandas`` pass per series (pooled: per bucket over
+    the time_agg-collapsed frame, matching the reference's default
+    ``time_agg='mean'`` bucket-mean update rule).
+    """
+
+    def __init__(
+        self,
+        alpha: float,
+        global_: bool = False,
+        groupby: Optional[Sequence[str]] = None,
+        partition_by: Optional[Sequence[str]] = None,
+        time_agg: str = "mean",
+        **kwargs,
+    ):
+        global_, groupby, partition_by = _pop_legacy(kwargs, global_, groupby, partition_by)
+        self.alpha = alpha
+        self.global_ = global_
+        self.groupby = _normalize_columns(groupby)
+        self.partition_by = _normalize_columns(partition_by)
+        if time_agg is None:
+            raise ValueError("ExponentiallyWeightedMean requires a time_agg (default 'mean').")
+        if time_agg != "mean" and not (self.global_ or self.groupby):
+            raise ValueError("time_agg values other than 'mean' require `global_` or `groupby`.")
+        # local mode: one row per timestamp, time_agg='mean' is an identity
+        self.time_agg = time_agg if self.is_pooled else None
+
+    def _name_params(self):
+        return [
+            ("alpha", self.alpha, None),
+            ("time_agg", self.time_agg if self.is_pooled else "mean", "mean"),
+        ]
+
+    @property
+    def mode_key(self):
+        return (
+            bool(self.global_),
+            tuple(self.groupby or ()),
+            tuple(self.partition_by or ()),
+            self.time_agg if self.is_pooled else None,
+        )
+
+    def update_samples(self, lag: int) -> int:
+        return -1
+
+    def expr(self, ctx, lag: int):
+        return None  # python path
+
+    def pandas_fn(self, lag: int):
+        alpha = self.alpha
+
+        def fn(s):
+            return s.shift(lag).ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+
+        return fn
+
+
+class Offset(_BaseLagTransform):
+    """Shift series before the inner transform: equivalent to running the
+    inner transform at ``lag + n``. `/root/reference/mlforecast/lag_transforms.py:1702-1763`."""
+
+    def __init__(self, tfm: _BaseLagTransform, n: int):
+        self.tfm = tfm
+        self.n = n
+        self.global_ = getattr(tfm, "global_", False)
+        self.groupby = getattr(tfm, "groupby", None)
+        self.partition_by = getattr(tfm, "partition_by", None)
+        self.time_agg = getattr(tfm, "time_agg", None)
+
+    def _get_name(self, lag: int) -> str:
+        return self.tfm._get_name(lag + self.n)
+
+    def update_samples(self, lag: int) -> int:
+        inner = self.tfm.update_samples(lag + self.n)
+        return -1 if inner == -1 else inner
+
+    def expr(self, ctx, lag: int):
+        if lag + self.n < 1:
+            raise ValueError(
+                f"Offset(n={self.n}) applied to lag {lag} produces an effective "
+                f"lag of {lag + self.n}; the effective lag must be at least 1."
+            )
+        return self.tfm.expr(ctx, lag + self.n)
+
+    def pandas_fn(self, lag: int):
+        return self.tfm.pandas_fn(lag + self.n)
+
+
+class Combine(_BaseLagTransform):
+    """Binary operator over two transforms.
+    `/root/reference/mlforecast/lag_transforms.py:1766-1885`."""
+
+    def __init__(self, tfm1: _BaseLagTransform, tfm2: _BaseLagTransform, operator: Callable):
+        self.tfm1 = tfm1
+        self.tfm2 = tfm2
+        self.operator = operator
+        if getattr(tfm1, "global_", False) != getattr(tfm2, "global_", False):
+            raise ValueError("Can't combine transforms with different global_ settings.")
+        g1, g2 = getattr(tfm1, "groupby", None), getattr(tfm2, "groupby", None)
+        if (g1 or g2) and g1 != g2:
+            raise ValueError("Can't combine transforms with different groupby settings.")
+        p1, p2 = getattr(tfm1, "partition_by", None), getattr(tfm2, "partition_by", None)
+        if (p1 or p2) and p1 != p2:
+            raise ValueError("Can't combine transforms with different partition_by settings.")
+        self.global_ = getattr(tfm1, "global_", False)
+        self.groupby = g1
+        self.partition_by = p1
+        self.time_agg = getattr(tfm1, "time_agg", None)
+
+    def _get_name(self, lag: int) -> str:
+        lag1 = getattr(self.tfm1, "lag", lag)
+        lag2 = getattr(self.tfm2, "lag", lag)
+        return f"{self.tfm1._get_name(lag1)}_{self.operator.__name__}_{self.tfm2._get_name(lag2)}"
+
+    def update_samples(self, lag: int) -> int:
+        u1, u2 = self.tfm1.update_samples(lag), self.tfm2.update_samples(lag)
+        return -1 if -1 in (u1, u2) else max(u1, u2)
+
+    _OP_COLS = {
+        operator.truediv: lambda a, b: a / b,
+        operator.add: lambda a, b: a + b,
+        operator.sub: lambda a, b: a - b,
+        operator.mul: lambda a, b: a * b,
+    }
+
+    def expr(self, ctx, lag: int):
+        e1 = self.tfm1.expr(ctx, lag)
+        e2 = self.tfm2.expr(ctx, lag)
+        if e1 is None or e2 is None:
+            return None  # at least one side needs the pandas path
+        op = self._OP_COLS.get(self.operator, self.operator)
+        return op(e1, e2)
+
+    def pandas_fn(self, lag: int):
+        # only reached when a side is python-only (e.g. Combine(EWM, Lag))
+        import pandas as pd  # noqa: F401
+
+        tfm1, tfm2, op = self.tfm1, self.tfm2, self.operator
+
+        def _side(tfm, s, lag):
+            e = None
+            try:
+                fn = tfm.pandas_fn(lag)
+                return fn(s)
+            except NotImplementedError:
+                pass
+            raise NotImplementedError(
+                "Combine with a mixed expression/python side is computed "
+                "column-wise by the planner"
+            )
+
+        def fn(s):
+            return op(_side(tfm1, s, lag), _side(tfm2, s, lag))
+
+        return fn

@@ -1,0 +1,205 @@
+"""Models: sklearn-compatible numpy estimators with Spark-scalable training.
+
+The container has no sklearn/lightgbm, so we provide our own estimators with
+the same ``fit(X, y)`` / ``predict(X)`` surface the reference expects
+(`/root/reference/mlforecast/forecast.py:608-680` just calls those two).
+
+Scale design (mirrors the reference's distributed-trainer idea,
+`/root/reference/mlforecast/distributed/forecast.py:408-418`): training for
+linear models runs as a *distributed sufficient-statistics pass* — each Arrow
+batch contributes a k×k Gram matrix and X'y vector via ``mapInPandas``, the
+driver sums the tiny partials and solves the normal equations. No feature
+matrix ever materializes on the driver, so this trains on 100 TB as long as
+k (features) is modest. Scoring is a pure ``Column`` expression (JVM-side,
+whole-stage codegen) — no Python in the predict hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .utils import qcol
+
+
+class _LinearBase:
+    """Shared fit/predict for linear family."""
+
+    fit_intercept: bool = True
+    l2: float = 0.0
+
+    coef_: Optional[np.ndarray] = None
+    intercept_: float = 0.0
+
+    def _solve(self, gram: np.ndarray, xty: np.ndarray, n: int, k: int):
+        reg = self.l2 * np.eye(k + 1)
+        if self.fit_intercept:
+            reg[0, 0] = 0.0  # don't penalize the intercept
+        else:
+            gram = gram[1:, 1:]
+            xty = xty[1:]
+            reg = reg[1:, 1:]
+        try:
+            beta = np.linalg.solve(gram + reg, xty)
+        except np.linalg.LinAlgError:
+            beta, *_ = np.linalg.lstsq(gram + reg, xty, rcond=None)
+        if self.fit_intercept:
+            self.intercept_ = float(beta[0])
+            self.coef_ = beta[1:].astype(np.float64)
+        else:
+            self.intercept_ = 0.0
+            self.coef_ = beta.astype(np.float64)
+        return self
+
+    # --- numpy API (driver-side, small matrices) -------------------------
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, k = X.shape
+        Xa = np.column_stack([np.ones(n), X])
+        return self._solve(Xa.T @ Xa, Xa.T @ y, n, k)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        return X @ self.coef_ + self.intercept_
+
+    # --- Spark API (distributed sufficient statistics) -------------------
+    def fit_spark(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+        import pandas as pd
+
+        orig_cols = list(feature_cols)
+        k = len(orig_cols)
+        # sanitized aliases: pyspark's mapInPandas can't address dotted names
+        feature_cols = [f"_f{i}" for i in range(k)]
+        sel = [qcol(c).cast("double").alias(a) for c, a in zip(orig_cols, feature_cols)]
+        sel.append(qcol(target_col).cast("double").alias("_t"))
+        df = df.select(*sel)
+        target_col = "_t"
+
+        def partials(batches):
+            gram = np.zeros((k + 1, k + 1))
+            xty = np.zeros(k + 1)
+            n = 0
+            for pdf in batches:
+                X = pdf[feature_cols].to_numpy(dtype=np.float64)
+                y = pdf[target_col].to_numpy(dtype=np.float64)
+                mask = ~(np.isnan(X).any(axis=1) | np.isnan(y))
+                X, y = X[mask], y[mask]
+                if len(y) == 0:
+                    continue
+                Xa = np.column_stack([np.ones(len(y)), X])
+                gram += Xa.T @ Xa
+                xty += Xa.T @ y
+                n += len(y)
+            yield pd.DataFrame(
+                {
+                    "gram": [gram.ravel().tobytes()],
+                    "xty": [xty.tobytes()],
+                    "n": [n],
+                }
+            )
+
+        parts = df.mapInPandas(
+            partials, schema="gram binary, xty binary, n long"
+        ).collect()
+        gram = np.zeros((k + 1, k + 1))
+        xty = np.zeros(k + 1)
+        n = 0
+        for row in parts:
+            gram += np.frombuffer(row["gram"]).reshape(k + 1, k + 1)
+            xty += np.frombuffer(row["xty"])
+            n += row["n"]
+        self.n_samples_ = n
+        return self._solve(gram, xty, n, k)
+
+    def to_spark_column(self, feature_cols: Sequence[str]) -> Column:
+        """Scoring as a pure expression — stays in whole-stage codegen."""
+        expr = F.lit(float(self.intercept_))
+        for c, w in zip(feature_cols, self.coef_):
+            expr = expr + qcol(c).cast("double") * float(w)
+        return expr
+
+
+class LinearRegression(_LinearBase):
+    def __init__(self, fit_intercept: bool = True):
+        self.fit_intercept = fit_intercept
+        self.l2 = 0.0
+
+
+class Ridge(_LinearBase):
+    def __init__(self, alpha: float = 1.0, fit_intercept: bool = True):
+        self.l2 = alpha
+        self.fit_intercept = fit_intercept
+
+
+class Lasso(_LinearBase):
+    """L1 linear model via coordinate descent on driver-aggregated sufficient
+    statistics (X'X, X'y) — exact for standardized inputs, no data collect."""
+
+    def __init__(self, alpha: float = 1.0, fit_intercept: bool = True, max_iter: int = 1000, tol: float = 1e-8):
+        self.alpha = alpha
+        self.fit_intercept = fit_intercept
+        self.l2 = 0.0
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def _solve(self, gram: np.ndarray, xty: np.ndarray, n: int, k: int):
+        # coordinate descent on the normal-equation form
+        lam = self.alpha * n
+        beta = np.zeros(k + 1)
+        active = range(0 if self.fit_intercept else 1, k + 1)
+        for _ in range(self.max_iter):
+            max_delta = 0.0
+            for j in active:
+                gjj = gram[j, j]
+                if gjj == 0:
+                    continue
+                rho = xty[j] - gram[j] @ beta + gjj * beta[j]
+                if j == 0:  # intercept unpenalized
+                    new = rho / gjj
+                else:
+                    new = np.sign(rho) * max(abs(rho) - lam, 0.0) / gjj
+                max_delta = max(max_delta, abs(new - beta[j]))
+                beta[j] = new
+            if max_delta < self.tol:
+                break
+        if self.fit_intercept:
+            self.intercept_ = float(beta[0])
+        else:
+            self.intercept_ = 0.0
+        self.coef_ = beta[1:].astype(np.float64)
+        return self
+
+
+class SeasonalNaive:
+    """y_hat(t) = y(t - season_length) — the sanity-check model the reference
+    CI uses (`/root/reference/tests/test_pipeline.py:13-18`). Implemented as a
+    linear model on the matching lag feature."""
+
+    def __init__(self, season_length: int = 7):
+        self.season_length = season_length
+        self.lag_feature = f"lag{season_length}"
+        self.coef_ = None
+        self.feature_cols_: list[str] = []
+
+    def fit(self, X, y):
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        idx = self.feature_cols_.index(self.lag_feature)
+        return np.asarray(X, dtype=np.float64)[:, idx]
+
+    def fit_spark(self, df, feature_cols, target_col):
+        if self.lag_feature not in feature_cols:
+            raise ValueError(
+                f"SeasonalNaive(season_length={self.season_length}) needs "
+                f"`lags=[{self.season_length}]` so {self.lag_feature} exists"
+            )
+        self.feature_cols_ = list(feature_cols)
+        return self
+
+    def to_spark_column(self, feature_cols: Sequence[str]) -> Column:
+        return F.col(self.lag_feature).cast("double")

@@ -1,0 +1,295 @@
+"""Target transforms: fit → transform at preprocess, inverse at predict.
+
+Reference interface: `/root/reference/mlforecast/target_transforms.py:30-84`
+(applied in order at fit `/root/reference/mlforecast/core.py:583-598`,
+inverted in reverse at predict `core.py:1978-1999`). State lives in small
+per-series DataFrames (broadcast-joined back), never in pickled blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class BaseTargetTransform:
+    """fit_transform over the panel; inverse_transform over predictions.
+
+    ``stats_`` is a small per-series DataFrame (the fitted state)."""
+
+    id_col = "unique_id"
+    time_col = "ds"
+    target_col = "y"
+
+    def set_column_names(self, id_col: str, time_col: str, target_col: str):
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        raise NotImplementedError
+
+
+class Differences(BaseTargetTransform):
+    """Iterated differencing ``y_t - y_{t-d}``
+    (`/root/reference/mlforecast/target_transforms.py:87-182`).
+
+    The inverse for recursive forecasts is a sequential per-series rebuild:
+    each horizon step adds back the value ``d`` steps earlier, which may be a
+    stored training tail or an already-reconstructed prediction. Done in one
+    ``applyInPandas`` pass per series over (tails ∪ predictions) — the tails
+    are ≤ sum(differences) rows per series.
+    """
+
+    def __init__(self, differences: Sequence[int]):
+        self.differences = list(differences)
+        self.tails_: Optional[DataFrame] = None
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.id_col).orderBy(self.time_col)
+        # store tails of each intermediate level BEFORE applying that level's
+        # difference: level i tail needs differences[i] last values
+        tails = []
+        n_rows = F.count("*").over(Window.partitionBy(self.id_col))
+        rn_desc = F.row_number().over(
+            Window.partitionBy(self.id_col).orderBy(F.col(self.time_col).desc())
+        )
+        cur = df
+        for level, d in enumerate(self.differences):
+            tail = (
+                cur.withColumn("_rn", rn_desc)
+                .filter(F.col("_rn") <= d)
+                .select(
+                    self.id_col,
+                    self.time_col,
+                    F.col(self.target_col).alias("_tail_y"),
+                    F.lit(level).alias("_level"),
+                    (d - F.col("_rn")).alias("_pos"),
+                )
+            )
+            tails.append(tail)
+            cur = cur.withColumn(
+                self.target_col,
+                F.col(self.target_col) - F.lag(self.target_col, d).over(w),
+            )
+        if not tails:
+            self.tails_ = None
+            return cur
+        from functools import reduce
+
+        self.tails_ = reduce(DataFrame.unionByName, tails)
+        return cur
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        diffs = list(self.differences)
+        id_col, time_col = self.id_col, self.time_col
+        preds = df
+        tails = self.tails_.groupBy(id_col).agg(
+            F.collect_list(F.struct("_level", "_pos", "_tail_y")).alias("_tails")
+        )
+        joined = preds.join(tails, on=id_col, how="left")
+        out_schema = preds.schema
+
+        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col).reset_index(drop=True)
+            tail_structs = pdf["_tails"].iloc[0]
+            # organize tails: level -> array of the last d values (train order)
+            tail_by_level = {}
+            if tail_structs is not None:
+                for item in tail_structs:
+                    lv = item["_level"]
+                    tail_by_level.setdefault(lv, {})[item["_pos"]] = item["_tail_y"]
+            h = len(pdf)
+            for col in pred_cols:
+                vals = pdf[col].astype("float64").to_numpy()
+                # invert levels in reverse order
+                for lv in range(len(diffs) - 1, -1, -1):
+                    d = diffs[lv]
+                    t = tail_by_level.get(lv, {})
+                    tail_arr = np.array([t.get(p, np.nan) for p in range(d)])
+                    rebuilt = np.empty(h)
+                    for i in range(h):
+                        prev = tail_arr[i % d] if i < d else rebuilt[i - d]
+                        rebuilt[i] = vals[i] + prev
+                    vals = rebuilt
+                pdf[col] = vals
+            return pdf.drop(columns=["_tails"])
+
+        return joined.groupBy(id_col).applyInPandas(rebuild, schema=out_schema)
+
+
+class _LocalScalerBase(BaseTargetTransform):
+    """Per-series affine scaler: stats via one groupBy, applied/inverted with
+    a broadcast join (`/root/reference/mlforecast/target_transforms.py:378-423`)."""
+
+    def _stats_exprs(self):  # -> [(_loc, _scale) aggregate expressions]
+        raise NotImplementedError
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        loc, scale = self._stats_exprs()
+        self.stats_ = df.groupBy(self.id_col).agg(
+            loc.alias("_loc"), scale.alias("_scale")
+        )
+        # guard zero scale (constant series) like the reference does
+        self.stats_ = self.stats_.withColumn(
+            "_scale", F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(F.col("_scale"))
+        )
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        out = out.withColumn(
+            self.target_col, (F.col(self.target_col) - F.col("_loc")) / F.col("_scale")
+        )
+        return out.drop("_loc", "_scale")
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        for c in pred_cols:
+            out = out.withColumn(c, F.col(c) * F.col("_scale") + F.col("_loc"))
+        return out.drop("_loc", "_scale")
+
+
+class LocalStandardScaler(_LocalScalerBase):
+    def _stats_exprs(self):
+        y = F.col(self.target_col)
+        return F.avg(y), F.stddev_pop(y)
+
+
+class LocalMinMaxScaler(_LocalScalerBase):
+    def _stats_exprs(self):
+        y = F.col(self.target_col)
+        return F.min(y), (F.max(y) - F.min(y))
+
+
+class LocalRobustScaler(_LocalScalerBase):
+    """scale='iqr' or 'mad' (`/root/reference/mlforecast/target_transforms.py:414-423`)."""
+
+    def __init__(self, scale: str = "iqr"):
+        if scale not in ("iqr", "mad"):
+            raise ValueError("scale must be 'iqr' or 'mad'")
+        self.scale = scale
+
+    def _stats_exprs(self):
+        y = F.col(self.target_col)
+        if self.scale == "iqr":
+            return (
+                F.percentile(y, F.lit(0.5)),
+                F.percentile(y, F.lit(0.75)) - F.percentile(y, F.lit(0.25)),
+            )
+        med = F.percentile(y, F.lit(0.5))
+        return med, F.lit(None).cast("double")  # mad needs a second pass
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        if self.scale == "iqr":
+            return super().fit_transform(df)
+        med = df.groupBy(self.id_col).agg(
+            F.percentile(F.col(self.target_col), F.lit(0.5)).alias("_loc")
+        )
+        dev = (
+            df.join(F.broadcast(med), on=self.id_col)
+            .withColumn("_adev", F.abs(F.col(self.target_col) - F.col("_loc")))
+            .groupBy(self.id_col)
+            .agg(F.percentile(F.col("_adev"), F.lit(0.5)).alias("_scale"))
+        )
+        self.stats_ = med.join(dev, on=self.id_col).withColumn(
+            "_scale", F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(F.col("_scale"))
+        )
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        out = out.withColumn(
+            self.target_col, (F.col(self.target_col) - F.col("_loc")) / F.col("_scale")
+        )
+        return out.drop("_loc", "_scale")
+
+
+class LocalBoxCox(BaseTargetTransform):
+    """Per-series Box-Cox with λ by log-likelihood MLE over a grid
+    (`/root/reference/mlforecast/target_transforms.py:426-431`; scipy is not
+    available in this container, so λ is fit by dense grid search in numpy —
+    same objective, deterministic)."""
+
+    def __init__(self, lower: float = -1.0, upper: float = 2.0, n_grid: int = 61):
+        self.lower, self.upper, self.n_grid = lower, upper, n_grid
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        id_col, target_col = self.id_col, self.target_col
+        lo, hi, ng = self.lower, self.upper, self.n_grid
+
+        def fit_lambda(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = pdf[target_col].to_numpy(dtype="float64")
+            x = x[~np.isnan(x)]
+            lambdas = np.linspace(lo, hi, ng)
+            best_lmb, best_ll = 1.0, -np.inf
+            if (x > 0).all() and len(x) > 2:
+                logx = np.log(x)
+                for lmb in lambdas:
+                    if abs(lmb) < 1e-12:
+                        z = logx
+                    else:
+                        z = (np.power(x, lmb) - 1.0) / lmb
+                    var = z.var()
+                    if var <= 0:
+                        continue
+                    ll = -0.5 * len(x) * np.log(var) + (lmb - 1.0) * logx.sum()
+                    if ll > best_ll:
+                        best_ll, best_lmb = ll, lmb
+            return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "_lambda": [best_lmb]})
+
+        self.stats_ = df.select(id_col, target_col).groupBy(id_col).applyInPandas(
+            fit_lambda, schema=f"`{id_col}` string, `_lambda` double"
+        )
+        out = df.join(F.broadcast(self.stats_), on=id_col, how="left")
+        y = F.col(target_col)
+        lmb = F.col("_lambda")
+        out = out.withColumn(
+            target_col,
+            F.when(F.abs(lmb) < 1e-12, F.log(y)).otherwise(
+                (F.pow(y, lmb) - 1.0) / lmb
+            ),
+        )
+        return out.drop("_lambda")
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        lmb = F.col("_lambda")
+        for c in pred_cols:
+            v = F.col(c)
+            out = out.withColumn(
+                c,
+                F.when(F.abs(lmb) < 1e-12, F.exp(v)).otherwise(
+                    F.pow(v * lmb + 1.0, 1.0 / lmb)
+                ),
+            )
+        return out.drop("_lambda")
+
+
+class GlobalSklearnTransformer(BaseTargetTransform):
+    """The reference wraps sklearn FunctionTransformer for elementwise maps —
+    its shipped use is log1p/expm1 (`/root/reference/mlforecast/auto.py:321-323`).
+    Here: named elementwise pairs as JVM expressions."""
+
+    _FUNCS = {
+        "log1p": (F.log1p, F.expm1),
+        "log": (F.log, F.exp),
+    }
+
+    def __init__(self, func: str = "log1p"):
+        if func not in self._FUNCS:
+            raise ValueError(f"func must be one of {sorted(self._FUNCS)}")
+        self.func = func
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        fwd, _ = self._FUNCS[self.func]
+        return df.withColumn(self.target_col, fwd(F.col(self.target_col)))
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        _, inv = self._FUNCS[self.func]
+        for c in pred_cols:
+            df = df.withColumn(c, inv(F.col(c)))
+        return df

@@ -1,0 +1,159 @@
+"""Shared helpers: SparkSession factory, frequency arithmetic, synthetic data.
+
+Frequency semantics mirror the reference's ``Freq = Union[int, str]``
+(`/root/reference/mlforecast/core.py:152`): an ``int`` freq means the time
+column is integer-typed and steps advance by ``freq``; a string freq is a
+pandas-style offset alias ('D', 'W', 'H', 'min', 'S', 'M'/'MS', 'Y'/'YS').
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Union
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+Freq = Union[int, str]
+
+
+def qcol(name: str) -> Column:
+    """Column reference that survives dots in feature names (reference names
+    like ``exponentially_weighted_mean_lag1_alpha0.3`` contain dots)."""
+    if "." in name or "`" in name:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(name)
+
+
+_FREQ_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
+
+# pandas alias -> (unit, multiplier) where unit is a make_interval unit
+_UNIT_ALIASES = {
+    "d": ("day", 1),
+    "day": ("day", 1),
+    "w": ("day", 7),
+    "h": ("hour", 1),
+    "hour": ("hour", 1),
+    "t": ("minute", 1),
+    "min": ("minute", 1),
+    "s": ("second", 1),
+    "m": ("month", 1),
+    "ms": ("month", 1),
+    "me": ("month", 1),
+    "q": ("month", 3),
+    "qs": ("month", 3),
+    "y": ("year", 1),
+    "ys": ("year", 1),
+    "a": ("year", 1),
+}
+
+
+def parse_freq(freq: Freq) -> tuple[str, int]:
+    """Return (unit, step) where unit in {'int','day','hour','minute','second','month','year'}."""
+    if isinstance(freq, int):
+        return "int", freq
+    m = _FREQ_RE.match(freq.strip())
+    if not m:
+        raise ValueError(f"Unsupported freq: {freq!r}")
+    n = int(m.group(1)) if m.group(1) else 1
+    alias = m.group(2).lower()
+    if alias not in _UNIT_ALIASES:
+        raise ValueError(f"Unsupported freq alias: {freq!r}")
+    unit, mult = _UNIT_ALIASES[alias]
+    return unit, n * mult
+
+
+def time_plus(col: Column, freq: Freq, n) -> Column:
+    """``col + n * freq``. ``n`` may be an int or a Column of step counts."""
+    unit, step = parse_freq(freq)
+    n_col = F.lit(n) if isinstance(n, int) else n
+    total = n_col * step
+    if unit == "int":
+        return col + total
+    if unit in ("day", "hour", "minute", "second"):
+        kwargs = {"days": F.lit(0), "hours": F.lit(0), "mins": F.lit(0), "secs": F.lit(0)}
+        key = {"day": "days", "hour": "hours", "minute": "mins", "second": "secs"}[unit]
+        kwargs[key] = total
+        iv = F.make_dt_interval(kwargs["days"], kwargs["hours"], kwargs["mins"], kwargs["secs"])
+        res = col.cast("timestamp") + iv
+        return res
+    if unit == "month":
+        return F.add_months(col, total)
+    if unit == "year":
+        return F.add_months(col, total * 12)
+    raise AssertionError(unit)
+
+
+def future_steps_col(freq: Freq, last_ds: Column, h: int) -> Column:
+    """Array column of the next ``h`` timestamps strictly after ``last_ds``."""
+    steps = F.sequence(F.lit(1), F.lit(h))
+    return F.transform(steps, lambda i: time_plus(last_ds, freq, i))
+
+
+def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> SparkSession:
+    """Local SparkSession tuned for this engine (tests / bench).
+
+    On a real cluster the caller supplies their own session; every knob here
+    (AQE, Arrow, shuffle partitions) is equally valid at 1000 executors.
+    """
+    import os
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def generate_daily_series(
+    spark: SparkSession,
+    n_series: int,
+    min_length: int = 50,
+    max_length: int = 500,
+    n_static_features: int = 0,
+    equal_ends: bool = False,
+    seed: int = 0,
+    start: str = "2000-01-01",
+):
+    """Spark-native analogue of the reference's synthetic generator
+    (`/root/reference/mlforecast/utils.py:165-223`): seasonal daily panel with
+    per-series random lengths, built from ``spark.range`` + ``sequence`` +
+    ``explode`` so it scales to any n_series without driver materialization.
+    """
+    ids = spark.range(n_series).select(
+        F.format_string(f"id_%0{len(str(n_series - 1))}d", F.col("id").cast("int")).alias("unique_id"),
+        F.col("id").alias("_sid"),
+    )
+    span = max_length - min_length
+    ids = ids.withColumn(
+        "_len",
+        (F.lit(min_length) + F.floor(F.rand(seed) * F.lit(max(span, 1)))).cast("int"),
+    )
+    if equal_ends:
+        # all series end at start + max_length - 1; starts stagger
+        ids = ids.withColumn("_offset", F.lit(max_length) - F.col("_len"))
+    else:
+        ids = ids.withColumn("_offset", F.lit(0))
+    for i in range(n_static_features):
+        ids = ids.withColumn(f"static_{i}", F.floor(F.rand(seed + 10 + i) * 100).cast("int"))
+    df = ids.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("_len") - 1)).alias("_i"),
+    )
+    df = df.withColumn("ds", F.date_add(F.to_date(F.lit(start)), (F.col("_offset") + F.col("_i")).cast("int")))
+    # seasonal (weekly) pattern + per-row noise, strictly positive
+    df = df.withColumn(
+        "y",
+        (F.pmod(F.col("_offset") + F.col("_i"), F.lit(7)) + 1).cast("double")
+        * (F.lit(0.5) + F.rand(seed + 1)),
+    )
+    return df.drop("_sid", "_len", "_offset", "_i")
