@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises the mlforecast_spark engine (FeaturePlan /
+target transforms / operators) on a TPC-H-derived panel (FIXTURES.md F7) or
+the documents/embeddings tables; ``oracle_sql()`` holds the equivalent ANSI
+SQL for DuckDB. Frame semantics follow the reference's SQL oracle
+(`/root/reference/tests/test_pooled_sqlite_oracle.py:24-213`).
+
+All float outputs are rounded to 6 decimals on BOTH sides so the driver's
+value-hash comparison is robust to engine-level FP accumulation order.
 """
 
 from __future__ import annotations
@@ -12,27 +15,743 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+from mlforecast_spark.utils import qcol
+
+# ---------------------------------------------------------------------------
+# shared panel builders (Spark + SQL must be semantically identical)
+# ---------------------------------------------------------------------------
+
+# daily order revenue per nation (25 series), statics: region name
+PANEL_SQL = (
+    "panel AS ("
+    " SELECT n_name AS unique_id, CAST(o_orderdate AS DATE) AS ds,"
+    "        ROUND(SUM(o_totalprice), 2) AS y"
+    " FROM orders, customer, nation"
+    " WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey"
+    " GROUP BY 1, 2)"
+)
+
+PANEL_REGION_SQL = (
+    "panel AS ("
+    " SELECT n_name AS unique_id, r_name AS region, CAST(o_orderdate AS DATE) AS ds,"
+    "        ROUND(SUM(o_totalprice), 2) AS y"
+    " FROM orders, customer, nation, region"
+    " WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey"
+    "   AND n_regionkey = r_regionkey"
+    " GROUP BY 1, 2, 3)"
+)
+
+
+def _panel(spark: SparkSession, sf_dir: str, with_region: bool = False) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    keys = [F.col("n_name").alias("unique_id")]
+    if with_region:
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        joined = joined.join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        )
+        keys.append(F.col("r_name").alias("region"))
+    return joined.groupBy(
+        *keys, F.to_date("o_orderdate").alias("ds")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None):
+    """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        panel = _panel(spark, sf_dir, with_region=with_region)
+        if extra_cols:
+            for name, expr in extra_cols.items():
+                panel = panel.withColumn(name, expr)
+        lag, tfm = transform_factory()
+        registry = _parse_transforms([], {lag: [tfm]})
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        feats = plan.apply(panel)
+        fname = next(iter(registry))
+        return feats.select(
+            "unique_id", "ds", F.round(qcol(fname), 6).alias(out_name)
+        )
+
+    return q
+
+
+# oracle SQL templates (local mode: ROWS frames, gap-free-irrelevant because
+# both engines window over the same observed rows ordered by ds)
+
+def _rolling_sql(agg_expr: str, result: str, lag: int, ws: int, ms: int, out: str) -> str:
+    lower, upper = lag + ws - 1, lag
+    return (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        f" SELECT unique_id, ds, {agg_expr} FROM panel"
+        f" WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        f"  ROWS BETWEEN {lower} PRECEDING AND {upper} PRECEDING))"
+        f" SELECT unique_id, ds, ROUND({result.format(ms=ms)}, 6) AS {out} FROM aggs"
+    )
+
+
+def _expanding_sql(agg_expr: str, result: str, lag: int, out: str) -> str:
+    return (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        f" SELECT unique_id, ds, {agg_expr} FROM panel"
+        f" WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND {lag} PRECEDING))"
+        f" SELECT unique_id, ds, ROUND({result}, 6) AS {out} FROM aggs"
+    )
+
+
+_MEAN_AGG = "SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
+_MEAN_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_sum * 1.0 / w_cnt END"
+_STD_AGG = (
+    "SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq, COUNT(y) OVER w AS w_cnt"
+)
+_STD_RES = (
+    "CASE WHEN w_cnt >= {ms} AND w_cnt > 1 THEN"
+    " SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0)) END"
+)
+_MIN_AGG = "MIN(y) OVER w AS w_min, COUNT(y) OVER w AS w_cnt"
+_MIN_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_min END"
+_MAX_AGG = "MAX(y) OVER w AS w_max, COUNT(y) OVER w AS w_cnt"
+_MAX_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_max END"
+_Q_AGG = "quantile_cont(y, {p}) OVER w AS w_q, COUNT(y) OVER w AS w_cnt"
+_Q_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_q END"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: fit + recursive 7-day forecast of nation revenue."""
+    from mlforecast_spark import MLForecast
+    from mlforecast_spark.lag_transforms import ExpandingMean, RollingMean
+    from mlforecast_spark.models import LinearRegression
+
+    panel = _panel(spark, "/root/testdata/sf0.001")
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7, min_samples=1), ExpandingMean()]},
+        date_features=["dayofweek"],
+    )
+    mf.fit(panel)
+    return mf.predict(7)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mlforecast_spark.lag_transforms import (
+        Combine,
+        ExpandingMax,
+        ExpandingMean,
+        ExpandingMin,
+        ExpandingQuantile,
+        ExpandingStd,
+        ExponentiallyWeightedMean,
+        Lag,
+        LookupLag,
+        RollingMax,
+        RollingMean,
+        RollingMin,
+        RollingQuantile,
+        RollingStd,
+        SeasonalRollingMean,
+    )
+    import operator as _op
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
 
+    # --- relational / pipeline plumbing --------------------------------
+    q["panel_build"] = lambda spark, sf: _panel(spark, sf).select(
+        "unique_id", "ds", "y"
+    )
+
+    def validation_stats(spark, sf):
+        from mlforecast_spark.data_validation import series_stats
+
+        return series_stats(_panel(spark, sf), freq="D")
+
+    q["validation_stats"] = validation_stats
+
+    def future_grid_q(spark, sf):
+        from mlforecast_spark.utils import future_grid
+
+        return future_grid(_panel(spark, sf), "D", 7)
+
+    q["future_grid"] = future_grid_q
+
+    def keep_last_n(spark, sf):
+        from pyspark.sql import Window
+
+        panel = _panel(spark, sf)
+        w = Window.partitionBy("unique_id").orderBy(F.col("ds").desc())
+        return (
+            panel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 28)
+            .select("unique_id", "ds", "y")
+        )
+
+    q["keep_last_n"] = keep_last_n
+
+    def expand_target(spark, sf):
+        from pyspark.sql import Window
+
+        panel = _panel(spark, sf)
+        w = Window.partitionBy("unique_id").orderBy("ds")
+        return panel.select(
+            "unique_id",
+            "ds",
+            F.lead("y", 1).over(w).alias("y_lead1"),
+            F.lead("y", 2).over(w).alias("y_lead2"),
+        )
+
+    q["expand_target_leads"] = expand_target
+
+    # --- local lag transforms ------------------------------------------
+    q["lag7"] = _feature_query(lambda: (7, Lag(7)), "lag7_val")
+    q["rolling_mean"] = _feature_query(
+        lambda: (1, RollingMean(window_size=7)), "rm"
+    )
+    q["rolling_std"] = _feature_query(lambda: (1, RollingStd(window_size=7)), "rs")
+    q["rolling_min"] = _feature_query(lambda: (1, RollingMin(window_size=7)), "rmin")
+    q["rolling_max"] = _feature_query(lambda: (1, RollingMax(window_size=7)), "rmax")
+    q["rolling_quantile"] = _feature_query(
+        lambda: (1, RollingQuantile(p=0.5, window_size=7)), "rq"
+    )
+    q["expanding_mean"] = _feature_query(lambda: (1, ExpandingMean()), "em")
+    q["expanding_std"] = _feature_query(lambda: (1, ExpandingStd()), "es")
+    q["expanding_min"] = _feature_query(lambda: (1, ExpandingMin()), "emin")
+    q["expanding_max"] = _feature_query(lambda: (1, ExpandingMax()), "emax")
+    q["expanding_quantile"] = _feature_query(
+        lambda: (1, ExpandingQuantile(p=0.25)), "eq"
+    )
+    q["seasonal_rolling_mean"] = _feature_query(
+        lambda: (1, SeasonalRollingMean(season_length=7, window_size=4, min_samples=1)),
+        "srm",
+    )
+    q["ewm"] = _feature_query(
+        lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val"
+    )
+    q["combine_ratio"] = _feature_query(
+        lambda: (
+            1,
+            Combine(
+                RollingMean(window_size=7, min_samples=1),
+                RollingMean(window_size=28, min_samples=1),
+                _op.truediv,
+            ),
+        ),
+        "ratio",
+    )
+    q["lookup_lag"] = _feature_query(
+        lambda: (1, LookupLag(partition_by=["dow"])),
+        "ll",
+        extra_cols={"dow": (F.dayofweek("ds") + 5) % 7},
+    )
+
+    # --- pooled transforms ---------------------------------------------
+    q["pooled_global_rolling_mean"] = _feature_query(
+        lambda: (1, RollingMean(window_size=7, global_=True, time_agg="sum")),
+        "pgrm",
+    )
+    q["pooled_groupby_expanding_mean"] = _feature_query(
+        lambda: (1, ExpandingMean(groupby=["region"])),
+        "pgem",
+        with_region=True,
+    )
+    q["pooled_partition_rolling_mean"] = _feature_query(
+        lambda: (1, RollingMean(window_size=7, partition_by=["is_weekend"])),
+        "pprm",
+        extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
+    )
+    q["pooled_groupby_timeagg_rolling_mean"] = _feature_query(
+        lambda: (1, RollingMean(window_size=7, groupby=["region"], time_agg="mean")),
+        "pgtrm",
+        with_region=True,
+    )
+
+    # --- date features --------------------------------------------------
+    def date_feats(spark, sf):
+        panel = _panel(spark, sf)
+        from mlforecast_spark.date_features import date_feature_col
+
+        ds = F.col("ds")
+        return panel.select(
+            "unique_id",
+            "ds",
+            date_feature_col("dayofweek", ds).alias("dayofweek"),
+            date_feature_col("month", ds).alias("month"),
+            date_feature_col("quarter", ds).alias("quarter"),
+            date_feature_col("dayofyear", ds).alias("dayofyear"),
+            date_feature_col("is_month_end", ds).alias("is_month_end"),
+            date_feature_col("daysinmonth", ds).alias("daysinmonth"),
+        )
+
+    q["date_features"] = date_feats
+
+    # --- target transforms ---------------------------------------------
+    def diff1(spark, sf):
+        from mlforecast_spark.target_transforms import Differences
+
+        panel = _panel(spark, sf)
+        tfm = Differences([1])
+        out = tfm.fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_diff"))
+
+    q["differences"] = diff1
+
+    def zscore(spark, sf):
+        from mlforecast_spark.target_transforms import LocalStandardScaler
+
+        panel = _panel(spark, sf)
+        tfm = LocalStandardScaler()
+        out = tfm.fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_z"))
+
+    q["local_standard_scaler"] = zscore
+
+    def minmax(spark, sf):
+        from mlforecast_spark.target_transforms import LocalMinMaxScaler
+
+        panel = _panel(spark, sf)
+        out = LocalMinMaxScaler().fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_mm"))
+
+    q["local_minmax_scaler"] = minmax
+
+    def robust(spark, sf):
+        from mlforecast_spark.target_transforms import LocalRobustScaler
+
+        panel = _panel(spark, sf)
+        out = LocalRobustScaler(scale="iqr").fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_r"))
+
+    q["local_robust_scaler"] = robust
+
+    # --- documents: text analysis + dedup ------------------------------
+    def tok_stats(spark, sf):
+        from mlforecast_spark.operators.text import token_stats
+
+        return token_stats(_docs(spark, sf))
+
+    q["doc_token_stats"] = tok_stats
+
+    def lang_id(spark, sf):
+        from mlforecast_spark.operators.text import language_scores
+
+        return language_scores(_docs(spark, sf))
+
+    q["doc_language_id"] = lang_id
+
+    def doc_fp(spark, sf):
+        from mlforecast_spark.operators.text import fingerprint
+
+        return fingerprint(_docs(spark, sf))
+
+    q["doc_fingerprint"] = doc_fp
+
+    def exact_dup(spark, sf):
+        from mlforecast_spark.operators.dedup import exact_duplicates
+
+        return exact_duplicates(_docs(spark, sf))
+
+    q["dedup_exact"] = exact_dup
+
+    def jaccard(spark, sf):
+        from mlforecast_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, block_cols=("lang", "source"), threshold=0.2
+        )
+
+    q["dedup_ngram_jaccard"] = jaccard
+
+    def minhash(spark, sf):
+        from mlforecast_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            shingle_df,
+        )
+
+        docs = _docs(spark, sf)
+        sig = minhash_signatures(shingle_df(docs, n=3))
+        return minhash_lsh_candidates(sig).filter(F.col("est_jaccard") >= 0.5)
+
+    q["dedup_minhash_lsh"] = minhash
+
+    def simhash_q(spark, sf):
+        from mlforecast_spark.operators.dedup import simhash, simhash_candidates
+
+        fps = simhash(_docs(spark, sf))
+        return simhash_candidates(fps, max_hamming=3)
+
+    q["dedup_simhash"] = simhash_q
+
+    # --- embeddings: similarity search ----------------------------------
+    def ann_brute(spark, sf):
+        from mlforecast_spark.operators.similarity import cosine_topk
+
+        embs = _embs(spark, sf)
+        queries_df = embs.filter(F.col("vec_id") < 20)
+        return cosine_topk(embs, queries_df, k=10)
+
+    q["ann_cosine_topk"] = ann_brute
+
+    def ann_lsh(spark, sf):
+        from mlforecast_spark.operators.similarity import lsh_topk
+
+        embs = _embs(spark, sf)
+        queries_df = embs.filter(F.col("vec_id") < 20)
+        return lsh_topk(embs, queries_df, k=10)
+
+    q["ann_lsh_topk"] = ann_lsh
+
+    # --- end-to-end forecast (no SQL oracle: model training) ------------
+    def predict_q(spark, sf):
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import LinearRegression
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(
+            models=[LinearRegression()],
+            freq="D",
+            lags=[1, 7],
+            lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+            date_features=["dayofweek"],
+        )
+        mf.fit(panel)
+        return mf.predict(7)
+
+    q["predict_recursive_linreg"] = predict_q
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["panel_build"] = f"WITH {PANEL_SQL} SELECT unique_id, ds, y FROM panel"
+
+    o["validation_stats"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id,"
+        " MIN(ds) AS start, MAX(ds) AS end, COUNT(y) AS n_rows,"
+        " COUNT(DISTINCT ds) AS n_unique,"
+        " SUM(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS n_null_target,"
+        " CAST(FLOOR(DATEDIFF('day', MIN(ds), MAX(ds))) + 1 AS BIGINT) AS expected_rows,"
+        " CAST(COUNT(DISTINCT ds) < DATEDIFF('day', MIN(ds), MAX(ds)) + 1 AS INTEGER) AS has_gaps,"
+        " CAST(COUNT(*) > COUNT(DISTINCT ds) AS INTEGER) AS has_dups"
+        " FROM panel GROUP BY unique_id"
+    )
+
+    o["future_grid"] = (
+        f"WITH {PANEL_SQL}, last AS ("
+        " SELECT unique_id, MAX(ds) AS last_ds FROM panel GROUP BY 1)"
+        " SELECT unique_id, CAST(unnest(generate_series("
+        "   CAST(last_ds AS TIMESTAMP) + INTERVAL 1 DAY,"
+        "   CAST(last_ds AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds"
+        " FROM last"
+    )
+
+    o["keep_last_n"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds, y FROM panel"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) <= 28"
+    )
+
+    o["expand_target_leads"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
+        " LEAD(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS y_lead1,"
+        " LEAD(y, 2) OVER (PARTITION BY unique_id ORDER BY ds) AS y_lead2"
+        " FROM panel"
+    )
+
+    o["lag7"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
+        " ROUND(LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ds), 6) AS lag7_val"
+        " FROM panel"
+    )
+
+    o["rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 1, 7, 7, "rm")
+    o["rolling_std"] = _rolling_sql(_STD_AGG, _STD_RES, 1, 7, 7, "rs")
+    o["rolling_min"] = _rolling_sql(_MIN_AGG, _MIN_RES, 1, 7, 7, "rmin")
+    o["rolling_max"] = _rolling_sql(_MAX_AGG, _MAX_RES, 1, 7, 7, "rmax")
+    o["rolling_quantile"] = _rolling_sql(
+        _Q_AGG.format(p=0.5, ms="{ms}"), _Q_RES, 1, 7, 7, "rq"
+    )
+    o["expanding_mean"] = _expanding_sql(
+        _MEAN_AGG, "CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END", 1, "em"
+    )
+    o["expanding_std"] = _expanding_sql(
+        _STD_AGG,
+        "CASE WHEN w_cnt > 1 THEN SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt)"
+        " / (w_cnt - 1), 0.0)) END",
+        1,
+        "es",
+    )
+    o["expanding_min"] = _expanding_sql(
+        _MIN_AGG, "CASE WHEN w_cnt > 0 THEN w_min END", 1, "emin"
+    )
+    o["expanding_max"] = _expanding_sql(
+        _MAX_AGG, "CASE WHEN w_cnt > 0 THEN w_max END", 1, "emax"
+    )
+    o["expanding_quantile"] = _expanding_sql(
+        "quantile_cont(y, 0.25) OVER w AS w_q, COUNT(y) OVER w AS w_cnt",
+        "CASE WHEN w_cnt > 0 THEN w_q END",
+        1,
+        "eq",
+    )
+
+    # seasonal: same-phase ROWS window over the lag-shifted series
+    o["seasonal_rolling_mean"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds,"
+        "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord,"
+        "  LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS ly"
+        " FROM panel), aggs AS ("
+        " SELECT unique_id, ds, AVG(ly) OVER w AS w_avg, COUNT(ly) OVER w AS w_cnt"
+        " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
+        "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
+        " SELECT unique_id, ds, ROUND(CASE WHEN w_cnt >= 1 THEN w_avg END, 6) AS srm"
+        " FROM aggs"
+    )
+
+    # EWM: array_agg of the preceding values + list_reduce recursion
+    o["ewm"] = (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        " SELECT unique_id, ds, array_agg(y) OVER ("
+        "  PARTITION BY unique_id ORDER BY ds"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vals"
+        " FROM panel)"
+        " SELECT unique_id, ds, ROUND(CASE WHEN COALESCE(len(vals), 0) > 0 THEN"
+        "  list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) END, 6) AS ewm_val"
+        " FROM aggs"
+    )
+
+    o["combine_ratio"] = (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        " SELECT unique_id, ds,"
+        "  SUM(y) OVER w7 AS s7, COUNT(y) OVER w7 AS c7,"
+        "  SUM(y) OVER w28 AS s28, COUNT(y) OVER w28 AS c28"
+        " FROM panel WINDOW"
+        "  w7 AS (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),"
+        "  w28 AS (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds, ROUND("
+        "  (CASE WHEN c7 >= 1 THEN s7 * 1.0 / c7 END) /"
+        "  (CASE WHEN c28 >= 1 THEN s28 * 1.0 / c28 END), 6) AS ratio"
+        " FROM aggs"
+    )
+
+    o["lookup_lag"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds, y, CAST(isodow(ds) - 1 AS INTEGER) AS dow"
+        " FROM panel)"
+        " SELECT unique_id, ds, ROUND(LAG(y, 1) OVER ("
+        "  PARTITION BY unique_id, dow ORDER BY ds), 6) AS ll"
+        " FROM base"
+    )
+
+    # pooled global + time_agg sum: collapse per global ordinal, window, join back
+    o["pooled_global_rolling_mean"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM panel),"
+        " collapsed AS (SELECT ord, SUM(y) AS y FROM base GROUP BY ord),"
+        " aggs AS (SELECT ord, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
+        "  FROM collapsed WINDOW w AS (ORDER BY ord"
+        "   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT b.unique_id, b.ds,"
+        "  ROUND(CASE WHEN a.w_cnt >= 7 THEN a.w_sum * 1.0 / a.w_cnt END, 6) AS pgrm"
+        " FROM base b LEFT JOIN aggs a ON b.ord = a.ord"
+    )
+
+    # pooled groupby (row-level samples): window over all region rows by ordinal
+    o["pooled_groupby_expanding_mean"] = (
+        f"WITH {PANEL_REGION_SQL}, base AS ("
+        " SELECT unique_id, region, ds, y,"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
+        "  FROM base WINDOW w AS (PARTITION BY region ORDER BY ord"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END, 6) AS pgem"
+        " FROM aggs"
+    )
+
+    # pooled local partition mode: parent ordinal per id, bucket (id, is_weekend)
+    o["pooled_partition_rolling_mean"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds, y,"
+        "  CAST(isodow(ds) - 1 >= 5 AS INTEGER) AS is_weekend,"
+        "  DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord FROM panel),"
+        " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
+        "  FROM base WINDOW w AS (PARTITION BY unique_id, is_weekend ORDER BY ord"
+        "   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt >= 1 THEN w_sum * 1.0 / w_cnt END, 6) AS pprm"
+        " FROM aggs"
+    )
+
+    # pooled groupby + time_agg mean: collapse per (region, ord) then join back
+    o["pooled_groupby_timeagg_rolling_mean"] = (
+        f"WITH {PANEL_REGION_SQL}, base AS ("
+        " SELECT unique_id, region, ds, y,"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        " collapsed AS (SELECT region, ord, AVG(y) AS y FROM base GROUP BY region, ord),"
+        " aggs AS (SELECT region, ord, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
+        "  FROM collapsed WINDOW w AS (PARTITION BY region ORDER BY ord"
+        "   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT b.unique_id, b.ds,"
+        "  ROUND(CASE WHEN a.w_cnt >= 7 THEN a.w_sum * 1.0 / a.w_cnt END, 6) AS pgtrm"
+        " FROM base b LEFT JOIN aggs a ON b.region = a.region AND b.ord = a.ord"
+    )
+
+    o["date_features"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
+        " CAST(isodow(ds) - 1 AS INTEGER) AS dayofweek,"
+        " CAST(MONTH(ds) AS INTEGER) AS month,"
+        " CAST(QUARTER(ds) AS INTEGER) AS quarter,"
+        " CAST(DAYOFYEAR(ds) AS INTEGER) AS dayofyear,"
+        " CAST(ds = last_day(ds) AS INTEGER) AS is_month_end,"
+        " CAST(DAY(last_day(ds)) AS INTEGER) AS daysinmonth"
+        " FROM panel"
+    )
+
+    o["differences"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
+        " ROUND(y - LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds), 6) AS y_diff"
+        " FROM panel"
+    )
+
+    o["local_standard_scaler"] = (
+        f"WITH {PANEL_SQL}, stats AS ("
+        " SELECT unique_id, AVG(y) AS mu,"
+        "  CASE WHEN stddev_pop(y) = 0 THEN 1.0 ELSE stddev_pop(y) END AS sigma"
+        " FROM panel GROUP BY 1)"
+        " SELECT p.unique_id, p.ds, ROUND((p.y - s.mu) / s.sigma, 6) AS y_z"
+        " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
+    )
+
+    o["local_minmax_scaler"] = (
+        f"WITH {PANEL_SQL}, stats AS ("
+        " SELECT unique_id, MIN(y) AS lo,"
+        "  CASE WHEN MAX(y) - MIN(y) = 0 THEN 1.0 ELSE MAX(y) - MIN(y) END AS rng"
+        " FROM panel GROUP BY 1)"
+        " SELECT p.unique_id, p.ds, ROUND((p.y - s.lo) / s.rng, 6) AS y_mm"
+        " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
+    )
+
+    o["local_robust_scaler"] = (
+        f"WITH {PANEL_SQL}, stats AS ("
+        " SELECT unique_id, quantile_cont(y, 0.5) AS med,"
+        "  CASE WHEN quantile_cont(y, 0.75) - quantile_cont(y, 0.25) = 0 THEN 1.0"
+        "   ELSE quantile_cont(y, 0.75) - quantile_cont(y, 0.25) END AS iqr"
+        " FROM panel GROUP BY 1)"
+        " SELECT p.unique_id, p.ds, ROUND((p.y - s.med) / s.iqr, 6) AS y_r"
+        " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
+    )
+
+    # --- documents -----------------------------------------------------
+    o["doc_token_stats"] = (
+        "WITH base AS (SELECT doc_id, text, LENGTH(text) AS n_chars,"
+        " CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
+        "  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,"
+        " LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct,"
+        " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces"
+        " FROM documents)"
+        " SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
+        "  CAST(n_tokens AS BIGINT) AS n_tokens,"
+        "  ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - n_spaces) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
+        " FROM base"
+    )
+
+    # language scores: same padded-occurrence arithmetic
+    def _occ_sql(word: str) -> str:
+        needle = f" {word} "
+        return (
+            f"CAST((LENGTH(padded) - LENGTH(REPLACE(padded, '{needle}', '')))"
+            f" / {len(needle)} AS INTEGER)"
+        )
+
+    from mlforecast_spark.operators.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        total = " + ".join(_occ_sql(w) for w in words)
+        score_exprs.append(f"CAST({total} AS INTEGER) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    guess = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        guess = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {guess} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    o["doc_language_id"] = (
+        "WITH base AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents),"
+        f" scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)"
+        f" SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess"
+        " FROM scored"
+    )
+
+    o["doc_fingerprint"] = (
+        "SELECT doc_id, md5(TRIM(regexp_replace("
+        " regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+        " '\\s+', ' ', 'g'))) AS fingerprint"
+        " FROM documents"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT doc_id, md5(text) AS content_hash,"
+        " MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,"
+        " COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count"
+        " FROM documents"
+    )
+
+    o["dedup_ngram_jaccard"] = (
+        "WITH toks AS (SELECT doc_id, lang, source,"
+        "  string_split_regex(TRIM(LOWER(text)), '\\s+') AS t FROM documents),"
+        " sh AS (SELECT DISTINCT doc_id, lang, source,"
+        "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle"
+        "  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)"
+        "  WHERE len(t) >= 3),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),"
+        " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter"
+        "  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang"
+        "   AND a.source = b.source AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2)"
+        " SELECT id_a, id_b,"
+        "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+        " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
+        " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
+    )
+
+    o["ann_cosine_topk"] = (
+        "WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine"
+        "  FROM embeddings a, embeddings b"
+        "  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)"
+        " SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "   ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)"
+        " WHERE rank <= 10"
+    )
+
+    return o

@@ -1,0 +1,134 @@
+"""Benchmark: headline engine workloads at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": X}
+
+Each query is forced to full materialization with a cheap hash-sum aggregate
+(so Catalyst can't prune the feature columns away), mirroring what a
+downstream training pipeline would consume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _force(df) -> int:
+    cols = [F.col(f"`{c}`") for c in df.columns]
+    return df.select(
+        F.sum(F.xxhash64(*cols).cast("double")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]["n"]
+
+
+def _wide_feature_matrix(spark, sf_dir):
+    """The M4-style workload: 14 lags + rolling/expanding/EWM features in one
+    FeaturePlan pass over the nation panel."""
+    import __spark_entry__ as entry
+    from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+    from mlforecast_spark.lag_transforms import (
+        ExpandingMean,
+        ExponentiallyWeightedMean,
+        RollingMean,
+        RollingStd,
+    )
+
+    panel = entry._panel(spark, sf_dir)
+    registry = _parse_transforms(
+        list(range(1, 15)),
+        {
+            1: [RollingMean(window_size=7), RollingMean(window_size=28),
+                RollingStd(window_size=7), ExpandingMean(),
+                ExponentiallyWeightedMean(alpha=0.3)],
+            7: [RollingMean(window_size=7), RollingMean(window_size=28)],
+        },
+    )
+    plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+    return plan.apply(panel)
+
+
+def _fit_predict(spark, sf_dir):
+    from mlforecast_spark import MLForecast
+    from mlforecast_spark.lag_transforms import RollingMean
+    from mlforecast_spark.models import LinearRegression
+    import __spark_entry__ as entry
+
+    panel = entry._panel(spark, sf_dir)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+        date_features=["dayofweek"],
+    )
+    mf.fit(panel)
+    return mf.predict(7)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mlforecast_spark.utils import get_spark
+
+    spark = get_spark("mlforecast-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    bench_names = [
+        "panel_build",
+        "rolling_mean",
+        "pooled_global_rolling_mean",
+        "pooled_groupby_timeagg_rolling_mean",
+        "seasonal_rolling_mean",
+        "ewm",
+        "doc_token_stats",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+    ]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once
+    _force(entry._panel(spark, sf_dir))
+
+    for name in bench_names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(_wide_feature_matrix(spark, sf_dir))
+    timings["wide_feature_matrix"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(_fit_predict(spark, sf_dir))
+    timings["fit_predict_linreg_h7"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,11 +153,14 @@ _TIME_AGG_FN = {"sum": F.sum, "count": F.count, "mean": F.avg, "min": F.min, "ma
 
 
 def _null_safe_key(df: DataFrame, col: str) -> Column:
-    """NaN == null for bucket keys (`/root/reference/mlforecast/pooled.py:21-66`)."""
+    """NaN == null for bucket keys (`/root/reference/mlforecast/pooled.py:21-66`).
+
+    Returns a reference bound to ``df`` so self-join conditions stay
+    unambiguous."""
     dt = df.schema[col].dataType
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return F.nanvl(F.col(col), F.lit(None))
-    return F.col(col)
+        return F.nanvl(df[col], F.lit(None))
+    return df[col]
 
 
 @dataclass

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB):
+- exact dedup is a hash-groupBy — one shuffle on a 128-bit digest, no skew
+  beyond true duplicate mass.
+- MinHash/LSH: shingle → k minhashes via k independent affine hashes over one
+  ``xxhash64`` base (all JVM expressions over exploded shingles) → band keys →
+  self-join on (band, bucket). The candidate join is the only quadratic piece
+  and is confined to same-bucket collisions.
+- SimHash: 64-bit fingerprint from token hashes; near-dup = fingerprints
+  equal in all-but-few bits; banded by 4×16-bit chunks for candidate gen.
+- exact n-gram Jaccard verifies candidates (or small blocked sets) exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for affine minhash permutations: with a, b, base all
+# < 2^31, products stay < 2^62 — no long overflow under Spark's ANSI mode
+_MH_PRIME = (1 << 31) - 1
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content digest: every row gets its group's
+    canonical (min) id and the group size. One shuffle on the digest."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h)
+    return df.select(
+        F.col(id_col),
+        h.alias("content_hash"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("long").alias("dup_count"),
+    )
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Array of distinct n-word shingles (lowercased, whitespace-tokenized)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(k >= n, F.array_distinct(sh)).otherwise(F.array())
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs — the base for minhash and Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 13,
+) -> DataFrame:
+    """One row per id with an array<long> minhash signature.
+
+    k affine permutations ``(a_i * h + b_i) mod p`` over a single
+    ``xxhash64(shingle)`` base hash — k JVM expressions, one aggregation;
+    no Python in the loop.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
+    mins = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: hash each band of the
+    signature to a bucket, self-join on (band, bucket). Returns distinct
+    (id_a, id_b) with id_a < id_b plus the estimated Jaccard from signature
+    agreement.
+
+    ``signatures`` is cached before the self-join: it is tiny (one row per
+    document) and feeds both sides, so recomputing the shingle+hash pipeline
+    twice would dominate the cost."""
+    signatures = signatures.cache()
+    rows_per_band = max(1, num_hashes // num_bands)
+    bands = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    ).cache()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.size("sig_a"), 6).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    block_cols: tuple = (),
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (optionally blocked by
+    ``block_cols`` to bound the quadratic term). Pure joins + aggregations."""
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(_word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    res = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        res = res.filter(F.col("jaccard") >= threshold)
+    return res
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token
+    frequency, sign → bit. All expression-based: explode tokens → xxhash64 →
+    per-bit contribution via bitwise ops → groupBy sum."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(63):  # keep the sign bit clear to avoid ANSI overflow
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
+    verify exact hamming distance."""
+    chunks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

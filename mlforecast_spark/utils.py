@@ -90,6 +90,20 @@ def future_steps_col(freq: Freq, last_ds: Column, h: int) -> Column:
     return F.transform(steps, lambda i: time_plus(last_ds, freq, i))
 
 
+def future_grid(df, freq: Freq, h: int, id_col: str = "unique_id", time_col: str = "ds"):
+    """ids × next h timestamps after each series' last observation
+    (`/root/reference/mlforecast/forecast.py:1425-1443` as sequence+explode)."""
+    last = df.groupBy(id_col).agg(F.max(time_col).alias("_last_ds"))
+    ds_type = df.schema[time_col].dataType
+    out = last.select(
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(h))).alias("_step"), "_last_ds"
+    )
+    return out.select(
+        id_col,
+        time_plus(F.col("_last_ds"), freq, F.col("_step")).cast(ds_type).alias(time_col),
+    )
+
+
 def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> SparkSession:
     """Local SparkSession tuned for this engine (tests / bench).
 
