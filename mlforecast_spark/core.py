@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from .date_features import DateFeature, apply_date_features
 from .lag_transforms import Combine, Lag, _BaseLagTransform
-from .utils import Freq
+from .utils import Freq, qcol
 
 ORD_COL = "_mlfs_ord"
 
@@ -318,8 +318,22 @@ class FeaturePlan:
         )
         df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
 
-        # NaN/null-unified bucket keys
-        key_cols = {c: _null_safe_key(df, c) for c in bucket}
+        # NaN/null-unified bucket keys: float keys get a materialized
+        # normalized column so window partitioning unifies NaN with NULL
+        # (`/root/reference/mlforecast/pooled.py:21-66`)
+        norm_name: dict[str, str] = {}
+        temp_keys: list[str] = []
+        for c in bucket:
+            dt = df.schema[c].dataType
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                nc = f"_mlfs_k_{c}"
+                df = df.withColumn(nc, F.nanvl(F.col(c), F.lit(None)))
+                norm_name[c] = nc
+                temp_keys.append(nc)
+            else:
+                norm_name[c] = c
+        bucket = [norm_name[c] for c in bucket]
+        key_cols = {c: df[c] for c in bucket}
 
         expr_feats, py_feats = {}, {}
         probe = FrameCtx(
@@ -344,7 +358,7 @@ class FeaturePlan:
             df = df.select("*", *[c.alias(n) for n, c in cols.items()])
             if py_feats:
                 df = self._pooled_python(df, bucket, ord_name, py_feats, collapsed=False)
-            return df.drop(ord_name)
+            return df.drop(ord_name, *temp_keys)
 
         # time_agg: collapse to one row per (bucket, ord), window over the
         # collapsed frame, then join back — the oracle's CTE shape
@@ -367,7 +381,9 @@ class FeaturePlan:
                 collapsed, bucket, ord_name, py_feats, collapsed=True
             )
         feat_names = list(feats)
-        right = collapsed.select(*bucket, ord_name, *feat_names)
+        right = collapsed.select(
+            *bucket, ord_name, *[qcol(n).alias(n) for n in feat_names]
+        )
         join_cond = [df[ord_name].eqNullSafe(right[ord_name])]
         for c in bucket:
             join_cond.append(key_cols[c].eqNullSafe(right[c]))
@@ -377,7 +393,7 @@ class FeaturePlan:
         res = df.join(right, cond, "left")
         for c in bucket + [ord_name]:
             res = res.drop(right[c])
-        return res.drop(ord_name)
+        return res.drop(ord_name, *temp_keys)
 
     def _pooled_python(self, df, bucket, ord_name, feats, collapsed):
         """EWM over pooled buckets via applyInPandas keyed by bucket.

@@ -1,0 +1,156 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+text / multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "a"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", "en", "a"),  # near dup of 1
+        (4, "der schnelle braune fuchs springt und der hund ist nicht da", "de", "a"),
+        (5, "completely different text about spark engines and data", "en", "b"),
+        (6, "le renard brun et rapide saute et les chiens sont la", "fr", "a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_duplicates(spark, docs):
+    from mlforecast_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_count"] == 2
+    assert out.loc[2, "canonical_id"] == 1
+    assert out.loc[3, "dup_count"] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from mlforecast_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.0).toPandas()
+    pair = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(pair) == 1 and pair["jaccard"].iloc[0] == 1.0
+    near = out[(out.id_a == 1) & (out.id_b == 3)]
+    # 9 tokens -> 7 shingles each; 'fox jumps over'/'jumps over the'/'quick
+    # brown fox' differ around the substitution: expect moderate similarity
+    assert len(near) == 1 and 0.2 < near["jaccard"].iloc[0] < 1.0
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_df,
+    )
+
+    sig = minhash_signatures(shingle_df(docs, n=2), num_hashes=64)
+    cand = minhash_lsh_candidates(sig, num_hashes=64, num_bands=16).toPandas()
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.0).toPandas()
+    pair = cand[(cand.id_a == 1) & (cand.id_b == 2)]
+    assert len(pair) == 1 and pair["est_jaccard"].iloc[0] == 1.0
+    near = cand[(cand.id_a == 1) & (cand.id_b == 3)]
+    if len(near):  # LSH may or may not surface it; if it does, estimate is sane
+        true_j = exact[(exact.id_a == 1) & (exact.id_b == 3)]["jaccard"].iloc[0]
+        assert abs(near["est_jaccard"].iloc[0] - true_j) < 0.35
+
+
+def test_simhash_near_dups(spark, docs):
+    from mlforecast_spark.operators.dedup import simhash, simhash_candidates
+
+    fps = simhash(docs)
+    out = fps.toPandas().set_index("doc_id")
+    assert out.loc[1, "simhash"] == out.loc[2, "simhash"]  # identical text
+    cands = simhash_candidates(fps, max_hamming=10).toPandas()
+    assert ((cands.id_a == 1) & (cands.id_b == 2)).any()
+
+
+def test_language_id(spark, docs):
+    from mlforecast_spark.operators.text import language_scores
+
+    out = language_scores(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_guess"] == "en"
+    assert out.loc[4, "lang_guess"] == "de"
+    assert out.loc[6, "lang_guess"] == "fr"
+
+
+def test_token_stats(spark, docs):
+    from mlforecast_spark.operators.text import token_stats
+
+    out = token_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 9
+    assert out.loc[1, "n_chars"] == 43
+    assert out.loc[1, "punct_ratio"] == 0.0
+
+
+def test_fingerprint_normalization(spark):
+    from mlforecast_spark.operators.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = fingerprint(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+def test_cosine_topk_vs_numpy(spark):
+    from mlforecast_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=5).toPandas()
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [
+            i for i in np.lexsort((np.arange(30), -np.round(sims[q], 6))) if i != q
+        ][:5]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order, (q, got, order)
+
+
+def test_lsh_topk_recall(spark):
+    from mlforecast_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(60, 16).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(df, q, k=5).toPandas()
+    approx = lsh_topk(df, q, k=5, num_planes=6, num_tables=8).toPandas()
+    # recall@5 across queries should be decent with 8 tables
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 10, f"recall too low: {hits}/25"
+
+
+def test_multimodal_plumbing(spark, docs):
+    from mlforecast_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_and_featurize,
+        frame_sample_plan,
+    )
+
+    with_payload = attach_fake_payload(docs, "doc_id")
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    feats = decode_and_featurize(with_payload, fake=True).toPandas()
+    assert len(feats) == 6
+    assert all(len(f) == 16 for f in feats["features"])
+    np.testing.assert_allclose([sum(f) for f in feats["features"]], 1.0, rtol=1e-9)
+    with pytest.raises(NotImplementedError):
+        decode_and_featurize(with_payload, fake=False)
+    frames = frame_sample_plan(docs, every_n=10).toPandas()
+    assert len(frames) == 6 * 10
