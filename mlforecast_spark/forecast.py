@@ -190,7 +190,11 @@ class MLForecast:
 
     # ------------------------------------------------------------------
     def _capture_state(self, df: DataFrame, id_col, time_col, target_col):
-        """Tail frame + per-series statics (the predict state)."""
+        """Tail frame + per-series statics (the predict state).
+
+        One job over the panel (trim + checkpoint); the statics frame is then
+        derived from the tiny checkpointed tail rather than re-running the
+        upstream panel plan a second time."""
         panel = getattr(self, "transformed_panel_", df)
         keep = self.plan_.keep_last_n_bound()
         state_cols = [id_col, time_col, target_col, *self.static_cols_, *self.dynamic_cols_]
@@ -205,7 +209,7 @@ class MLForecast:
         self.state_ = state.localCheckpoint(eager=True)
         w_last = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
         self.statics_ = (
-            panel.select(id_col, time_col, *self.static_cols_)
+            self.state_.select(id_col, time_col, *self.static_cols_)
             .withColumn("_rn", F.row_number().over(w_last))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
@@ -331,6 +335,9 @@ class MLForecast:
                     for c in state.columns
                 ]
             )
+            # eager checkpoint each step: the state feeds both the next
+            # step's windows and its union base, so lazy chaining would
+            # recompute it 2^k times between checkpoints
             state = state.unionByName(appended).localCheckpoint(eager=True)
         preds = (
             state.filter(F.col("_is_future"))

@@ -67,7 +67,44 @@ class _LinearBase:
         return X @ self.coef_ + self.intercept_
 
     # --- Spark API (distributed sufficient statistics) -------------------
+    _JVM_GRAM_MAX_K = 40  # (k+1)(k+2)/2 aggregates; beyond this use Arrow path
+
     def fit_spark(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+        if len(feature_cols) <= self._JVM_GRAM_MAX_K:
+            return self._fit_spark_jvm(df, feature_cols, target_col)
+        return self._fit_spark_arrow(df, feature_cols, target_col)
+
+    def _fit_spark_jvm(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+        """Gram matrix as one JVM HashAggregate: (k+1)(k+2)/2 sum() exprs over
+        products — no Python workers in the training path at all."""
+        orig_cols = list(feature_cols)
+        k = len(orig_cols)
+        cols = [F.lit(1.0)] + [qcol(c).cast("double") for c in orig_cols]
+        y = qcol(target_col).cast("double")
+        valid = y.isNotNull() & ~F.isnan(y)
+        for c in cols[1:]:
+            valid = valid & c.isNotNull() & ~F.isnan(c)
+        aggs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                aggs.append(
+                    F.sum(F.when(valid, cols[i] * cols[j])).alias(f"g_{i}_{j}")
+                )
+        for i in range(k + 1):
+            aggs.append(F.sum(F.when(valid, cols[i] * y)).alias(f"xy_{i}"))
+        aggs.append(F.sum(valid.cast("long")).alias("n"))
+        row = df.agg(*aggs).collect()[0]
+        gram = np.zeros((k + 1, k + 1))
+        xty = np.zeros(k + 1)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                v = row[f"g_{i}_{j}"] or 0.0
+                gram[i, j] = gram[j, i] = v
+            xty[i] = row[f"xy_{i}"] or 0.0
+        self.n_samples_ = row["n"] or 0
+        return self._solve(gram, xty, self.n_samples_, k)
+
+    def _fit_spark_arrow(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
         import pandas as pd
 
         orig_cols = list(feature_cols)

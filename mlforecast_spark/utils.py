@@ -122,6 +122,7 @@ def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
