@@ -422,6 +422,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
+    def exog_q(spark, sf):
+        from mlforecast_spark.feature_engineering import transform_exog
+        from mlforecast_spark.lag_transforms import RollingMean
+
+        prices = _panel(spark, sf).select(
+            "unique_id", "ds", (F.col("y") * 2).alias("price")
+        )
+        out = transform_exog(
+            prices, lags=[1], lag_transforms={1: [RollingMean(window_size=7)]}
+        )
+        return out.select(
+            "unique_id",
+            "ds",
+            F.round("price", 6).alias("price"),
+            F.round("price_lag1", 6).alias("price_lag1"),
+            F.round(
+                F.col("`price_rolling_mean_lag1_window_size7`"), 6
+            ).alias("price_rm7"),
+        )
+
+    q["transform_exog"] = exog_q
+
     # --- end-to-end forecast (no SQL oracle: model training) ------------
     def predict_q(spark, sf):
         from mlforecast_spark import MLForecast
@@ -439,6 +461,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mf.predict(7)
 
     q["predict_recursive_linreg"] = predict_q
+
+    def conformal_q(spark, sf):
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.conformal import PredictionIntervals
+        from mlforecast_spark.models import LinearRegression
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+        mf.fit(
+            panel,
+            prediction_intervals=PredictionIntervals(n_windows=2, h=7),
+        )
+        return mf.predict(7, level=[80, 95])
+
+    q["conformal_intervals"] = conformal_q
+
+    def cv_q(spark, sf):
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import LinearRegression
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+        return mf.cross_validation(panel, n_windows=2, h=7)
+
+    q["cross_validation"] = cv_q
 
     return q
 
@@ -741,6 +788,19 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
         " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
         " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
+    )
+
+    o["transform_exog"] = (
+        f"WITH {PANEL_SQL}, prices AS ("
+        " SELECT unique_id, ds, y * 2 AS price FROM panel),"
+        " aggs AS (SELECT unique_id, ds, price,"
+        "  LAG(price, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS pl,"
+        "  SUM(price) OVER w AS s, COUNT(price) OVER w AS c"
+        "  FROM prices WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        "   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds, ROUND(price, 6) AS price, ROUND(pl, 6) AS price_lag1,"
+        "  ROUND(CASE WHEN c >= 7 THEN s * 1.0 / c END, 6) AS price_rm7"
+        " FROM aggs"
     )
 
     o["ann_cosine_topk"] = (

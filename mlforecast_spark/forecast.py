@@ -133,7 +133,35 @@ class MLForecast:
         dropna: bool = True,
         keep_last_n: Optional[int] = None,
         max_horizon: Optional[int] = None,
+        prediction_intervals=None,
     ) -> "MLForecast":
+        if prediction_intervals is not None:
+            from .conformal import conformity_scores
+
+            cv = self.cross_validation(
+                df,
+                n_windows=prediction_intervals.n_windows,
+                h=prediction_intervals.h,
+                id_col=id_col,
+                time_col=time_col,
+                target_col=target_col,
+                static_features=static_features,
+                dropna=dropna,
+                # refit=False needs no transform refit; with target transforms
+                # each window refits so scores stay in the original scale
+                refit=bool(self.target_transforms),
+                max_horizon=max_horizon,
+            )
+            self.cs_df_ = conformity_scores(
+                cv,
+                list(self.models),
+                id_col,
+                time_col,
+                target_col,
+                prediction_intervals.method,
+            ).localCheckpoint(eager=True)
+        # set after the backtest: the inner fits reset it to None
+        self.prediction_intervals_ = prediction_intervals
         feats = self.preprocess(
             df,
             id_col=id_col,
@@ -247,22 +275,50 @@ class MLForecast:
         h: int,
         X_df: Optional[DataFrame] = None,
         ids: Optional[Sequence[str]] = None,
+        level: Optional[Sequence[float]] = None,
         before_predict_callback: Optional[Callable] = None,
         after_predict_callback: Optional[Callable] = None,
     ) -> DataFrame:
         s = self.schema_
         if getattr(self, "max_horizon_", None) is not None:
-            return self._predict_direct(h, X_df=X_df, ids=ids)
-        results = None
-        for name, model in self.models_.items():
-            preds = self._predict_recursive_one(
-                name, model, h, X_df, ids, before_predict_callback, after_predict_callback
+            results = self._predict_direct(h, X_df=X_df, ids=ids)
+        else:
+            results = None
+            for name, model in self.models_.items():
+                preds = self._predict_recursive_one(
+                    name, model, h, X_df, ids, before_predict_callback, after_predict_callback
+                )
+                results = preds if results is None else results.join(
+                    preds, on=[s.id_col, s.time_col], how="inner"
+                )
+            results = self._inverse_transforms(results, list(self.models_))
+            results = results.orderBy(s.id_col, s.time_col)
+        if level is not None:
+            results = self._add_intervals(results, h, level)
+        return results
+
+    def _add_intervals(self, results: DataFrame, h: int, level) -> DataFrame:
+        from .conformal import add_interval_columns
+
+        pi = getattr(self, "prediction_intervals_", None)
+        if pi is None:
+            raise ValueError(
+                "Prediction intervals need `prediction_intervals=PredictionIntervals(...)` at fit."
             )
-            results = preds if results is None else results.join(
-                preds, on=[s.id_col, s.time_col], how="inner"
+        if h > pi.h:
+            raise ValueError(
+                f"h={h} exceeds the h={pi.h} the intervals were calibrated for."
             )
-        results = self._inverse_transforms(results, list(self.models_))
-        return results.orderBy(s.id_col, s.time_col)
+        s = self.schema_
+        return add_interval_columns(
+            results,
+            self.cs_df_,
+            list(self.models_),
+            list(level),
+            pi.method,
+            s.id_col,
+            s.time_col,
+        )
 
     def _inverse_transforms(self, preds: DataFrame, pred_cols: list[str]) -> DataFrame:
         for tfm in reversed(self.target_transforms):
@@ -409,6 +465,77 @@ class MLForecast:
             .withColumnRenamed(s.time_col, "_last_ds")
             .localCheckpoint(eager=True)
         )
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the fitted pipeline: state tables as Parquet, config +
+        models (pure numpy) as pickle
+        (`/root/reference/mlforecast/forecast.py:2088-2124` shape)."""
+        import os
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        self.state_.write.mode("overwrite").parquet(os.path.join(path, "state"))
+        self.statics_.write.mode("overwrite").parquet(os.path.join(path, "statics"))
+        if getattr(self, "cs_df_", None) is not None:
+            self.cs_df_.write.mode("overwrite").parquet(os.path.join(path, "cs"))
+        meta = {
+            "models": self.models,
+            "models_": self.models_,
+            "freq": self.freq,
+            "lags": self.lags,
+            "lag_transforms": self.lag_transforms,
+            "date_features": self.date_features,
+            "target_transforms": [],  # transform state frames not yet persisted
+            "schema": self.schema_,
+            "static_cols": self.static_cols_,
+            "dynamic_cols": self.dynamic_cols_,
+            "features_order": self.features_order_,
+            "feature_names": self.feature_names_,
+            "max_horizon": getattr(self, "max_horizon_", None),
+            "prediction_intervals": getattr(self, "prediction_intervals_", None),
+        }
+        if self.target_transforms:
+            raise NotImplementedError(
+                "save() with target_transforms is not supported yet (their "
+                "state frames are not persisted)"
+            )
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str, spark) -> "MLForecast":
+        import os
+        import pickle
+
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        mf = cls(
+            models=meta["models"],
+            freq=meta["freq"],
+            lags=meta["lags"],
+            lag_transforms=meta["lag_transforms"],
+            date_features=meta["date_features"],
+        )
+        mf.models_ = meta["models_"]
+        mf.schema_ = meta["schema"]
+        mf.static_cols_ = meta["static_cols"]
+        mf.dynamic_cols_ = meta["dynamic_cols"]
+        mf.features_order_ = meta["features_order"]
+        mf.feature_names_ = meta["feature_names"]
+        mf.max_horizon_ = meta["max_horizon"]
+        mf.prediction_intervals_ = meta["prediction_intervals"]
+        mf.plan_ = mf._build_plan(mf.schema_)
+        mf.state_ = spark.read.parquet(os.path.join(path, "state")).localCheckpoint(
+            eager=True
+        )
+        mf.statics_ = spark.read.parquet(
+            os.path.join(path, "statics")
+        ).localCheckpoint(eager=True)
+        cs_path = os.path.join(path, "cs")
+        if os.path.exists(cs_path):
+            mf.cs_df_ = spark.read.parquet(cs_path).localCheckpoint(eager=True)
+        return mf
 
     # ------------------------------------------------------------------
     def cross_validation(
