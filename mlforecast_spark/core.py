@@ -170,11 +170,14 @@ class FeaturePlan:
     schema: PanelSchema
     registry: "OrderedDict[str, tuple[int, _BaseLagTransform]]"
     date_features: Sequence[DateFeature] = field(default_factory=list)
+    date_features_as_dummies: bool = False
 
     # ------------------------------------------------------------------
     def feature_names(self) -> list[str]:
+        from .date_features import dummy_feature_names
+
         names = list(self.registry)
-        names += [f if isinstance(f, str) else f.__name__ for f in self.date_features]
+        names += dummy_feature_names(self.date_features, self.date_features_as_dummies)
         return names
 
     def keep_last_n_bound(self) -> Optional[int]:
@@ -238,7 +241,9 @@ class FeaturePlan:
         for mode_key, feats in pooled.items():
             df = self._apply_pooled(df, mode_key, feats)
         if self.date_features:
-            df, _ = apply_date_features(df, s.time_col, self.date_features)
+            df, _ = apply_date_features(
+                df, s.time_col, self.date_features, self.date_features_as_dummies
+            )
         if ORD_COL in df.columns:
             df = df.drop(ORD_COL)
         return df

@@ -52,6 +52,38 @@ _DATE_FEATURES: dict[str, Callable[[Column], Column]] = {
 }
 
 
+# fixed one-hot vocabularies (`/root/reference/mlforecast/utils.py:26-41`);
+# static schema — no fitting needed, leap-safe dayofyear
+DUMMY_FEATURE_VALUES: dict[str, list[int]] = {
+    "dayofweek": list(range(7)),
+    "day_of_week": list(range(7)),
+    "weekday": list(range(7)),
+    "month": list(range(1, 13)),
+    "quarter": list(range(1, 5)),
+    "day": list(range(1, 32)),
+    "hour": list(range(24)),
+    "minute": list(range(60)),
+    "second": list(range(60)),
+    "dayofyear": list(range(1, 367)),
+    "day_of_year": list(range(1, 367)),
+    "week": list(range(1, 54)),
+    "weekofyear": list(range(1, 54)),
+}
+
+
+def dummy_feature_names(features: Sequence[DateFeature], as_dummies: bool) -> list[str]:
+    """Output column names for the date features under the dummy flag."""
+    names: list[str] = []
+    for f in features:
+        if not isinstance(f, str):
+            names.append(f.__name__)
+        elif as_dummies and f in DUMMY_FEATURE_VALUES:
+            names.extend(f"{f}_{v}" for v in DUMMY_FEATURE_VALUES[f])
+        else:
+            names.append(f)
+    return names
+
+
 def date_feature_col(feature: str, ds: Column) -> Column:
     if feature not in _DATE_FEATURES:
         raise ValueError(
@@ -64,17 +96,28 @@ def apply_date_features(
     df: DataFrame,
     time_col: str,
     features: Sequence[DateFeature],
+    as_dummies: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Attach date-feature columns; callables go through the distinct-dates
     plan (compute on ``select(ds).distinct()`` + broadcast join back), the
     reference's own optimization (`/root/reference/mlforecast/core.py:1000-1036`).
-    """
+    With ``as_dummies``, vocabulary features become fixed one-hot indicators
+    (`/root/reference/mlforecast/utils.py:82-123`)."""
     names: list[str] = []
     ds = F.col(time_col)
     callables = [f for f in features if callable(f)]
     for feat in features:
         if isinstance(feat, str):
-            df = df.withColumn(feat, date_feature_col(feat, ds))
+            base = date_feature_col(feat, ds)
+            if as_dummies and feat in DUMMY_FEATURE_VALUES:
+                dummy_cols = [
+                    (base == v).cast("int").alias(f"{feat}_{v}")
+                    for v in DUMMY_FEATURE_VALUES[feat]
+                ]
+                df = df.select("*", *dummy_cols)
+                names.extend(f"{feat}_{v}" for v in DUMMY_FEATURE_VALUES[feat])
+                continue
+            df = df.withColumn(feat, base)
             names.append(feat)
     if callables:
         import pandas as pd

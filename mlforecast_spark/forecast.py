@@ -43,8 +43,10 @@ class MLForecast:
         lag_transforms: Optional[dict] = None,
         date_features: Optional[Sequence[DateFeature]] = None,
         target_transforms: Optional[Sequence[BaseTargetTransform]] = None,
+        date_features_as_dummies: bool = False,
         num_threads: int = 1,  # accepted for API parity; Spark parallelizes
     ):
+        self.date_features_as_dummies = date_features_as_dummies
         if isinstance(models, list):
             self.models = {_get_model_name(m): m for m in models}
         elif isinstance(models, dict):
@@ -64,7 +66,10 @@ class MLForecast:
     # ------------------------------------------------------------------
     def _build_plan(self, schema: PanelSchema) -> FeaturePlan:
         return FeaturePlan(
-            schema=schema, registry=self.registry, date_features=self.date_features
+            schema=schema,
+            registry=self.registry,
+            date_features=self.date_features,
+            date_features_as_dummies=getattr(self, "date_features_as_dummies", False),
         )
 
     @property
@@ -88,7 +93,12 @@ class MLForecast:
         plan = self._build_plan(schema)
         self.plan_ = plan
 
-        extra_cols = [c for c in df.columns if c not in (id_col, time_col, target_col)]
+        weight_col = getattr(self, "weight_col_", None)
+        extra_cols = [
+            c
+            for c in df.columns
+            if c not in (id_col, time_col, target_col, weight_col)
+        ]
         if static_features is None:
             self.static_cols_ = extra_cols
             self.dynamic_cols_ = []
@@ -134,7 +144,9 @@ class MLForecast:
         keep_last_n: Optional[int] = None,
         max_horizon: Optional[int] = None,
         prediction_intervals=None,
+        weight_col: Optional[str] = None,
     ) -> "MLForecast":
+        self.weight_col_ = weight_col
         if prediction_intervals is not None:
             from .conformal import conformity_scores
 
@@ -173,6 +185,7 @@ class MLForecast:
         )
         self.max_horizon_ = max_horizon
         feats = feats.cache()
+        self._fitted_feats = feats
         try:
             if max_horizon is None:
                 self.models_ = {}
@@ -203,10 +216,19 @@ class MLForecast:
 
     def _fit_one(self, model, feats: DataFrame, target_col: str, clone_of=None):
         import copy
+        import inspect
 
         model = copy.deepcopy(model)
+        weight_col = getattr(self, "weight_col_", None)
         if hasattr(model, "fit_spark"):
-            model.fit_spark(feats, self.features_order_, target_col)
+            kwargs = {}
+            if weight_col is not None:
+                if "weight_col" not in inspect.signature(model.fit_spark).parameters:
+                    raise ValueError(
+                        f"{type(model).__name__} does not support weight_col"
+                    )
+                kwargs["weight_col"] = weight_col
+            model.fit_spark(feats, self.features_order_, target_col, **kwargs)
         else:
             pdf = feats.select(
                 *[qcol(c).alias(c) for c in self.features_order_], target_col
@@ -276,26 +298,78 @@ class MLForecast:
         X_df: Optional[DataFrame] = None,
         ids: Optional[Sequence[str]] = None,
         level: Optional[Sequence[float]] = None,
+        new_df: Optional[DataFrame] = None,
+        horizons: Optional[Sequence[int]] = None,
         before_predict_callback: Optional[Callable] = None,
         after_predict_callback: Optional[Callable] = None,
     ) -> DataFrame:
         s = self.schema_
+        state, statics, tfms = self.state_, self.statics_, self.target_transforms
+        if new_df is not None:
+            state, statics, tfms = self._history_warmup(new_df)
+        if horizons is not None and getattr(self, "max_horizon_", None) is None:
+            raise ValueError("`horizons` requires direct mode (fit with max_horizon)")
         if getattr(self, "max_horizon_", None) is not None:
-            results = self._predict_direct(h, X_df=X_df, ids=ids)
+            results = self._predict_direct(
+                h, X_df=X_df, ids=ids, state=state, horizons=horizons
+            )
+            results = self._inverse_transforms(results, list(self.models_), tfms)
+            results = results.orderBy(s.id_col, s.time_col)
         else:
             results = None
             for name, model in self.models_.items():
                 preds = self._predict_recursive_one(
-                    name, model, h, X_df, ids, before_predict_callback, after_predict_callback
+                    name, model, h, X_df, ids,
+                    before_predict_callback, after_predict_callback,
+                    state=state, statics=statics,
                 )
                 results = preds if results is None else results.join(
                     preds, on=[s.id_col, s.time_col], how="inner"
                 )
-            results = self._inverse_transforms(results, list(self.models_))
+            results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
         if level is not None:
             results = self._add_intervals(results, h, level)
         return results
+
+    def _history_warmup(self, new_df: DataFrame):
+        """Rebuild predict state from fresh history without touching the
+        fitted pipeline (`/root/reference/mlforecast/core.py:1234-1305`)."""
+        import copy
+
+        s = self.schema_
+        tfms = []
+        df = new_df
+        for tfm in self.target_transforms:
+            if tfm.refit_on_warmup:
+                tfm = copy.copy(tfm)
+                df = tfm.fit_transform(df)
+            else:
+                df = tfm.transform(df)
+            tfms.append(tfm)
+        keep = self.plan_.keep_last_n_bound()
+        state_cols = [
+            s.id_col, s.time_col, s.target_col, *self.static_cols_, *self.dynamic_cols_
+        ]
+        state = df.select(*state_cols)
+        if keep is not None and keep > 0:
+            w = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+            state = (
+                state.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= keep)
+                .drop("_rn")
+            )
+        state = state.localCheckpoint(eager=True)
+        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+        statics = (
+            state.select(s.id_col, s.time_col, *self.static_cols_)
+            .withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumnRenamed(s.time_col, "_last_ds")
+            .localCheckpoint(eager=True)
+        )
+        return state, statics, tfms
 
     def _add_intervals(self, results: DataFrame, h: int, level) -> DataFrame:
         from .conformal import add_interval_columns
@@ -320,8 +394,11 @@ class MLForecast:
             s.time_col,
         )
 
-    def _inverse_transforms(self, preds: DataFrame, pred_cols: list[str]) -> DataFrame:
-        for tfm in reversed(self.target_transforms):
+    def _inverse_transforms(
+        self, preds: DataFrame, pred_cols: list[str], tfms=None
+    ) -> DataFrame:
+        tfms = self.target_transforms if tfms is None else tfms
+        for tfm in reversed(tfms):
             preds = tfm.inverse_transform(preds, pred_cols)
         return preds
 
@@ -345,11 +422,11 @@ class MLForecast:
         return score(*[qcol(c) for c in feats])
 
     def _predict_recursive_one(
-        self, name, model, h, X_df, ids, before_cb, after_cb
+        self, name, model, h, X_df, ids, before_cb, after_cb, state=None, statics=None
     ) -> DataFrame:
         s = self.schema_
-        state = self.state_
-        statics = self.statics_
+        state = self.state_ if state is None else state
+        statics = self.statics_ if statics is None else statics
         if ids is not None:
             state = state.filter(F.col(s.id_col).isin(list(ids)))
             statics = statics.filter(F.col(s.id_col).isin(list(ids)))
@@ -401,11 +478,14 @@ class MLForecast:
         )
         return preds
 
-    def _predict_direct(self, h, X_df=None, ids=None) -> DataFrame:
+    def _predict_direct(self, h, X_df=None, ids=None, state=None, horizons=None) -> DataFrame:
         s = self.schema_
         if h > self.max_horizon_:
             raise ValueError(f"h={h} exceeds max_horizon={self.max_horizon_}")
-        state = self.state_
+        steps = list(horizons) if horizons is not None else list(range(1, h + 1))
+        if horizons is not None and max(steps) > self.max_horizon_:
+            raise ValueError("horizons exceed max_horizon")
+        state = self.state_ if state is None else state
         if ids is not None:
             state = state.filter(F.col(s.id_col).isin(list(ids)))
         feats = self.plan_.apply(state)
@@ -418,7 +498,7 @@ class MLForecast:
         results = None
         for name, per_h_models in self.models_.items():
             per_h_frames = []
-            for step in range(1, h + 1):
+            for step in steps:
                 model = per_h_models[step - 1]
                 scored = origin.withColumn("_pred", self._score_col(model))
                 ds_type = self.state_.schema[s.time_col].dataType
@@ -436,8 +516,7 @@ class MLForecast:
             results = frame if results is None else results.join(
                 frame, on=[s.id_col, s.time_col], how="inner"
             )
-        results = self._inverse_transforms(results, list(self.models_))
-        return results.orderBy(s.id_col, s.time_col)
+        return results
 
     # ------------------------------------------------------------------
     def update(self, df: DataFrame) -> None:
@@ -465,6 +544,36 @@ class MLForecast:
             .withColumnRenamed(s.time_col, "_last_ds")
             .localCheckpoint(eager=True)
         )
+
+    # ------------------------------------------------------------------
+    def forecast_fitted_values(self) -> DataFrame:
+        """In-sample predictions on the training matrix
+        (`/root/reference/mlforecast/forecast.py:1318-1423`, h=1 path): score
+        the cached feature matrix with the fitted models, inverse-transform
+        predictions and target back to the original scale."""
+        from .target_transforms import Differences
+
+        if any(isinstance(t, Differences) for t in self.target_transforms):
+            raise NotImplementedError(
+                "forecast_fitted_values with Differences is not supported yet "
+                "(in-sample inverse needs the actual lagged targets)"
+            )
+        if getattr(self, "max_horizon_", None) is not None:
+            raise NotImplementedError("fitted values for direct mode not supported yet")
+        s = self.schema_
+        feats = self._fitted_feats
+        out = feats.select(
+            s.id_col,
+            s.time_col,
+            F.col(s.target_col),
+            *[
+                self._score_col(model).alias(name)
+                for name, model in self.models_.items()
+            ],
+        )
+        cols = [s.target_col] + list(self.models_)
+        out = self._inverse_transforms(out, cols)
+        return out.orderBy(s.id_col, s.time_col)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

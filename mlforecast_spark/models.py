@@ -69,30 +69,51 @@ class _LinearBase:
     # --- Spark API (distributed sufficient statistics) -------------------
     _JVM_GRAM_MAX_K = 40  # (k+1)(k+2)/2 aggregates; beyond this use Arrow path
 
-    def fit_spark(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+    def fit_spark(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        target_col: str,
+        weight_col: Optional[str] = None,
+    ):
         if len(feature_cols) <= self._JVM_GRAM_MAX_K:
-            return self._fit_spark_jvm(df, feature_cols, target_col)
+            return self._fit_spark_jvm(df, feature_cols, target_col, weight_col)
+        if weight_col is not None:
+            raise NotImplementedError("weight_col with >40 features not supported yet")
         return self._fit_spark_arrow(df, feature_cols, target_col)
 
-    def _fit_spark_jvm(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+    def _fit_spark_jvm(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        target_col: str,
+        weight_col: Optional[str] = None,
+    ):
         """Gram matrix as one JVM HashAggregate: (k+1)(k+2)/2 sum() exprs over
-        products — no Python workers in the training path at all."""
+        products — no Python workers in the training path at all. Sample
+        weights fold into the sums (weighted least squares)."""
         orig_cols = list(feature_cols)
         k = len(orig_cols)
         cols = [F.lit(1.0)] + [qcol(c).cast("double") for c in orig_cols]
         y = qcol(target_col).cast("double")
+        w = F.lit(1.0) if weight_col is None else qcol(weight_col).cast("double")
         valid = y.isNotNull() & ~F.isnan(y)
         for c in cols[1:]:
             valid = valid & c.isNotNull() & ~F.isnan(c)
+        if weight_col is not None:
+            valid = valid & w.isNotNull() & ~F.isnan(w)
         aggs = []
         for i in range(k + 1):
             for j in range(i, k + 1):
                 aggs.append(
-                    F.sum(F.when(valid, cols[i] * cols[j])).alias(f"g_{i}_{j}")
+                    F.sum(F.when(valid, w * cols[i] * cols[j])).alias(f"g_{i}_{j}")
                 )
         for i in range(k + 1):
-            aggs.append(F.sum(F.when(valid, cols[i] * y)).alias(f"xy_{i}"))
-        aggs.append(F.sum(valid.cast("long")).alias("n"))
+            aggs.append(F.sum(F.when(valid, w * cols[i] * y)).alias(f"xy_{i}"))
+        if weight_col is None:
+            aggs.append(F.sum(valid.cast("long")).alias("n"))
+        else:
+            aggs.append(F.sum(F.when(valid, w)).alias("n"))
         row = df.agg(*aggs).collect()[0]
         gram = np.zeros((k + 1, k + 1))
         xty = np.zeros(k + 1)
@@ -172,12 +193,21 @@ class Ridge(_LinearBase):
         self.fit_intercept = fit_intercept
 
 
-class Lasso(_LinearBase):
-    """L1 linear model via coordinate descent on driver-aggregated sufficient
-    statistics (X'X, X'y) — exact for standardized inputs, no data collect."""
+class ElasticNet(_LinearBase):
+    """L1+L2 linear model via coordinate descent on driver-aggregated
+    sufficient statistics (X'X, X'y) — no data collect. With ``l1_ratio=1``
+    this is Lasso; sklearn-compatible parametrization."""
 
-    def __init__(self, alpha: float = 1.0, fit_intercept: bool = True, max_iter: int = 1000, tol: float = 1e-8):
+    def __init__(
+        self,
+        alpha: float = 1.0,
+        l1_ratio: float = 0.5,
+        fit_intercept: bool = True,
+        max_iter: int = 1000,
+        tol: float = 1e-8,
+    ):
         self.alpha = alpha
+        self.l1_ratio = l1_ratio
         self.fit_intercept = fit_intercept
         self.l2 = 0.0
         self.max_iter = max_iter
@@ -185,7 +215,8 @@ class Lasso(_LinearBase):
 
     def _solve(self, gram: np.ndarray, xty: np.ndarray, n: int, k: int):
         # coordinate descent on the normal-equation form
-        lam = self.alpha * n
+        lam = self.alpha * self.l1_ratio * n
+        lam2 = self.alpha * (1.0 - self.l1_ratio) * n
         beta = np.zeros(k + 1)
         active = range(0 if self.fit_intercept else 1, k + 1)
         for _ in range(self.max_iter):
@@ -198,7 +229,7 @@ class Lasso(_LinearBase):
                 if j == 0:  # intercept unpenalized
                     new = rho / gjj
                 else:
-                    new = np.sign(rho) * max(abs(rho) - lam, 0.0) / gjj
+                    new = np.sign(rho) * max(abs(rho) - lam, 0.0) / (gjj + lam2)
                 max_delta = max(max_delta, abs(new - beta[j]))
                 beta[j] = new
             if max_delta < self.tol:
@@ -209,6 +240,15 @@ class Lasso(_LinearBase):
             self.intercept_ = 0.0
         self.coef_ = beta[1:].astype(np.float64)
         return self
+
+
+class Lasso(ElasticNet):
+    """Pure-L1 special case."""
+
+    def __init__(self, alpha: float = 1.0, fit_intercept: bool = True, max_iter: int = 1000, tol: float = 1e-8):
+        super().__init__(
+            alpha=alpha, l1_ratio=1.0, fit_intercept=fit_intercept, max_iter=max_iter, tol=tol
+        )
 
 
 class SeasonalNaive:

@@ -29,11 +29,29 @@ class BaseTargetTransform:
     def fit_transform(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
 
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Apply with already-fitted state (history warm-up path,
+        `/root/reference/mlforecast/core.py:1234-1305`). Stateful transforms
+        that must re-derive state from the new history override/refit."""
+        raise NotImplementedError
+
     def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
         raise NotImplementedError
 
+    @property
+    def refit_on_warmup(self) -> bool:
+        """True if the transform's state must be rebuilt from new history
+        (e.g. Differences tails); False if fitted state is reused (scalers)."""
+        return False
 
-class Differences(BaseTargetTransform):
+
+class _RefitOnWarmup:
+    @property
+    def refit_on_warmup(self) -> bool:
+        return True
+
+
+class Differences(_RefitOnWarmup, BaseTargetTransform):
     """Iterated differencing ``y_t - y_{t-d}``
     (`/root/reference/mlforecast/target_transforms.py:87-182`).
 
@@ -140,6 +158,13 @@ class _LocalScalerBase(BaseTargetTransform):
         self.stats_ = self.stats_.withColumn(
             "_scale", F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(F.col("_scale"))
         )
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        out = out.withColumn(
+            self.target_col, (F.col(self.target_col) - F.col("_loc")) / F.col("_scale")
+        )
+        return out.drop("_loc", "_scale")
+
+    def transform(self, df: DataFrame) -> DataFrame:
         out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
         out = out.withColumn(
             self.target_col, (F.col(self.target_col) - F.col("_loc")) / F.col("_scale")
@@ -255,6 +280,16 @@ class LocalBoxCox(BaseTargetTransform):
         )
         return out.drop("_lambda")
 
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
+        y = F.col(self.target_col)
+        lmb = F.col("_lambda")
+        out = out.withColumn(
+            self.target_col,
+            F.when(F.abs(lmb) < 1e-12, F.log(y)).otherwise((F.pow(y, lmb) - 1.0) / lmb),
+        )
+        return out.drop("_lambda")
+
     def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
         out = df.join(F.broadcast(self.stats_), on=self.id_col, how="left")
         lmb = F.col("_lambda")
@@ -287,6 +322,9 @@ class GlobalSklearnTransformer(BaseTargetTransform):
     def fit_transform(self, df: DataFrame) -> DataFrame:
         fwd, _ = self._FUNCS[self.func]
         return df.withColumn(self.target_col, fwd(F.col(self.target_col)))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.fit_transform(df)
 
     def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
         _, inv = self._FUNCS[self.func]
