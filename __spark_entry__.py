@@ -462,6 +462,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["predict_recursive_linreg"] = predict_q
 
+    def events_tumbling(spark, sf):
+        from mlforecast_spark.streaming import tumbling_aggregate
+        from mlforecast_spark.utils import load_events
+
+        out = tumbling_aggregate(
+            load_events(spark, sf), window="1 day", agg="sum"
+        )
+        return out.select("event_type", "ds", F.round("y", 6).alias("y"))
+
+    q["events_tumbling_agg"] = events_tumbling
+
+    def events_sessionize(spark, sf):
+        from pyspark.sql import Window
+        from mlforecast_spark.utils import load_events
+
+        ev = load_events(spark, sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long").alias("session_idx"),
+        )
+
+    q["events_sessionize"] = events_sessionize
+
     def conformal_q(spark, sf):
         from mlforecast_spark import MLForecast
         from mlforecast_spark.conformal import PredictionIntervals
@@ -788,6 +817,25 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
         " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
         " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
+    )
+
+    o["events_tumbling_agg"] = (
+        "SELECT event_type,"
+        " CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ds,"
+        " ROUND(SUM(value), 6) AS y"
+        " FROM events GROUP BY 1, 2"
+    )
+
+    o["events_sessionize"] = (
+        "WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),"
+        " gaps AS (SELECT event_id, user_id,"
+        "  epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap,"
+        "  ts FROM base)"
+        " SELECT event_id, user_id,"
+        "  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx"
+        " FROM gaps"
     )
 
     o["transform_exog"] = (

@@ -1,0 +1,89 @@
+"""Structured-Streaming adapters.
+
+The reference's only streaming notion is the incremental ``update()``
+micro-batch append (`/root/reference/mlforecast/core.py:2019-2113`;
+SURVEY.md §2.10). Here that maps onto Structured Streaming directly:
+
+- :func:`stream_update` — ``foreachBatch`` → ``MLForecast.update`` per
+  micro-batch; the engine's inferred ``keep_last_n`` tail bound plays the
+  watermark's role (state retention).
+- :func:`tumbling_aggregate` — watermarked tumbling-window aggregation of an
+  event stream into a panel (the ``time_agg`` concept on a live stream).
+- :func:`stream_score` — per-batch scoring with the fitted models' JVM
+  expressions (no Python in the stream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_aggregate(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_cols: tuple = ("event_type",),
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    agg: str = "sum",
+) -> DataFrame:
+    """Event stream → (key, window_start, y) panel with late-data handling.
+
+    Works on both batch and streaming DataFrames (watermark is a no-op in
+    batch mode, so the same definition serves the DuckDB oracle)."""
+    agg_fn = {"sum": F.sum, "count": F.count, "mean": F.avg, "min": F.min, "max": F.max}[agg]
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(*key_cols, F.window(time_col, window).alias("_w"))
+        .agg(agg_fn(F.col(value_col)).alias("y"))
+        .select(
+            *key_cols,
+            F.col("_w.start").alias("ds"),
+            "y",
+        )
+    )
+
+
+def stream_update(
+    mf,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Feed a stream of new observations into a fitted ``MLForecast``.
+
+    Each micro-batch goes through ``mf.update`` (append + tail trim). Returns
+    the StreamingQuery; callers ``awaitTermination()`` it."""
+
+    def _update(batch: DataFrame, _batch_id: int):
+        if batch.isEmpty():
+            return
+        mf.update(batch)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_score(
+    mf,
+    stream_df: DataFrame,
+    feature_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Attach model-score columns to a (streaming or batch) feature frame
+    using the fitted models' pure-expression scorers — stays JVM-side, so it
+    runs inside the stream without Python workers."""
+    out = stream_df
+    for name, model in mf.models_.items():
+        out = out.withColumn(name, mf._score_col(model))
+    return out

@@ -142,6 +142,202 @@ class Differences(_RefitOnWarmup, BaseTargetTransform):
         return joined.groupBy(id_col).applyInPandas(rebuild, schema=out_schema)
 
 
+class _AutoPerSeriesTransform(_RefitOnWarmup, BaseTargetTransform):
+    """Base for per-series adaptive transforms (Auto* family,
+    `/root/reference/mlforecast/target_transforms.py:185-375`): each series
+    chooses its own parameters at fit. The per-series decision + tails live in
+    a JSON meta column of ``stats_``; transform and inverse are Arrow-batched
+    ``applyInPandas`` passes (per-series MLE/teststatistics are the sanctioned
+    Python path, SURVEY.md §7)."""
+
+    def _choose_and_transform(self, y):
+        """numpy in → (transformed numpy, meta dict). Implemented by subclasses."""
+        raise NotImplementedError
+
+    def _inverse(self, preds, meta):
+        raise NotImplementedError
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        import json
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        import copy as _copy
+
+        id_col, time_col, target_col = self.id_col, self.time_col, self.target_col
+        # strip driver-only state so the closure serializes cleanly
+        worker = _copy.copy(self)
+        worker.stats_ = None
+        choose = worker._choose_and_transform
+        out_schema = df.schema
+        meta_schema = f"`{id_col}` string, `_meta` string"
+        metas_acc = []
+
+        def transform_series(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype="float64")
+            transformed, meta = choose(y)
+            pdf[target_col] = transformed
+            pdf["_meta"] = json.dumps(meta)
+            return pdf
+
+        with_meta_schema = T.StructType(
+            out_schema.fields + [T.StructField("_meta", T.StringType())]
+        )
+        transformed = df.groupBy(id_col).applyInPandas(
+            transform_series, schema=with_meta_schema
+        )
+        transformed = transformed.cache()
+        self.stats_ = (
+            transformed.groupBy(id_col).agg(F.first("_meta").alias("_meta"))
+        ).localCheckpoint(eager=True)
+        return transformed.drop("_meta")
+
+    def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        import copy as _copy
+
+        id_col, time_col = self.id_col, self.time_col
+        worker = _copy.copy(self)
+        worker.stats_ = None
+        inverse = worker._inverse
+        joined = df.join(self.stats_, on=id_col, how="left")
+        out_schema = df.schema
+        cols = list(pred_cols)
+
+        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col).reset_index(drop=True)
+            meta = json.loads(pdf["_meta"].iloc[0]) if pdf["_meta"].iloc[0] else {}
+            for c in cols:
+                pdf[c] = inverse(pdf[c].to_numpy(dtype="float64"), meta)
+            return pdf.drop(columns=["_meta"])
+
+        return joined.groupBy(id_col).applyInPandas(rebuild, schema=out_schema)
+
+
+def _ndiffs(y, max_diffs: int, season_length: int = 1, threshold: float = 0.95):
+    """Pick the number of (seasonal) differences: keep differencing while the
+    variance of the differenced series drops below ``threshold`` × current —
+    a deterministic variance-ratio criterion standing in for the reference's
+    coreforecast unit-root tests."""
+    import numpy as np
+
+    d = 0
+    cur = y[~np.isnan(y)]
+    for _ in range(max_diffs):
+        if len(cur) <= 2 * season_length:
+            break
+        nxt = cur[season_length:] - cur[:-season_length]
+        if len(nxt) < 3 or np.var(cur) == 0:
+            break
+        if np.var(nxt) < threshold * np.var(cur):
+            d += 1
+            cur = nxt
+        else:
+            break
+    return d
+
+
+class AutoDifferences(_AutoPerSeriesTransform):
+    """Per-series number of lag-1 differences
+    (`/root/reference/mlforecast/target_transforms.py:185-305`)."""
+
+    def __init__(self, max_diffs: int):
+        self.max_diffs = max_diffs
+
+    def _choose_and_transform(self, y):
+        import numpy as np
+
+        d = _ndiffs(y, self.max_diffs, season_length=1)
+        tails = []
+        cur = y.astype("float64").copy()
+        for _ in range(d):
+            tails.append([float(cur[-1])])
+            nxt = np.full_like(cur, np.nan)
+            nxt[1:] = cur[1:] - cur[:-1]
+            cur = nxt
+        return cur, {"d": d, "sl": 1, "tails": tails}
+
+    def _inverse(self, preds, meta):
+        import numpy as np
+
+        sl = meta.get("sl", 1)
+        for level in range(meta["d"] - 1, -1, -1):
+            tail = meta["tails"][level]
+            rebuilt = np.empty(len(preds))
+            for i in range(len(preds)):
+                prev = tail[i % sl] if i < sl else rebuilt[i - sl]
+                rebuilt[i] = preds[i] + prev
+            preds = rebuilt
+        return preds
+
+
+class AutoSeasonalDifferences(AutoDifferences):
+    """Per-series number of seasonal differences
+    (`/root/reference/mlforecast/target_transforms.py:308-326`)."""
+
+    def __init__(self, season_length: int, max_diffs: int, n_seasons: Optional[int] = None):
+        self.season_length = season_length
+        self.max_diffs = max_diffs
+        self.n_seasons = n_seasons
+
+    def _choose_and_transform(self, y):
+        import numpy as np
+
+        sl = self.season_length
+        d = _ndiffs(y, self.max_diffs, season_length=sl)
+        tails = []
+        cur = y.astype("float64").copy()
+        for _ in range(d):
+            tails.append([float(v) for v in cur[-sl:]])
+            nxt = np.full_like(cur, np.nan)
+            nxt[sl:] = cur[sl:] - cur[:-sl]
+            cur = nxt
+        return cur, {"d": d, "sl": sl, "tails": tails}
+
+
+class AutoSeasonalityAndDifferences(AutoSeasonalDifferences):
+    """Detect the season length per series (autocorrelation argmax up to
+    ``max_season_length``), then seasonal differences
+    (`/root/reference/mlforecast/target_transforms.py:329-375`)."""
+
+    def __init__(self, max_season_length: int, max_diffs: int, n_seasons: Optional[int] = None):
+        self.max_season_length = max_season_length
+        self.max_diffs = max_diffs
+        self.n_seasons = n_seasons
+
+    def _detect_season(self, y) -> int:
+        import numpy as np
+
+        y = y[~np.isnan(y)]
+        n = len(y)
+        best_sl, best_ac = 1, 0.0
+        yc = y - y.mean()
+        denom = float(yc @ yc)
+        if denom == 0:
+            return 1
+        for sl in range(2, min(self.max_season_length, n // 3) + 1):
+            ac = float(yc[sl:] @ yc[:-sl]) / denom
+            if ac > best_ac:
+                best_ac, best_sl = ac, sl
+        return best_sl if best_ac > 0.3 else 1
+
+    def _choose_and_transform(self, y):
+        import numpy as np
+
+        sl = self._detect_season(y)
+        self.season_length = sl  # per-series; recorded in meta below
+        cur, meta = AutoSeasonalDifferences._choose_and_transform(self, y)
+        meta["sl"] = sl
+        return cur, meta
+
+
 class _LocalScalerBase(BaseTargetTransform):
     """Per-series affine scaler: stats via one groupBy, applied/inverted with
     a broadcast join (`/root/reference/mlforecast/target_transforms.py:378-423`)."""

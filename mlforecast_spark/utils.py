@@ -90,6 +90,16 @@ def future_steps_col(freq: Freq, last_ds: Column, h: int) -> Column:
     return F.transform(steps, lambda i: time_plus(last_ds, freq, i))
 
 
+def load_events(spark: SparkSession, sf_dir: str):
+    """The driver's events table stores ``ts`` as TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; with ``nanosAsLong`` it arrives as
+    nanosecond longs — convert to a microsecond timestamp here."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
 def future_grid(df, freq: Freq, h: int, id_col: str = "unique_id", time_col: str = "ds"):
     """ids × next h timestamps after each series' last observation
     (`/root/reference/mlforecast/forecast.py:1425-1443` as sequence+explode)."""
@@ -123,6 +133,8 @@ def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # read TIMESTAMP(NANOS) parquet columns as long (see load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")

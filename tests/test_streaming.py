@@ -1,0 +1,63 @@
+"""Structured-Streaming adapters: micro-batch update, tumbling aggregation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlforecast_spark import MLForecast
+from mlforecast_spark.models import LinearRegression
+
+
+def test_tumbling_aggregate_batch(spark):
+    from mlforecast_spark.streaming import tumbling_aggregate
+
+    from mlforecast_spark.utils import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out = tumbling_aggregate(events, window="1 day", agg="sum").toPandas()
+    exp = (
+        events.groupBy("event_type", F.date_trunc("day", "ts").alias("ds"))
+        .agg(F.sum("value").alias("y"))
+        .toPandas()
+    )
+    assert len(out) == len(exp)
+    m = out.merge(exp, on=["event_type", "ds"], suffixes=("_a", "_b"))
+    np.testing.assert_allclose(
+        m.sort_values(["event_type", "ds"])["y_a"],
+        m.sort_values(["event_type", "ds"])["y_b"],
+        rtol=1e-9,
+    )
+
+
+def test_stream_update_micro_batches(spark, tmp_path):
+    """File-source stream (availableNow) drives MLForecast.update via
+    foreachBatch; the state must advance to the streamed last timestamp."""
+    from mlforecast_spark.streaming import stream_update
+
+    hist = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(20)], "unique_id string, ds long, y double"
+    )
+    mf = MLForecast(models=[LinearRegression()], freq=1, lags=[1])
+    mf.fit(hist)
+
+    new_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [("a", 20, 20.0), ("a", 21, 21.0)], "unique_id string, ds long, y double"
+    ).write.parquet(new_dir)
+
+    stream = spark.readStream.schema("unique_id string, ds long, y double").parquet(new_dir)
+    q = stream_update(mf, stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    preds = mf.predict(1).toPandas()
+    assert preds["ds"].iloc[0] == 22
+
+
+def test_stream_score_is_expression_only(spark, panel):
+    from mlforecast_spark.streaming import stream_score
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(panel)
+    feats = mf.preprocess(panel)
+    scored = stream_score(mf, feats).toPandas()
+    assert "LinearRegression" in scored.columns
+    assert scored["LinearRegression"].notna().all()
