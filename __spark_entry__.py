@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ExponentiallyWeightedMean,
         Lag,
         LookupLag,
+        Offset,
         RollingMax,
         RollingMean,
         RollingMin,
@@ -248,6 +249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewm"] = _feature_query(
         lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val"
     )
+    q["rolling_mean_min_samples"] = _feature_query(
+        lambda: (2, RollingMean(window_size=14, min_samples=3)), "rmms"
+    )
+    q["offset_rolling_mean"] = _feature_query(
+        lambda: (1, Offset(RollingMean(window_size=7), 2)), "orm"
+    )
+    q["pooled_global_expanding_std"] = _feature_query(
+        lambda: (1, ExpandingStd(global_=True, time_agg="mean")), "pges"
+    )
     q["combine_ratio"] = _feature_query(
         lambda: (
             1,
@@ -304,6 +314,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["date_features"] = date_feats
+
+    def date_dummies(spark, sf):
+        from mlforecast_spark.date_features import apply_date_features
+
+        panel = _panel(spark, sf)
+        out, names = apply_date_features(panel, "ds", ["dayofweek"], as_dummies=True)
+        return out.select("unique_id", "ds", *names)
+
+    q["date_dummies"] = date_dummies
+
+    def boxcox_q(spark, sf):
+        from mlforecast_spark.target_transforms import LocalBoxCox
+
+        panel = _panel(spark, sf)
+        tfm = LocalBoxCox()
+        tfm.set_column_names("unique_id", "ds", "y")
+        out = tfm.fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_bc"))
+
+    q["local_boxcox"] = boxcox_q
+
+    def auto_diff_q(spark, sf):
+        from mlforecast_spark.target_transforms import AutoDifferences
+
+        panel = _panel(spark, sf)
+        tfm = AutoDifferences(max_diffs=2)
+        tfm.set_column_names("unique_id", "ds", "y")
+        out = tfm.fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_ad"))
+
+    q["auto_differences"] = auto_diff_q
 
     # --- target transforms ---------------------------------------------
     def diff1(spark, sf):
@@ -573,6 +614,29 @@ def oracle_sql() -> dict[str, str]:
     o["rolling_quantile"] = _rolling_sql(
         _Q_AGG.format(p=0.5, ms="{ms}"), _Q_RES, 1, 7, 7, "rq"
     )
+    o["rolling_mean_min_samples"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 2, 14, 3, "rmms")
+    # Offset(RollingMean(7), 2) at lag 1 == RollingMean(7) at lag 3
+    o["offset_rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 3, 7, 7, "orm")
+
+    o["pooled_global_expanding_std"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM panel),"
+        " collapsed AS (SELECT ord, AVG(y) AS y FROM base GROUP BY ord),"
+        " aggs AS (SELECT ord, SUM(y) OVER w AS s, SUM(y*y) OVER w AS sq,"
+        "  COUNT(y) OVER w AS c FROM collapsed WINDOW w AS (ORDER BY ord"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        " SELECT b.unique_id, b.ds, ROUND(CASE WHEN a.c > 1 THEN"
+        "  SQRT(GREATEST((a.sq - a.s * a.s * 1.0 / a.c) / (a.c - 1), 0.0)) END, 6) AS pges"
+        " FROM base b LEFT JOIN aggs a ON b.ord = a.ord"
+    )
+
+    dow_dummies = ", ".join(
+        f"CAST(isodow(ds) - 1 = {v} AS INTEGER) AS dayofweek_{v}" for v in range(7)
+    )
+    o["date_dummies"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds, {dow_dummies} FROM panel"
+    )
+
     o["expanding_mean"] = _expanding_sql(
         _MEAN_AGG, "CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END", 1, "em"
     )

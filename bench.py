@@ -92,6 +92,8 @@ def main():
         "pooled_groupby_timeagg_rolling_mean",
         "seasonal_rolling_mean",
         "ewm",
+        "events_tumbling_agg",
+        "events_sessionize",
         "doc_token_stats",
         "dedup_exact",
         "dedup_minhash_lsh",

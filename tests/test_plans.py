@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the shapes that make this engine scale.
+
+These assert the properties the 100 TB design depends on — if a refactor
+breaks window fusion, broadcast dims, or scan pruning, these fail long before
+a benchmark would show it."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_all_local_features_fuse_into_one_window(spark, panel):
+    """N local features over the same (id, ds) spec must compile to ONE
+    WindowExec pass (one shuffle+sort regardless of feature count)."""
+    from mlforecast_spark.lag_transforms import (
+        ExpandingMean,
+        ExpandingStd,
+        RollingMax,
+        RollingMean,
+        RollingMin,
+        RollingStd,
+    )
+
+    registry = _parse_transforms(
+        [1, 2, 7, 14],
+        {
+            1: [RollingMean(window_size=7), RollingStd(window_size=7),
+                RollingMin(window_size=7), RollingMax(window_size=7),
+                ExpandingMean(), ExpandingStd()],
+            7: [RollingMean(window_size=28)],
+        },
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    assert plan.count("Window ") + plan.count("Window\n") == 1, plan[:2000]
+
+
+def test_seasonal_adds_only_one_more_window_pass(spark, panel):
+    from mlforecast_spark.lag_transforms import RollingMean, SeasonalRollingMean
+
+    registry = _parse_transforms(
+        [1],
+        {1: [RollingMean(window_size=7), SeasonalRollingMean(season_length=7, window_size=4)]},
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    # base window + phase-partitioned window + ordinal row_number
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    assert n_windows <= 3, f"{n_windows} window nodes"
+
+
+def test_panel_build_broadcasts_dims_and_prunes_scans(spark):
+    import __spark_entry__ as entry
+
+    panel = entry._panel(spark, "/root/testdata/sf0.001")
+    plan = _plan(panel)
+    assert plan.count("BroadcastHashJoin") == 2, "dims must broadcast"
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    orders_scan = [s for s in scans if "o_totalprice" in s]
+    assert orders_scan and len(orders_scan[0].split(",")) == 3, orders_scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    import __spark_entry__ as entry
+
+    panel = entry._panel(spark, "/root/testdata/sf0.001")
+    filtered = panel.filter(F.col("unique_id") == "NATION_1")
+    plan = _plan(filtered)
+    assert "EqualTo(n_name,NATION_1)" in plan, "predicate must push into the scan"
+
+
+def test_scaler_stats_join_is_broadcast(spark, panel):
+    from mlforecast_spark.target_transforms import LocalStandardScaler
+
+    tfm = LocalStandardScaler()
+    tfm.set_column_names("unique_id", "ds", "y")
+    out = tfm.fit_transform(panel)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_no_python_udfs_in_expression_features(spark, panel):
+    """The hot path (lag/rolling/expanding) must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas nodes."""
+    from mlforecast_spark.lag_transforms import ExpandingMean, RollingMean
+
+    registry = _parse_transforms([1, 7], {1: [RollingMean(window_size=7), ExpandingMean()]})
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in plan
+
+
+def test_linear_scoring_is_pure_expression(spark, panel):
+    from mlforecast_spark import MLForecast
+    from mlforecast_spark.models import LinearRegression
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1])
+    mf.fit(panel)
+    feats = mf.preprocess(panel)
+    scored = feats.withColumn("pred", mf._score_col(mf.models_["LinearRegression"]))
+    plan = _plan(scored)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
