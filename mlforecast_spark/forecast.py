@@ -519,12 +519,16 @@ class MLForecast:
         return results
 
     # ------------------------------------------------------------------
-    def update(self, df: DataFrame) -> None:
+    def update(self, df: DataFrame, validate: bool = False) -> None:
         """Append new observations (and new series) to the predict state
-        (`/root/reference/mlforecast/core.py:2019-2113`)."""
+        (`/root/reference/mlforecast/core.py:2019-2113`). With ``validate``
+        the append must continue each known series gap-free from its last
+        timestamp (`/root/reference/mlforecast/data_validation.py:148-199`)."""
         if self.target_transforms:
             raise ValueError("update() is not supported with target_transforms")
         s = self.schema_
+        if validate:
+            self._validate_update(df)
         state = self.state_.unionByName(df, allowMissingColumns=True)
         keep = self.plan_.keep_last_n_bound()
         if keep is not None and keep > 0:
@@ -544,6 +548,48 @@ class MLForecast:
             .withColumnRenamed(s.time_col, "_last_ds")
             .localCheckpoint(eager=True)
         )
+
+    # ------------------------------------------------------------------
+    def _validate_update(self, df: DataFrame) -> None:
+        """New rows for known series must start at last_ds + 1 step and be
+        gap-free and duplicate-free; offenders raise with examples."""
+        s = self.schema_
+        joined = df.join(self.statics_.select(s.id_col, "_last_ds"), on=s.id_col, how="left")
+        unit, step = __import__(
+            "mlforecast_spark.utils", fromlist=["parse_freq"]
+        ).parse_freq(self.freq)
+        agg = joined.groupBy(s.id_col, "_last_ds").agg(
+            F.min(s.time_col).alias("_new_start"),
+            F.max(s.time_col).alias("_new_end"),
+            F.count("*").alias("_n"),
+            F.countDistinct(s.time_col).alias("_n_unique"),
+        )
+        known = agg.filter(F.col("_last_ds").isNotNull())
+        expected_start = time_plus(F.col("_last_ds"), self.freq, 1)
+        ds_type = self.state_.schema[s.time_col].dataType
+        if unit == "int":
+            span = (F.col("_new_end") - F.col("_new_start")) / step + 1
+        elif unit == "day":
+            span = F.datediff("_new_end", "_new_start") / step + 1
+        elif unit in ("hour", "minute", "second"):
+            secs = {"hour": 3600, "minute": 60, "second": 1}[unit] * step
+            span = (
+                F.unix_timestamp("_new_end") - F.unix_timestamp("_new_start")
+            ) / secs + 1
+        else:  # month/year grids: start + dup checks only
+            span = F.col("_n_unique") * 1.0
+        bad = known.filter(
+            (F.col("_new_start") != expected_start.cast(ds_type))
+            | (F.col("_n") != F.col("_n_unique"))
+            | (F.col("_n_unique") < F.floor(span))
+        )
+        sample = bad.limit(5).collect()
+        if sample:
+            ids = [r[s.id_col] for r in sample]
+            raise ValueError(
+                f"update() rows must continue each series gap-free from its "
+                f"last timestamp; offending series e.g. {ids}"
+            )
 
     # ------------------------------------------------------------------
     def forecast_fitted_values(self) -> DataFrame:
