@@ -547,6 +547,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conformal_intervals"] = conformal_q
 
+    def gbt_q(spark, sf):
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models_gbt import GradientBoostedTrees
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(
+            models=[GradientBoostedTrees(n_estimators=30, max_depth=4)],
+            freq="D",
+            lags=[1, 7],
+            lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+            date_features=["dayofweek"],
+        )
+        mf.fit(panel)
+        return mf.predict(7)
+
+    q["predict_gbt"] = gbt_q
+
     def cv_q(spark, sf):
         from mlforecast_spark import MLForecast
         from mlforecast_spark.models import LinearRegression

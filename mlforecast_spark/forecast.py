@@ -406,20 +406,20 @@ class MLForecast:
         if hasattr(model, "to_spark_column"):
             return model.to_spark_column(self.features_order_)
         # generic numpy model: Arrow-batched pandas UDF with broadcast model
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         feats = list(self.features_order_)
         mdl = model
 
-        @pandas_udf("double")
-        def score(*cols: pd.Series) -> pd.Series:
+        def score(*cols):
             import numpy as np
+            import pandas as pd
 
             X = np.column_stack([c.to_numpy(dtype="float64") for c in cols])
             return pd.Series(mdl.predict(X))
 
-        return score(*[qcol(c) for c in feats])
+        score_udf = pandas_udf(score, "double")
+        return score_udf(*[qcol(c) for c in feats])
 
     def _predict_recursive_one(
         self, name, model, h, X_df, ids, before_cb, after_cb, state=None, statics=None

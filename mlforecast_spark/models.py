@@ -251,6 +251,16 @@ class Lasso(ElasticNet):
         )
 
 
+def __getattr__(name):
+    # re-export the GBT here so `from mlforecast_spark.models import
+    # GradientBoostedTrees` works without a circular import at module load
+    if name == "GradientBoostedTrees":
+        from .models_gbt import GradientBoostedTrees
+
+        return GradientBoostedTrees
+    raise AttributeError(name)
+
+
 class SeasonalNaive:
     """y_hat(t) = y(t - season_length) — the sanity-check model the reference
     CI uses (`/root/reference/tests/test_pipeline.py:13-18`). Implemented as a
