@@ -31,6 +31,14 @@ def _get_model_name(model) -> str:
     return type(model).__name__
 
 
+def _template_matches(template: str, col: str) -> bool:
+    """Does ``col`` instantiate ``template`` for some integer h?"""
+    import re
+
+    pattern = re.escape(template).replace(re.escape("{h}"), r"\d+")
+    return re.fullmatch(pattern, col) is not None
+
+
 class MLForecast:
     """Forecasting pipeline: feature engineering + models + recursive or
     direct multi-horizon prediction (`/root/reference/mlforecast/forecast.py:185-421`)."""
@@ -94,10 +102,19 @@ class MLForecast:
         self.plan_ = plan
 
         weight_col = getattr(self, "weight_col_", None)
+        horizon_cols = set()
+        for cols in getattr(self, "horizon_features_", {}).values():
+            horizon_cols.update(cols)
+        for t in getattr(self, "horizon_feature_templates_", []):
+            horizon_cols.update(
+                c for c in df.columns if _template_matches(t, c)
+            )
+        self.horizon_cols_ = sorted(horizon_cols)
         extra_cols = [
             c
             for c in df.columns
             if c not in (id_col, time_col, target_col, weight_col)
+            and c not in horizon_cols
         ]
         if static_features is None:
             self.static_cols_ = extra_cols
@@ -145,7 +162,17 @@ class MLForecast:
         max_horizon: Optional[int] = None,
         prediction_intervals=None,
         weight_col: Optional[str] = None,
+        horizon_features: Optional[dict] = None,
+        horizon_feature_templates: Optional[Sequence[str]] = None,
     ) -> "MLForecast":
+        # Per-horizon exog convention (`/root/reference/mlforecast/forecast.py:296-421`):
+        # template column `name_{s}` at a row with timestamp t carries the
+        # exogenous information for time t+s-1 — i.e. the time that direct
+        # model step s predicts when that row is the one-step frontier.
+        self.horizon_features_ = horizon_features or {}
+        self.horizon_feature_templates_ = list(horizon_feature_templates or [])
+        if (horizon_features or horizon_feature_templates) and max_horizon is None:
+            raise ValueError("horizon features require direct mode (max_horizon)")
         self.weight_col_ = weight_col
         if prediction_intervals is not None:
             from .conformal import conformity_scores
@@ -202,13 +229,21 @@ class MLForecast:
                     leads = leads.withColumn(c, F.lead(target_col, h).over(w))
                     lead_cols.append(c)
                 leads = leads.cache()
+                base_order = list(self.features_order_)
+                self.horizon_orders_ = {}
+                for h in range(max_horizon):
+                    extra = list(self.horizon_features_.get(h + 1, []))
+                    extra += [t.format(h=h + 1) for t in self.horizon_feature_templates_]
+                    self.horizon_orders_[h] = base_order + extra
                 self.models_ = {}
                 for name, model in self.models.items():
                     per_h = []
                     for h in range(max_horizon):
                         sub = leads.filter(F.col(lead_cols[h]).isNotNull())
+                        self.features_order_ = self.horizon_orders_[h]
                         per_h.append(self._fit_one(model, sub, lead_cols[h], clone_of=model))
                     self.models_[name] = per_h
+                self.features_order_ = base_order
         finally:
             pass
         self._capture_state(df, id_col, time_col, target_col)
@@ -247,7 +282,14 @@ class MLForecast:
         upstream panel plan a second time."""
         panel = getattr(self, "transformed_panel_", df)
         keep = self.plan_.keep_last_n_bound()
-        state_cols = [id_col, time_col, target_col, *self.static_cols_, *self.dynamic_cols_]
+        state_cols = [
+            id_col,
+            time_col,
+            target_col,
+            *self.static_cols_,
+            *self.dynamic_cols_,
+            *getattr(self, "horizon_cols_", []),
+        ]
         state = panel.select(*state_cols)
         if keep is not None and keep > 0:
             w = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
@@ -311,7 +353,7 @@ class MLForecast:
             raise ValueError("`horizons` requires direct mode (fit with max_horizon)")
         if getattr(self, "max_horizon_", None) is not None:
             results = self._predict_direct(
-                h, X_df=X_df, ids=ids, state=state, horizons=horizons
+                h, X_df=X_df, ids=ids, state=state, statics=statics, horizons=horizons
             )
             results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
@@ -478,7 +520,13 @@ class MLForecast:
         )
         return preds
 
-    def _predict_direct(self, h, X_df=None, ids=None, state=None, horizons=None) -> DataFrame:
+    def _predict_direct(
+        self, h, X_df=None, ids=None, state=None, statics=None, horizons=None
+    ) -> DataFrame:
+        """Direct multi-horizon: model_j maps (features at the one-step
+        frontier τ = last+1) → y_{τ+j}, matching the reference's
+        expand_target training alignment
+        (`/root/reference/mlforecast/core.py:1683-1818`)."""
         s = self.schema_
         if h > self.max_horizon_:
             raise ValueError(f"h={h} exceeds max_horizon={self.max_horizon_}")
@@ -486,25 +534,45 @@ class MLForecast:
         if horizons is not None and max(steps) > self.max_horizon_:
             raise ValueError("horizons exceed max_horizon")
         state = self.state_ if state is None else state
+        statics = self.statics_ if statics is None else statics
         if ids is not None:
             state = state.filter(F.col(s.id_col).isin(list(ids)))
-        feats = self.plan_.apply(state)
-        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
-        origin = (
-            feats.withColumn("_rn", F.row_number().over(w_last))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            statics = statics.filter(F.col(s.id_col).isin(list(ids)))
+        ds_type = self.state_.schema[s.time_col].dataType
+        frontier = statics.withColumn(
+            s.time_col, time_plus(F.col("_last_ds"), self.freq, 1).cast(ds_type)
+        ).drop("_last_ds")
+        frontier = frontier.withColumn(s.target_col, F.lit(None).cast("double"))
+        future_cols = list(self.dynamic_cols_) + list(getattr(self, "horizon_cols_", []))
+        if future_cols:
+            if X_df is None:
+                raise ValueError(
+                    f"Columns {future_cols} must be supplied via `X_df` at predict."
+                )
+            frontier = frontier.join(
+                X_df.select(s.id_col, s.time_col, *future_cols),
+                on=[s.id_col, s.time_col],
+                how="left",
+            )
+        frontier = frontier.withColumn("_is_new", F.lit(True))
+        work = state.withColumn("_is_new", F.lit(False)).unionByName(
+            frontier, allowMissingColumns=True
         )
+        origin = self.plan_.apply(work).filter(F.col("_is_new"))
         results = None
+        base_order = list(self.features_order_)
         for name, per_h_models in self.models_.items():
             per_h_frames = []
             for step in steps:
                 model = per_h_models[step - 1]
+                self.features_order_ = getattr(self, "horizon_orders_", {}).get(
+                    step - 1, base_order
+                )
                 scored = origin.withColumn("_pred", self._score_col(model))
-                ds_type = self.state_.schema[s.time_col].dataType
+                self.features_order_ = base_order
                 scored = scored.select(
                     s.id_col,
-                    time_plus(F.col(s.time_col), self.freq, step)
+                    time_plus(F.col(s.time_col), self.freq, step - 1)
                     .cast(ds_type)
                     .alias(s.time_col),
                     F.col("_pred").alias(name),
@@ -649,6 +717,7 @@ class MLForecast:
             "feature_names": self.feature_names_,
             "max_horizon": getattr(self, "max_horizon_", None),
             "prediction_intervals": getattr(self, "prediction_intervals_", None),
+            "horizon_orders": getattr(self, "horizon_orders_", None),
         }
         if self.target_transforms:
             raise NotImplementedError(
@@ -680,6 +749,8 @@ class MLForecast:
         mf.feature_names_ = meta["feature_names"]
         mf.max_horizon_ = meta["max_horizon"]
         mf.prediction_intervals_ = meta["prediction_intervals"]
+        if meta.get("horizon_orders"):
+            mf.horizon_orders_ = meta["horizon_orders"]
         mf.plan_ = mf._build_plan(mf.schema_)
         mf.state_ = spark.read.parquet(os.path.join(path, "state")).localCheckpoint(
             eager=True
