@@ -295,6 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgtrm",
         with_region=True,
     )
+    q["pooled_groupby_ewm"] = _feature_query(
+        lambda: (1, ExponentiallyWeightedMean(alpha=0.4, groupby=["region"])),
+        "pgewm",
+        with_region=True,
+    )
 
     # --- date features --------------------------------------------------
     def date_feats(spark, sf):
@@ -453,6 +458,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_topk(embs, queries_df, k=10)
 
     q["ann_cosine_topk"] = ann_brute
+
+    def emb_near_dups(spark, sf):
+        from mlforecast_spark.operators.similarity import cosine_topk
+
+        embs = _embs(spark, sf)
+        pairs = cosine_topk(embs, embs, k=3)
+        return pairs.filter(F.col("cosine") >= 0.35).select(
+            "query_id", "neighbor_id", "cosine"
+        )
+
+    q["embedding_near_dups"] = emb_near_dups
 
     def ann_lsh(spark, sf):
         from mlforecast_spark.operators.similarity import lsh_topk
@@ -778,6 +794,30 @@ def oracle_sql() -> dict[str, str]:
         " SELECT b.unique_id, b.ds,"
         "  ROUND(CASE WHEN a.w_cnt >= 7 THEN a.w_sum * 1.0 / a.w_cnt END, 6) AS pgtrm"
         " FROM base b LEFT JOIN aggs a ON b.region = a.region AND b.ord = a.ord"
+    )
+
+    # pooled EWM: recursion over per-(region, ord) means via list_reduce
+    o["pooled_groupby_ewm"] = (
+        f"WITH {PANEL_REGION_SQL}, base AS ("
+        " SELECT unique_id, region, ds, y,"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        " collapsed AS (SELECT region, ord, AVG(y) AS y FROM base GROUP BY region, ord),"
+        " aggs AS (SELECT region, ord, array_agg(y) OVER ("
+        "  PARTITION BY region ORDER BY ord"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vals FROM collapsed)"
+        " SELECT b.unique_id, b.ds, ROUND(CASE WHEN COALESCE(len(a.vals), 0) > 0 THEN"
+        "  list_reduce(a.vals, (acc, x) -> 0.4 * x + 0.6 * acc) END, 6) AS pgewm"
+        " FROM base b LEFT JOIN aggs a ON b.region = a.region AND b.ord = a.ord"
+    )
+
+    o["embedding_near_dups"] = (
+        "WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine"
+        "  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),"
+        " ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)"
+        " SELECT query_id, neighbor_id, cosine FROM ranked"
+        " WHERE rank <= 3 AND cosine >= 0.35"
     )
 
     o["date_features"] = (

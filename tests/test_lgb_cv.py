@@ -1,0 +1,19 @@
+"""LightGBMCV-analog: staged boosting with early stopping over CV windows."""
+
+import numpy as np
+
+from mlforecast_spark.lgb_cv import LightGBMCV
+
+
+def test_lgb_cv_staged_training(spark, panel):
+    cv = LightGBMCV(freq="D", lags=[1, 7], params={"max_depth": 3})
+    hist = cv.fit(panel, n_windows=2, h=3, num_iterations=30, eval_every=10)
+    assert len(hist) >= 1
+    assert cv.best_score_ == min(hist)
+    assert cv.best_iteration_ % 10 == 0 and cv.best_iteration_ >= 10
+    mf = cv.to_mlforecast()
+    mf.fit(panel)
+    preds = mf.predict(3).toPandas()
+    n_series = panel.select("unique_id").distinct().count()
+    assert len(preds) == 3 * n_series
+    assert preds["GradientBoostedTrees"].notna().all()
