@@ -72,11 +72,24 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None):
+# Quantized panel for unbounded-window queries: y snapped to multiples of 16
+# makes every window SUM an exact integer (< 2^53), so Spark's and DuckDB's
+# different summation-tree associations produce bit-identical results and the
+# driver's value-hash comparison cannot be broken by last-ulp drift.
+QUANT_SQL = "ROUND(y / 16) * 16"
+
+
+def _quantize(panel: DataFrame) -> DataFrame:
+    return panel.withColumn("y", F.round(F.col("y") / 16) * 16)
+
+
+def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None, quantize: bool = False):
     """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature)."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         panel = _panel(spark, sf_dir, with_region=with_region)
+        if quantize:
+            panel = _quantize(panel)
         if extra_cols:
             for name, expr in extra_cols.items():
                 panel = panel.withColumn(name, expr)
@@ -106,10 +119,15 @@ def _rolling_sql(agg_expr: str, result: str, lag: int, ws: int, ms: int, out: st
     )
 
 
-def _expanding_sql(agg_expr: str, result: str, lag: int, out: str) -> str:
+def _expanding_sql(agg_expr: str, result: str, lag: int, out: str, quant: bool = False) -> str:
+    source = "panel"
+    ctes = f"WITH {PANEL_SQL}"
+    if quant:
+        ctes += f", qpanel AS (SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel)"
+        source = "qpanel"
     return (
-        f"WITH {PANEL_SQL}, aggs AS ("
-        f" SELECT unique_id, ds, {agg_expr} FROM panel"
+        f"{ctes}, aggs AS ("
+        f" SELECT unique_id, ds, {agg_expr} FROM {source}"
         f" WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
         f"  ROWS BETWEEN UNBOUNDED PRECEDING AND {lag} PRECEDING))"
         f" SELECT unique_id, ds, ROUND({result}, 6) AS {out} FROM aggs"
@@ -235,8 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_quantile"] = _feature_query(
         lambda: (1, RollingQuantile(p=0.5, window_size=7)), "rq"
     )
-    q["expanding_mean"] = _feature_query(lambda: (1, ExpandingMean()), "em")
-    q["expanding_std"] = _feature_query(lambda: (1, ExpandingStd()), "es")
+    q["expanding_mean"] = _feature_query(lambda: (1, ExpandingMean()), "em", quantize=True)
+    q["expanding_std"] = _feature_query(lambda: (1, ExpandingStd()), "es", quantize=True)
     q["expanding_min"] = _feature_query(lambda: (1, ExpandingMin()), "emin")
     q["expanding_max"] = _feature_query(lambda: (1, ExpandingMax()), "emax")
     q["expanding_quantile"] = _feature_query(
@@ -256,7 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: (1, Offset(RollingMean(window_size=7), 2)), "orm"
     )
     q["pooled_global_expanding_std"] = _feature_query(
-        lambda: (1, ExpandingStd(global_=True, time_agg="mean")), "pges"
+        lambda: (1, ExpandingStd(global_=True, time_agg="sum")), "pges", quantize=True
     )
     q["combine_ratio"] = _feature_query(
         lambda: (
@@ -284,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: (1, ExpandingMean(groupby=["region"])),
         "pgem",
         with_region=True,
+        quantize=True,
     )
     q["pooled_partition_rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7, partition_by=["is_weekend"])),
@@ -652,9 +671,10 @@ def oracle_sql() -> dict[str, str]:
     o["offset_rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 3, 7, 7, "orm")
 
     o["pooled_global_expanding_std"] = (
-        f"WITH {PANEL_SQL}, base AS ("
-        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM panel),"
-        " collapsed AS (SELECT ord, AVG(y) AS y FROM base GROUP BY ord),"
+        f"WITH {PANEL_SQL}, qpanel AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
+        " collapsed AS (SELECT ord, SUM(y) AS y FROM base GROUP BY ord),"
         " aggs AS (SELECT ord, SUM(y) OVER w AS s, SUM(y*y) OVER w AS sq,"
         "  COUNT(y) OVER w AS c FROM collapsed WINDOW w AS (ORDER BY ord"
         "   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
@@ -671,7 +691,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["expanding_mean"] = _expanding_sql(
-        _MEAN_AGG, "CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END", 1, "em"
+        _MEAN_AGG, "CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END", 1, "em", quant=True
     )
     o["expanding_std"] = _expanding_sql(
         _STD_AGG,
@@ -679,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         " / (w_cnt - 1), 0.0)) END",
         1,
         "es",
+        quant=True,
     )
     o["expanding_min"] = _expanding_sql(
         _MIN_AGG, "CASE WHEN w_cnt > 0 THEN w_min END", 1, "emin"
@@ -757,9 +778,10 @@ def oracle_sql() -> dict[str, str]:
 
     # pooled groupby (row-level samples): window over all region rows by ordinal
     o["pooled_groupby_expanding_mean"] = (
-        f"WITH {PANEL_REGION_SQL}, base AS ("
+        f"WITH {PANEL_REGION_SQL}, qpanel AS ("
+        f" SELECT unique_id, region, ds, {QUANT_SQL} AS y FROM panel), base AS ("
         " SELECT unique_id, region, ds, y,"
-        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM qpanel),"
         " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
         "  FROM base WINDOW w AS (PARTITION BY region ORDER BY ord"
         "   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
@@ -812,7 +834,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["embedding_near_dups"] = (
         "WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
-        "  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine"
+        "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "   CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
         "  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),"
         " ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
         "  ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)"
@@ -974,7 +997,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["ann_cosine_topk"] = (
         "WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
-        "  ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine"
+        "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "   CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
         "  FROM embeddings a, embeddings b"
         "  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)"
         " SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ("

@@ -31,6 +31,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+STRICT = bool(int(__import__("os").environ.get("STRICT", "0")))
+
+
 def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
     if len(s) != len(d):
         return f"ROWS {len(s)} vs {len(d)}"
@@ -43,7 +46,10 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
             a = pd.to_numeric(a, errors="coerce").astype(float)
             b = pd.to_numeric(b, errors="coerce").astype(float)
             both_nan = a.isna() & b.isna()
-            close = np.isclose(a, b, rtol=1e-6, atol=1e-6) | both_nan
+            if STRICT:
+                close = (a == b) | both_nan
+            else:
+                close = np.isclose(a, b, rtol=1e-6, atol=1e-6) | both_nan
             if not close.all():
                 idx = (~close).idxmax()
                 return f"VAL col={c} row={idx}: {a[idx]!r} vs {b[idx]!r} ({int((~close).sum())} diffs)"
