@@ -148,6 +148,22 @@ class FrameCtx:
     def window(self, extra_partition: tuple = ()) -> WindowSpec:
         return self._base(extra_partition)
 
+    # windowed per-timestamp partial aggregates (pooled fast path)
+    def wsum(self, w: WindowSpec) -> Column:
+        return F.sum(F.col("_psum")).over(w)
+
+    def wcnt(self, w: WindowSpec) -> Column:
+        return F.sum(F.col("_pcnt")).over(w)
+
+    def wsumsq(self, w: WindowSpec) -> Column:
+        return F.sum(F.col("_psumsq")).over(w)
+
+    def wmin(self, w: WindowSpec) -> Column:
+        return F.min(F.col("_pmin")).over(w)
+
+    def wmax(self, w: WindowSpec) -> Column:
+        return F.max(F.col("_pmax")).over(w)
+
 
 _TIME_AGG_FN = {"sum": F.sum, "count": F.count, "mean": F.avg, "min": F.min, "max": F.max}
 
@@ -316,12 +332,23 @@ class FeaturePlan:
         parent, bucket = self._mode_cols(mode_key)
 
         ord_name = f"_mlfs_ord_{abs(hash(mode_key)) % 10**8}"
-        w_parent = (
-            Window.partitionBy(*parent).orderBy(s.time_col)
-            if parent
-            else Window.partitionBy(F.lit(0)).orderBy(s.time_col)
-        )
-        df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
+        if s.id_col in parent:
+            # per-series parent scope: dense_rank parallelizes across series
+            w_parent = Window.partitionBy(*parent).orderBy(s.time_col)
+            df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
+        else:
+            # global/group parent scope: ranking the raw rows would funnel
+            # everything through one (or few) window partitions. Rank the
+            # DISTINCT (parent, ts) calendar instead (tiny) and join back;
+            # AQE broadcasts the calendar.
+            ord_src = df.select(*parent, s.time_col).distinct()
+            w_cal = (
+                Window.partitionBy(*parent).orderBy(s.time_col)
+                if parent
+                else Window.partitionBy(F.lit(0)).orderBy(s.time_col)
+            )
+            ord_src = ord_src.withColumn(ord_name, F.row_number().over(w_cal) - 1)
+            df = df.join(F.broadcast(ord_src), on=[*parent, s.time_col], how="left")
 
         # NaN/null-unified bucket keys: float keys get a materialized
         # normalized column so window partitioning unifies NaN with NULL
@@ -356,11 +383,49 @@ class FeaturePlan:
                 expr_feats[name] = (lag, tfm)
 
         if time_agg is None:
-            # window directly over the rows: RANGE over the parent ordinal,
-            # partitioned by the bucket — no join needed
-            ctx = probe
-            cols = {n: tfm.expr(ctx, lag) for n, (lag, tfm) in expr_feats.items()}
-            df = df.select("*", *[c.alias(n) for n, c in cols.items()])
+            # Scale path: mean/std/min/max roll up from per-(bucket, ts)
+            # PARTIAL aggregates — groupBy (parallel) + window over the tiny
+            # collapsed frame + join back, the reference's own
+            # `_TimestampAggregates` strategy (`pooled.py:183-218`). Windowing
+            # the raw rows directly would put every row of a bucket (ALL rows,
+            # for global_) into one window partition — a scale cliff. Only
+            # quantiles (no partial form) keep the row-level window.
+            agg_feats, row_feats = {}, {}
+            for name, (lag, tfm) in expr_feats.items():
+                if tfm.expr_partial_agg(probe, lag) is not None:
+                    agg_feats[name] = (lag, tfm)
+                else:
+                    row_feats[name] = (lag, tfm)
+            if agg_feats:
+                y = F.col(s.target_col)
+                collapsed = df.groupBy(
+                    *[key_cols[c].alias(c) for c in bucket], F.col(ord_name)
+                ).agg(
+                    F.sum(y).alias("_psum"),
+                    F.count(y).alias("_pcnt"),
+                    F.sum(y * y).alias("_psumsq"),
+                    F.min(y).alias("_pmin"),
+                    F.max(y).alias("_pmax"),
+                )
+                cctx = FrameCtx(
+                    y=F.col("_psum"),
+                    id_col=s.id_col,
+                    time_col=s.time_col,
+                    use_range=True,
+                    order_col=ord_name,
+                    partition_cols=tuple(bucket),
+                )
+                cols = {
+                    n: tfm.expr_partial_agg(cctx, lag)
+                    for n, (lag, tfm) in agg_feats.items()
+                }
+                right = collapsed.select(
+                    *bucket, ord_name, *[c.alias(n) for n, c in cols.items()]
+                )
+                df = self._join_back(df, right, bucket, ord_name, key_cols, list(agg_feats))
+            if row_feats:
+                cols = {n: tfm.expr(probe, lag) for n, (lag, tfm) in row_feats.items()}
+                df = df.select("*", *[c.alias(n) for n, c in cols.items()])
             if py_feats:
                 df = self._pooled_python(df, bucket, ord_name, py_feats, collapsed=False)
             return df.drop(ord_name, *temp_keys)
@@ -389,16 +454,18 @@ class FeaturePlan:
         right = collapsed.select(
             *bucket, ord_name, *[qcol(n).alias(n) for n in feat_names]
         )
-        join_cond = [df[ord_name].eqNullSafe(right[ord_name])]
+        res = self._join_back(df, right, bucket, ord_name, key_cols, feat_names)
+        return res.drop(ord_name, *temp_keys)
+
+    def _join_back(self, df, right, bucket, ord_name, key_cols, feat_names):
+        """Null-safe (bucket, ord) left join of collapsed features onto rows."""
+        cond = df[ord_name].eqNullSafe(right[ord_name])
         for c in bucket:
-            join_cond.append(key_cols[c].eqNullSafe(right[c]))
-        cond = join_cond[0]
-        for c in join_cond[1:]:
-            cond = cond & c
+            cond = cond & key_cols[c].eqNullSafe(right[c])
         res = df.join(right, cond, "left")
         for c in bucket + [ord_name]:
             res = res.drop(right[c])
-        return res.drop(ord_name, *temp_keys)
+        return res
 
     def _pooled_python(self, df, bucket, ord_name, feats, collapsed):
         """EWM over pooled buckets via applyInPandas keyed by bucket.

@@ -134,6 +134,14 @@ class _BaseLagTransform:
         """Return the feature Column, or None if a pandas pass is needed."""
         return None
 
+    def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
+        """Pooled fast path: emit the feature from windowed per-(bucket, ts)
+        partial aggregates (``ctx.wsum/wcnt/wsumsq/wmin/wmax``) — the
+        reference's `_TimestampAggregates` strategy
+        (`/root/reference/mlforecast/pooled.py:183-218`). None = no partial
+        form (e.g. quantiles) → row-level window fallback."""
+        return None
+
     def pandas_fn(self, lag: int):
         """Return fn(pd.Series) -> pd.Series for the per-group pandas path."""
         raise NotImplementedError(f"{type(self).__name__} has no pandas path")
@@ -253,6 +261,18 @@ class _RollingBase(_BaseLagTransform):
         ms = self._effective_min_samples()
         return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
 
+    def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
+        w = ctx.frame(-(lag + self.window_size - 1), -lag)
+        ms = max(self._effective_min_samples(), 1)
+        cnt = ctx.wcnt(w)
+        if self._agg == "mean":
+            return F.when(cnt >= ms, ctx.wsum(w) / cnt)
+        if self._agg == "min":
+            return F.when(cnt >= ms, ctx.wmin(w))
+        if self._agg == "max":
+            return F.when(cnt >= ms, ctx.wmax(w))
+        return None
+
 
 class RollingMean(_RollingBase):
     _agg = "mean"
@@ -280,6 +300,15 @@ class RollingStd(_RollingBase):
         s2 = F.sum(y * y).over(w)
         cnt = F.count(y).over(w)
         ms = self._effective_min_samples()
+        var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
+        return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
+
+    def expr_partial_agg(self, ctx, lag: int) -> Column:
+        w = ctx.frame(-(lag + self.window_size - 1), -lag)
+        ms = self._effective_min_samples()
+        cnt = ctx.wcnt(w)
+        s = ctx.wsum(w)
+        s2 = ctx.wsumsq(w)
         var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
         return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
 
@@ -344,6 +373,22 @@ class _ExpandingBase(_BaseLagTransform):
             return F.when(cnt > 1, F.sqrt(var))
         fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
         return F.when(cnt > 0, fn(y).over(w))
+
+    def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
+        w = ctx.frame(None, -lag)
+        cnt = ctx.wcnt(w)
+        if self._agg == "mean":
+            return F.when(cnt > 0, ctx.wsum(w) / cnt)
+        if self._agg == "min":
+            return F.when(cnt > 0, ctx.wmin(w))
+        if self._agg == "max":
+            return F.when(cnt > 0, ctx.wmax(w))
+        if self._agg == "std":
+            s = ctx.wsum(w)
+            s2 = ctx.wsumsq(w)
+            var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
+            return F.when(cnt > 1, F.sqrt(var))
+        return None
 
 
 class ExpandingMean(_ExpandingBase):
