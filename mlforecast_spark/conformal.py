@@ -23,13 +23,18 @@ from pyspark.sql import functions as F
 class PredictionIntervals:
     """Config (`/root/reference/mlforecast/conformal_prediction.py:14-50`)."""
 
+    _METHODS = (
+        "conformal_distribution",
+        "conformal_error",
+        "weighted_conformal_distribution",
+        "weighted_conformal_error",
+    )
+
     def __init__(self, n_windows: int = 2, h: int = 1, method: str = "conformal_distribution"):
         if n_windows < 2:
             raise ValueError("You need at least two windows to compute conformal intervals")
-        if method not in ("conformal_distribution", "conformal_error"):
-            raise ValueError(
-                "method must be 'conformal_distribution' or 'conformal_error'"
-            )
+        if method not in self._METHODS:
+            raise ValueError(f"method must be one of {self._METHODS}")
         self.n_windows = n_windows
         self.h = h
         self.method = method
@@ -58,10 +63,108 @@ def conformity_scores(
     exprs = []
     for m in model_names:
         err = F.col(target_col) - F.col(m)
-        if method == "conformal_error":
+        if method.endswith("conformal_error"):
             err = F.abs(err)
         exprs.append(err.alias(m))
-    return out.select(id_col, "_step", *exprs)
+    # ds kept so weighted methods can join covariates back for the DRE
+    return out.select(id_col, time_col, "_step", *exprs)
+
+
+def estimate_density_ratio(
+    calib_feats: DataFrame,
+    recent_feats: DataFrame,
+    feature_cols: Sequence[str],
+) -> "tuple":
+    """Covariate-shift weights via a logistic density-ratio estimator
+    (`/root/reference/mlforecast/conformal_prediction.py:646-748` analog):
+    label calibration rows 0 and recent (test-like) rows 1, fit logistic
+    regression distributed (IRLS sufficient statistics), weight = p/(1-p),
+    clipped to [0.05, 20]."""
+    from .models import LogisticRegression
+
+    both = calib_feats.withColumn("_lbl", F.lit(0.0)).unionByName(
+        recent_feats.withColumn("_lbl", F.lit(1.0))
+    )
+    clf = LogisticRegression()
+    clf.fit_spark(both, feature_cols, "_lbl")
+    p = clf.predict_proba_col(feature_cols)
+    ratio = p / (F.lit(1.0) - p + F.lit(1e-12))
+    weight = F.least(F.greatest(ratio, F.lit(0.05)), F.lit(20.0))
+    return clf, weight
+
+
+def weighted_interval_columns(
+    preds: DataFrame,
+    cs_df: DataFrame,
+    model_names: Sequence[str],
+    level: Sequence[float],
+    method: str,
+    id_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Weighted-quantile variant: cs_df must carry a ``_w`` column. Quantiles
+    use the inverted weighted CDF per (id, step) via one applyInPandas pass
+    (groups are tiny: 2·n_windows scores)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    level = sorted(level)
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    preds = preds.withColumn("_step", F.row_number().over(w))
+    distribution = method.endswith("distribution")
+    if distribution:
+        alphas = [100 - lv for lv in level]
+        cuts = [a / 200 for a in reversed(alphas)] + [1 - a / 200 for a in alphas]
+        cut_names = [f"lo-{lv}" for lv in reversed(level)] + [f"hi-{lv}" for lv in level]
+    else:
+        cuts = [lv / 100 for lv in level]
+        cut_names = [str(lv) for lv in level]
+
+    out_fields = [
+        T.StructField(id_col, cs_df.schema[id_col].dataType),
+        T.StructField("_step", T.IntegerType()),
+    ]
+    for m in model_names:
+        for cn in cut_names:
+            out_fields.append(T.StructField(f"_q_{m}_{cn}", T.DoubleType()))
+    out_schema = T.StructType(out_fields)
+    models = list(model_names)
+
+    def wq(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {id_col: [pdf[id_col].iloc[0]], "_step": [int(pdf["_step"].iloc[0])]}
+        ws = pdf["_w"].to_numpy(dtype="float64")
+        for m in models:
+            s = pdf[m].to_numpy(dtype="float64")
+            if distribution:
+                s = np.concatenate([s, -s])
+                wts = np.concatenate([ws, ws])
+            else:
+                wts = ws
+            order = np.argsort(s)
+            s_sorted, w_sorted = s[order], wts[order]
+            cum = np.cumsum(w_sorted) / w_sorted.sum()
+            for cut, cn in zip(cuts, cut_names):
+                idx = int(np.searchsorted(cum, cut, side="left"))
+                idx = min(idx, len(s_sorted) - 1)
+                row[f"_q_{m}_{cn}"] = [float(s_sorted[idx])]
+        return pd.DataFrame(row)
+
+    qs = cs_df.groupBy(id_col, "_step").applyInPandas(wq, schema=out_schema)
+    out = preds.join(qs, on=[id_col, "_step"], how="left")
+    for m in model_names:
+        if distribution:
+            for cn in cut_names:
+                out = out.withColumn(f"{m}-{cn}", F.col(m) + F.col(f"_q_{m}_{cn}")).drop(
+                    f"_q_{m}_{cn}"
+                )
+        else:
+            for lv, cn in zip(level, cut_names):
+                q = F.col(f"_q_{m}_{cn}")
+                out = out.withColumn(f"{m}-lo-{lv}", F.col(m) - q)
+                out = out.withColumn(f"{m}-hi-{lv}", F.col(m) + q)
+                out = out.drop(f"_q_{m}_{cn}")
+    return out.drop("_step")
 
 
 def add_interval_columns(

@@ -201,6 +201,10 @@ class MLForecast:
             ).localCheckpoint(eager=True)
         # set after the backtest: the inner fits reset it to None
         self.prediction_intervals_ = prediction_intervals
+        self._needs_conformal_weights = (
+            prediction_intervals is not None
+            and prediction_intervals.method.startswith("weighted")
+        )
         feats = self.preprocess(
             df,
             id_col=id_col,
@@ -247,7 +251,46 @@ class MLForecast:
         finally:
             pass
         self._capture_state(df, id_col, time_col, target_col)
+        if getattr(self, "_needs_conformal_weights", False):
+            self._attach_conformal_weights()
         return self
+
+    def _attach_conformal_weights(self):
+        """Density-ratio weights for weighted conformal: calibration rows vs
+        the most recent h rows per series (test-like covariates)."""
+        from pyspark.sql import types as T
+
+        from .conformal import estimate_density_ratio
+
+        s = self.schema_
+        numeric = [
+            c
+            for c in self.features_order_
+            if isinstance(
+                self._fitted_feats.schema[c].dataType,
+                (T.DoubleType, T.FloatType, T.IntegerType, T.LongType, T.ShortType),
+            )
+        ]
+        feats = self._fitted_feats.select(
+            s.id_col, s.time_col, *[qcol(c).alias(c) for c in numeric]
+        )
+        calib = feats.join(
+            self.cs_df_.select(s.id_col, s.time_col), on=[s.id_col, s.time_col], how="left_semi"
+        )
+        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+        recent = (
+            feats.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") <= self.prediction_intervals_.h)
+            .drop("_rn")
+        )
+        clf, weight_col = estimate_density_ratio(calib, recent, numeric)
+        self.dre_ = clf
+        weighted = (
+            self.cs_df_.join(feats, on=[s.id_col, s.time_col], how="left")
+            .withColumn("_w", F.coalesce(weight_col, F.lit(1.0)))
+            .select(*self.cs_df_.columns, "_w")
+        )
+        self.cs_df_ = weighted.localCheckpoint(eager=True)
 
     def _fit_one(self, model, feats: DataFrame, target_col: str, clone_of=None):
         import copy
@@ -426,6 +469,18 @@ class MLForecast:
                 f"h={h} exceeds the h={pi.h} the intervals were calibrated for."
             )
         s = self.schema_
+        if pi.method.startswith("weighted"):
+            from .conformal import weighted_interval_columns
+
+            return weighted_interval_columns(
+                results,
+                self.cs_df_,
+                list(self.models_),
+                list(level),
+                pi.method,
+                s.id_col,
+                s.time_col,
+            )
         return add_interval_columns(
             results,
             self.cs_df_,

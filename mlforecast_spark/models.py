@@ -251,6 +251,85 @@ class Lasso(ElasticNet):
         )
 
 
+class LogisticRegression:
+    """Binary logistic regression by IRLS over distributed sufficient
+    statistics: each Newton iteration is one JVM aggregation computing the
+    weighted Gram/score at the current coefficients — no data collect. Used
+    by the conformal density-ratio estimator
+    (`/root/reference/mlforecast/conformal_prediction.py:646-748` analog)."""
+
+    def __init__(self, max_iter: int = 25, tol: float = 1e-8, l2: float = 1e-6):
+        self.max_iter = max_iter
+        self.tol = tol
+        self.l2 = l2
+        self.coef_: Optional[np.ndarray] = None
+        self.intercept_: float = 0.0
+
+    def fit_spark(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+        k = len(feature_cols)
+        cols = [F.lit(1.0)] + [qcol(c).cast("double") for c in feature_cols]
+        yb = qcol(target_col).cast("double")
+        beta = np.zeros(k + 1)
+        for _ in range(self.max_iter):
+            eta = F.lit(float(beta[0]))
+            for c, b in zip(cols[1:], beta[1:]):
+                eta = eta + c * float(b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = p * (1.0 - p) + F.lit(1e-10)
+            r = yb - p  # score contribution
+            aggs = []
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+            for i in range(k + 1):
+                aggs.append(F.sum(r * cols[i]).alias(f"g_{i}"))
+            row = df.agg(*aggs).collect()[0]
+            H = np.zeros((k + 1, k + 1))
+            g = np.zeros(k + 1)
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    H[i, j] = H[j, i] = row[f"h_{i}_{j}"] or 0.0
+                g[i] = row[f"g_{i}"] or 0.0
+            H += self.l2 * np.eye(k + 1)
+            try:
+                step = np.linalg.solve(H, g)
+            except np.linalg.LinAlgError:
+                step, *_ = np.linalg.lstsq(H, g, rcond=None)
+            beta = beta + step
+            if np.abs(step).max() < self.tol:
+                break
+        self.intercept_ = float(beta[0])
+        self.coef_ = beta[1:]
+        return self
+
+    def fit(self, X, y):
+        import pandas as pd
+
+        # driver-side IRLS for small matrices (same math)
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        Xa = np.column_stack([np.ones(len(y)), X])
+        beta = np.zeros(Xa.shape[1])
+        for _ in range(self.max_iter):
+            p = 1.0 / (1.0 + np.exp(-(Xa @ beta)))
+            w = p * (1 - p) + 1e-10
+            H = Xa.T @ (Xa * w[:, None]) + self.l2 * np.eye(Xa.shape[1])
+            g = Xa.T @ (y - p)
+            step = np.linalg.solve(H, g)
+            beta += step
+            if np.abs(step).max() < self.tol:
+                break
+        self.intercept_ = float(beta[0])
+        self.coef_ = beta[1:]
+        return self
+
+    def predict_proba_col(self, feature_cols: Sequence[str]) -> Column:
+        eta = F.lit(self.intercept_)
+        for c, b in zip(feature_cols, self.coef_):
+            eta = eta + qcol(c).cast("double") * float(b)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
 def __getattr__(name):
     # re-export the GBT here so `from mlforecast_spark.models import
     # GradientBoostedTrees` works without a circular import at module load
