@@ -46,6 +46,35 @@ class PredictionIntervals:
         )
 
 
+def compute_series_scales(
+    df: DataFrame,
+    id_col: str = "unique_id",
+    time_col: str = "ds",
+    target_col: str = "y",
+    estimator: str = "mad",
+    floor: float = 1e-8,
+) -> DataFrame:
+    """Per-series scale of the differenced target (MAD or std of Δy, floored)
+    — `/root/reference/mlforecast/conformal_prediction.py:124-198`."""
+    if estimator not in ("mad", "std"):
+        raise ValueError("estimator must be 'mad' or 'std'")
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    d = df.withColumn("_dy", F.col(target_col) - F.lag(target_col).over(w)).filter(
+        F.col("_dy").isNotNull()
+    )
+    if estimator == "mad":
+        med = d.groupBy(id_col).agg(F.percentile("_dy", F.lit(0.5)).alias("_med"))
+        out = (
+            d.join(med, on=id_col)
+            .withColumn("_adev", F.abs(F.col("_dy") - F.col("_med")))
+            .groupBy(id_col)
+            .agg(F.percentile("_adev", F.lit(0.5)).alias("scale"))
+        )
+    else:
+        out = d.groupBy(id_col).agg(F.stddev_samp("_dy").alias("scale"))
+    return out.withColumn("scale", F.greatest(F.col("scale"), F.lit(floor)))
+
+
 def conformity_scores(
     cv_df: DataFrame,
     model_names: Sequence[str],
