@@ -1,0 +1,172 @@
+"""Transfer conformal prediction: intervals for a target panel with little
+history, calibrated from a source pipeline's conformity scores.
+
+Reference: ``TransferConformal`` (`/root/reference/mlforecast/conformal_prediction.py:62-122`,
+method impls `:842-1106`, frozen backtest `forecast.py:81-149`, orchestration
+`forecast.py:1554-1853`). Transfer pooling follows the reference's
+``is_transfer`` semantics: all source calibration points pool globally and the
+per-horizon-step quantiles are tiled to every target series
+(`conformal_prediction.py:247-341`).
+
+Implemented methods:
+- ``recalibrate``       — frozen backtest on the target (predict-only with the
+                          source models via history warm-up) → target scores.
+- ``scale_aligned``     — pooled source score quantiles, aligned by the ratio
+                          of median target scale to median source scale.
+- ``error_scaled``      — source scores normalized by their series' scale,
+                          pooled, re-scaled per target series.
+- weighted variants raise NotImplementedError (round 2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .conformal import compute_series_scales
+from .utils import time_plus
+
+VALID_TRANSFER_METHODS = (
+    "recalibrate",
+    "scale_aligned",
+    "error_scaled",
+    "scale_aligned_weighted",
+    "weighted_conformal",
+)
+
+
+def _pooled_step_quantiles(
+    cs_df: DataFrame, model_names: Sequence[str], level: Sequence[float]
+) -> DataFrame:
+    """Per-horizon-step global quantiles of |score| for each level: the
+    transfer pooling (`is_transfer=True`) path."""
+    aggs = []
+    for m in model_names:
+        for lv in sorted(level):
+            aggs.append(
+                F.percentile(F.abs(F.col(f"`{m}`")), F.lit(lv / 100)).alias(
+                    f"_q_{m}_{lv}"
+                )
+            )
+    return cs_df.groupBy("_step").agg(*aggs)
+
+
+def _attach(preds, qs, model_names, level, id_col, time_col, scale_col=None):
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    out = preds.withColumn("_step", F.row_number().over(w)).join(
+        qs, on="_step", how="left"
+    )
+    for m in model_names:
+        for lv in sorted(level):
+            q = F.col(f"_q_{m}_{lv}")
+            if scale_col is not None:
+                q = q * F.col(scale_col)
+            out = out.withColumn(f"{m}-lo-{lv}", F.col(m) - q)
+            out = out.withColumn(f"{m}-hi-{lv}", F.col(m) + q)
+            out = out.drop(f"_q_{m}_{lv}")
+    return out.drop("_step")
+
+
+def transfer_intervals(
+    source_mf,
+    target_df: DataFrame,
+    h: int,
+    level: Sequence[float],
+    method: str = "scale_aligned",
+    n_windows: int = 2,
+) -> DataFrame:
+    """Forecast the target panel with the source models (history warm-up) and
+    attach transfer-calibrated interval columns."""
+    if method not in VALID_TRANSFER_METHODS:
+        raise ValueError(f"method must be one of {VALID_TRANSFER_METHODS}")
+    if method in ("scale_aligned_weighted", "weighted_conformal"):
+        raise NotImplementedError(f"{method} transfer is not implemented yet")
+    s = source_mf.schema_
+    models = list(source_mf.models_)
+    preds = source_mf.predict(h, new_df=target_df)
+
+    if method == "recalibrate":
+        cs = _frozen_backtest_scores(source_mf, target_df, h, n_windows)
+        qs = _pooled_step_quantiles(cs, models, level)
+        return _attach(preds, qs, models, level, s.id_col, s.time_col)
+
+    source_cs = source_mf.cs_df_
+    if source_cs is None:
+        raise ValueError(
+            "source pipeline has no conformity scores; fit it with "
+            "prediction_intervals=PredictionIntervals(...)"
+        )
+
+    if method == "scale_aligned":
+        src_scale = compute_series_scales(
+            source_mf.state_, s.id_col, s.time_col, s.target_col
+        ).agg(F.percentile("scale", F.lit(0.5)).alias("_src"))
+        tgt_scale = compute_series_scales(
+            target_df, s.id_col, s.time_col, s.target_col
+        ).agg(F.percentile("scale", F.lit(0.5)).alias("_tgt"))
+        ratio = float(
+            src_scale.crossJoin(tgt_scale)
+            .select((F.col("_tgt") / F.col("_src")).alias("r"))
+            .collect()[0]["r"]
+        )
+        qs = _pooled_step_quantiles(source_cs, models, level)
+        for m in models:
+            for lv in sorted(level):
+                qs = qs.withColumn(f"_q_{m}_{lv}", F.col(f"_q_{m}_{lv}") * ratio)
+        return _attach(preds, qs, models, level, s.id_col, s.time_col)
+
+    # error_scaled: normalize source scores by their own series' scale, pool,
+    # then re-scale per target series
+    src_scales = compute_series_scales(
+        source_mf.state_, s.id_col, s.time_col, s.target_col
+    )
+    normalized = source_cs.join(src_scales, on=s.id_col, how="left")
+    for m in models:
+        normalized = normalized.withColumn(m, F.col(f"`{m}`") / F.col("scale"))
+    qs = _pooled_step_quantiles(normalized.drop("scale"), models, level)
+    tgt_scales = compute_series_scales(
+        target_df, s.id_col, s.time_col, s.target_col
+    ).withColumnRenamed("scale", "_tgt_scale")
+    preds = preds.join(tgt_scales, on=s.id_col, how="left").fillna(
+        {"_tgt_scale": 1.0}
+    )
+    out = _attach(
+        preds, qs, models, level, s.id_col, s.time_col, scale_col="_tgt_scale"
+    )
+    return out.drop("_tgt_scale")
+
+
+def _frozen_backtest_scores(
+    source_mf, target_df: DataFrame, h: int, n_windows: int
+) -> DataFrame:
+    """Predict-only backtest on the target with the FROZEN source models
+    (`/root/reference/mlforecast/forecast.py:81-149`): per window, warm up on
+    the truncated target history, predict h, score against target actuals."""
+    s = source_mf.schema_
+    w_last = Window.partitionBy(s.id_col)
+    df = target_df.withColumn("_max_ds", F.max(s.time_col).over(w_last))
+    frames = []
+    for i in range(n_windows):
+        back = h * (n_windows - i)
+        cutoff = time_plus(F.col("_max_ds"), source_mf.freq, -back)
+        train = df.filter(F.col(s.time_col) <= cutoff).drop("_max_ds")
+        valid = df.filter(
+            (F.col(s.time_col) > cutoff)
+            & (F.col(s.time_col) <= time_plus(cutoff, source_mf.freq, h))
+        ).drop("_max_ds")
+        preds = source_mf.predict(h, new_df=train)
+        merged = valid.select(s.id_col, s.time_col, s.target_col).join(
+            preds, on=[s.id_col, s.time_col], how="inner"
+        )
+        w = Window.partitionBy(s.id_col).orderBy(s.time_col)
+        merged = merged.withColumn("_step", F.row_number().over(w))
+        exprs = [
+            (F.col(s.target_col) - F.col(f"`{m}`")).alias(m)
+            for m in source_mf.models_
+        ]
+        frames.append(merged.select(s.id_col, "_step", *exprs))
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, frames)
