@@ -264,6 +264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: (1, SeasonalRollingMean(season_length=7, window_size=4, min_samples=1)),
         "srm",
     )
+
+    def seasonal_std_q(spark, sf):
+        from mlforecast_spark.lag_transforms import SeasonalRollingStd
+
+        return _feature_query(
+            lambda: (1, SeasonalRollingStd(season_length=7, window_size=4, min_samples=2)),
+            "srs",
+        )(spark, sf)
+
+    q["seasonal_rolling_std"] = seasonal_std_q
     q["ewm"] = _feature_query(
         lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val"
     )
@@ -725,6 +735,21 @@ def oracle_sql() -> dict[str, str]:
         " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
         "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
         " SELECT unique_id, ds, ROUND(CASE WHEN w_cnt >= 1 THEN w_avg END, 6) AS srm"
+        " FROM aggs"
+    )
+
+    o["seasonal_rolling_std"] = (
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds,"
+        "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord,"
+        "  LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS ly"
+        " FROM panel), aggs AS ("
+        " SELECT unique_id, ds, SUM(ly) OVER w AS s, SUM(ly*ly) OVER w AS sq,"
+        "  COUNT(ly) OVER w AS c"
+        " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
+        "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
+        " SELECT unique_id, ds, ROUND(CASE WHEN c >= 2 AND c > 1 THEN"
+        "  SQRT(GREATEST((sq - s * s * 1.0 / c) / (c - 1), 0.0)) END, 6) AS srs"
         " FROM aggs"
     )
 

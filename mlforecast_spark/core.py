@@ -86,9 +86,11 @@ class _CallableTransform(_BaseLagTransform):
 def _parse_transforms(
     lags: Sequence[int],
     lag_transforms: Optional[LagTransforms],
+    namer: Optional[Callable] = None,
 ) -> "OrderedDict[str, tuple[int, _BaseLagTransform]]":
     """Build the ordered name → (lag, transform) registry
-    (mirrors `/root/reference/mlforecast/core.py:193-213`)."""
+    (mirrors `/root/reference/mlforecast/core.py:193-213`; ``namer`` is the
+    custom `lag_transforms_namer`, `core.py:107-114`)."""
     registry: OrderedDict[str, tuple[int, _BaseLagTransform]] = OrderedDict()
     for lag in lags or []:
         tfm = Lag(lag)
@@ -99,7 +101,7 @@ def _parse_transforms(
                 tfm = _CallableTransform(tfm[0], tfm[1:])
             elif callable(tfm) and not isinstance(tfm, _BaseLagTransform):
                 tfm = _CallableTransform(tfm)
-            name = tfm._get_name(lag)
+            name = namer(tfm, lag) if namer is not None else tfm._get_name(lag)
             if name in registry:
                 raise ValueError(f"Duplicate feature name: {name}")
             registry[name] = (lag, tfm)

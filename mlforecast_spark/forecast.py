@@ -52,9 +52,11 @@ class MLForecast:
         date_features: Optional[Sequence[DateFeature]] = None,
         target_transforms: Optional[Sequence[BaseTargetTransform]] = None,
         date_features_as_dummies: bool = False,
+        lag_transforms_namer: Optional[Callable] = None,
         num_threads: int = 1,  # accepted for API parity; Spark parallelizes
     ):
         self.date_features_as_dummies = date_features_as_dummies
+        self.lag_transforms_namer = lag_transforms_namer
         if isinstance(models, list):
             self.models = {_get_model_name(m): m for m in models}
         elif isinstance(models, dict):
@@ -69,7 +71,9 @@ class MLForecast:
         self.lag_transforms = lag_transforms or {}
         self.date_features = list(date_features or [])
         self.target_transforms = list(target_transforms or [])
-        self.registry = _parse_transforms(self.lags, self.lag_transforms)
+        self.registry = _parse_transforms(
+            self.lags, self.lag_transforms, namer=lag_transforms_namer
+        )
 
     # ------------------------------------------------------------------
     def _build_plan(self, schema: PanelSchema) -> FeaturePlan:
