@@ -198,16 +198,37 @@ class FeaturePlan:
         names += dummy_feature_names(self.date_features, self.date_features_as_dummies)
         return names
 
-    def keep_last_n_bound(self) -> Optional[int]:
+    def keep_last_n_bound(self, exclude_carried: bool = False) -> Optional[int]:
         """Max rows of history any transform needs for a one-step update
-        (mirrors `/root/reference/mlforecast/core.py:404-425`); None = all."""
+        (mirrors `/root/reference/mlforecast/core.py:404-425`); None = all.
+
+        With ``exclude_carried`` the carried-state EWM features don't force
+        unbounded history (their recursion advances from a carried column, so
+        only ``lag`` rows back are needed)."""
+        carried = set(self.carried_ewm_features()) if exclude_carried else set()
         bound = 0
         for name, (lag, tfm) in self.registry.items():
+            if name in carried:
+                bound = max(bound, lag)
+                continue
             u = tfm.update_samples(lag)
             if u == -1:
                 return None
             bound = max(bound, u)
         return bound
+
+    def carried_ewm_features(self) -> dict:
+        """Local-mode EWM features whose predict-path value can advance via
+        ``ewm' = α·y[t'-lag] + (1-α)·ewm`` from a carried per-series column —
+        the engine's analogue of the reference's O(1) ``update`` path
+        (`/root/reference/mlforecast/lag_transforms.py:280-281`)."""
+        from .lag_transforms import ExponentiallyWeightedMean
+
+        out = {}
+        for name, (lag, tfm) in self.registry.items():
+            if isinstance(tfm, ExponentiallyWeightedMean) and not tfm.is_pooled:
+                out[name] = (lag, tfm)
+        return out
 
     def _needs_ord(self) -> bool:
         from .lag_transforms import _SeasonalRollingBase

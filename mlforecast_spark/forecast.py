@@ -389,9 +389,16 @@ class MLForecast:
         level: Optional[Sequence[float]] = None,
         new_df: Optional[DataFrame] = None,
         horizons: Optional[Sequence[int]] = None,
+        ewm_update_mode: str = "recompute",
         before_predict_callback: Optional[Callable] = None,
         after_predict_callback: Optional[Callable] = None,
     ) -> DataFrame:
+        """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
+        from history each step — cheapest at short histories / local scale.
+        'carried' advances EWM as an O(1) per-step expression over a carried
+        per-series column and trims the loop state to the finite window bound
+        — wins when per-series histories are long (cluster scale); verified
+        bit-equivalent in tests/test_carried_ewm.py."""
         s = self.schema_
         state, statics, tfms = self.state_, self.statics_, self.target_transforms
         if new_df is not None:
@@ -411,6 +418,7 @@ class MLForecast:
                     name, model, h, X_df, ids,
                     before_predict_callback, after_predict_callback,
                     state=state, statics=statics,
+                    ewm_update_mode=ewm_update_mode,
                 )
                 results = preds if results is None else results.join(
                     preds, on=[s.id_col, s.time_col], how="inner"
@@ -523,7 +531,8 @@ class MLForecast:
         return score_udf(*[qcol(c) for c in feats])
 
     def _predict_recursive_one(
-        self, name, model, h, X_df, ids, before_cb, after_cb, state=None, statics=None
+        self, name, model, h, X_df, ids, before_cb, after_cb,
+        state=None, statics=None, ewm_update_mode="recompute",
     ) -> DataFrame:
         s = self.schema_
         state = self.state_ if state is None else state
@@ -535,12 +544,65 @@ class MLForecast:
         ds_type = self.state_.schema[s.time_col].dataType
         score_col = self._score_col(model)
         dyn_cols = list(self.dynamic_cols_)
+        # Carried-EWM fast path: advance ewm' = α·y[t'-lag] + (1-α)·ewm as a
+        # per-step expression over a carried per-series column, instead of an
+        # Arrow pass over the whole history every step (the engine analogue
+        # of the reference's O(1) update path, `lag_transforms.py:280-281`).
+        carried = (
+            self.plan_.carried_ewm_features() if ewm_update_mode == "carried" else {}
+        )
+        plan = self.plan_
+        carry = None
+        if carried:
+            import dataclasses
+
+            registry = type(self.registry)(
+                (n, v) for n, v in self.registry.items() if n not in carried
+            )
+            plan = dataclasses.replace(self.plan_, registry=registry)
+            carry = self._initial_ewm_carry(state, carried)
+            # with EWM carried, the remaining transforms have a finite
+            # history requirement — trim the loop-local state so every step's
+            # windows/union/checkpoint touch only the tail
+            bound = self.plan_.keep_last_n_bound(exclude_carried=True)
+            if bound is not None and bound > 0:
+                w_trim = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+                state = (
+                    state.withColumn("_rn", F.row_number().over(w_trim))
+                    .filter(F.col("_rn") <= bound)
+                    .drop("_rn")
+                    .localCheckpoint(eager=True)
+                )
         for step in range(1, h + 1):
             frontier = statics.withColumn(
                 s.time_col,
                 time_plus(F.col("_last_ds"), self.freq, step).cast(ds_type),
             ).drop("_last_ds")
             frontier = frontier.withColumn(s.target_col, F.lit(None).cast("double"))
+            if carried:
+                frontier = frontier.join(carry, on=s.id_col, how="left")
+                for i, (feat_name, (ewm_lag, ewm_tfm)) in enumerate(carried.items()):
+                    hist = state.select(
+                        F.col(s.id_col),
+                        time_plus(F.col(s.time_col), self.freq, ewm_lag)
+                        .cast(ds_type)
+                        .alias(s.time_col),
+                        F.col(s.target_col).alias(f"_lv_{i}"),
+                    )
+                    frontier = frontier.join(
+                        hist, on=[s.id_col, s.time_col], how="left"
+                    )
+                    a = ewm_tfm.alpha
+                    new_val = F.when(
+                        F.col(f"_lv_{i}").isNotNull(),
+                        F.when(
+                            F.col(f"_c_{i}").isNotNull(),
+                            a * F.col(f"_lv_{i}") + (1 - a) * F.col(f"_c_{i}"),
+                        ).otherwise(F.col(f"_lv_{i}")),
+                    ).otherwise(F.col(f"_c_{i}"))
+                    frontier = frontier.withColumn(f"_c_{i}", new_val).withColumn(
+                        feat_name, F.col(f"_c_{i}")
+                    ).drop(f"_lv_{i}")
             if dyn_cols:
                 if X_df is None:
                     raise ValueError(
@@ -556,13 +618,18 @@ class MLForecast:
             work = state.withColumn("_is_new", F.lit(False)).unionByName(
                 frontier, allowMissingColumns=True
             )
-            feats = self.plan_.apply(work)
+            feats = plan.apply(work)
             new_rows = feats.filter(F.col("_is_new"))
             if before_cb is not None:
                 new_rows = before_cb(new_rows)
             scored = new_rows.withColumn("_pred", score_col)
             if after_cb is not None:
                 scored = after_cb(scored)
+            if carried:
+                # scored feeds both the state append and the carry update:
+                # persist so the carry checkpoint reads the cache instead of
+                # re-running the whole step DAG
+                scored = scored.persist()
             appended = scored.select(
                 *[
                     F.col("_pred").alias(s.target_col) if c == s.target_col else F.col(c)
@@ -573,11 +640,52 @@ class MLForecast:
             # step's windows and its union base, so lazy chaining would
             # recompute it 2^k times between checkpoints
             state = state.unionByName(appended).localCheckpoint(eager=True)
+            if carried:
+                carry = scored.select(
+                    s.id_col, *[F.col(f"_c_{i}") for i in range(len(carried))]
+                ).localCheckpoint(eager=True)
+                scored.unpersist()
         preds = (
             state.filter(F.col("_is_future"))
             .select(s.id_col, s.time_col, F.col(s.target_col).alias(name))
         )
         return preds
+
+    def _initial_ewm_carry(self, state: DataFrame, carried: dict) -> DataFrame:
+        """Per-series EWM state BEFORE the first frontier update: the EWM of
+        y[.. T-lag] — the step-1 update then consumes y[T+1-lag]
+        (one Arrow pass over the state, once per predict)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        s = self.schema_
+        specs = [(lag, tfm.alpha) for _, (lag, tfm) in carried.items()]
+        out_schema = T.StructType(
+            [T.StructField(s.id_col, state.schema[s.id_col].dataType)]
+            + [T.StructField(f"_c_{i}", T.DoubleType()) for i in range(len(specs))]
+        )
+        time_col, target_col = s.time_col, s.target_col
+
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype="float64")
+            row = {s.id_col: [pdf[s.id_col].iloc[0]]}
+            for i, (lag, alpha) in enumerate(specs):
+                prefix = y[: len(y) - lag] if lag < len(y) else y[:0]
+                e = np.nan
+                for v in prefix:
+                    if not np.isnan(v):
+                        e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
+                row[f"_c_{i}"] = [None if np.isnan(e) else float(e)]
+            return pd.DataFrame(row)
+
+        return (
+            state.select(s.id_col, time_col, target_col)
+            .groupBy(s.id_col)
+            .applyInPandas(compute, schema=out_schema)
+            .localCheckpoint(eager=True)
+        )
 
     def _predict_direct(
         self, h, X_df=None, ids=None, state=None, statics=None, horizons=None
