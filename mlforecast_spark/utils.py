@@ -93,7 +93,9 @@ def future_steps_col(freq: Freq, last_ds: Column, h: int) -> Column:
 def load_events(spark: SparkSession, sf_dir: str):
     """The driver's events table stores ``ts`` as TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; with ``nanosAsLong`` it arrives as
-    nanosecond longs — convert to a microsecond timestamp here."""
+    nanosecond longs — convert to a microsecond timestamp here. The conf is
+    runtime-settable, so this works in externally-created sessions too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
