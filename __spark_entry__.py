@@ -324,6 +324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgtrm",
         with_region=True,
     )
+    q["pooled_partition_expanding_mean"] = _feature_query(
+        lambda: (1, ExpandingMean(partition_by=["is_weekend"])),
+        "ppem",
+        extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
+        quantize=True,
+    )
     q["pooled_groupby_ewm"] = _feature_query(
         lambda: (1, ExponentiallyWeightedMean(alpha=0.4, groupby=["region"])),
         "pgewm",
@@ -418,6 +424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("unique_id", "ds", F.round("y", 6).alias("y_r"))
 
     q["local_robust_scaler"] = robust
+
+    def log1p_q(spark, sf):
+        from mlforecast_spark.target_transforms import GlobalSklearnTransformer
+
+        panel = _panel(spark, sf)
+        tfm = GlobalSklearnTransformer("log1p")
+        tfm.set_column_names("unique_id", "ds", "y")
+        out = tfm.fit_transform(panel)
+        return out.select("unique_id", "ds", F.round("y", 6).alias("y_log"))
+
+    q["global_log1p"] = log1p_q
 
     # --- documents: text analysis + dedup ------------------------------
     def tok_stats(spark, sf):
@@ -841,6 +858,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT b.unique_id, b.ds,"
         "  ROUND(CASE WHEN a.w_cnt >= 7 THEN a.w_sum * 1.0 / a.w_cnt END, 6) AS pgtrm"
         " FROM base b LEFT JOIN aggs a ON b.region = a.region AND b.ord = a.ord"
+    )
+
+    o["global_log1p"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds, ROUND(LN(1 + y), 6) AS y_log FROM panel"
+    )
+
+    o["pooled_partition_expanding_mean"] = (
+        f"WITH {PANEL_SQL}, qpanel AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        " SELECT unique_id, ds, y,"
+        "  CAST(isodow(ds) - 1 >= 5 AS INTEGER) AS is_weekend,"
+        "  DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord FROM qpanel),"
+        " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS s, COUNT(y) OVER w AS c FROM base"
+        "  WINDOW w AS (PARTITION BY unique_id, is_weekend ORDER BY ord"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds, ROUND(CASE WHEN c > 0 THEN s * 1.0 / c END, 6) AS ppem"
+        " FROM aggs"
     )
 
     # pooled EWM: recursion over per-(region, ord) means via list_reduce
