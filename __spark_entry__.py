@@ -650,9 +650,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["validation_stats"] = (
         f"WITH {PANEL_SQL} SELECT unique_id,"
-        " MIN(ds) AS start, MAX(ds) AS end, COUNT(y) AS n_rows,"
+        " MIN(ds) AS start, MAX(ds) AS end, COUNT(*) AS n_rows,"
         " COUNT(DISTINCT ds) AS n_unique,"
-        " SUM(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS n_null_target,"
+        " CAST(SUM(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_target,"
         " CAST(FLOOR(DATEDIFF('day', MIN(ds), MAX(ds))) + 1 AS BIGINT) AS expected_rows,"
         " CAST(COUNT(DISTINCT ds) < DATEDIFF('day', MIN(ds), MAX(ds)) + 1 AS INTEGER) AS has_gaps,"
         " CAST(COUNT(*) > COUNT(DISTINCT ds) AS INTEGER) AS has_dups"
@@ -1035,9 +1035,9 @@ def oracle_sql() -> dict[str, str]:
         "  epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap,"
         "  ts FROM base)"
         " SELECT event_id, user_id,"
-        "  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER ("
+        "  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER ("
         "   PARTITION BY user_id ORDER BY ts, event_id"
-        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx"
         " FROM gaps"
     )
 

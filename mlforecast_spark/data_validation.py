@@ -28,7 +28,7 @@ def series_stats(
     agg = df.groupBy(id_col).agg(
         F.min(time_col).alias("start"),
         F.max(time_col).alias("end"),
-        F.count(target_col).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(time_col).alias("n_unique"),
         F.sum(F.when(F.col(target_col).isNull(), 1).otherwise(0)).alias("n_null_target"),
     )

@@ -42,6 +42,13 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
     sn, dn = normalize(s), normalize(d)
     for c in sn.columns:
         a, b = sn[c], dn[c]
+        # int-on-one-side / float-on-the-other hashes differently on the
+        # driver even when values agree (e.g. DuckDB SUM(int) -> HUGEINT ->
+        # float64). Flag it instead of silently coercing.
+        if pd.api.types.is_integer_dtype(a) != pd.api.types.is_integer_dtype(b) and (
+            pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)
+        ):
+            return f"DTYPE col={c}: {a.dtype} vs {b.dtype}"
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             a = pd.to_numeric(a, errors="coerce").astype(float)
             b = pd.to_numeric(b, errors="coerce").astype(float)
