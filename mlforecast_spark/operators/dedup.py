@@ -104,11 +104,33 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(
+    bands: DataFrame, bucket_cols: list, max_bucket_size: int | None
+) -> DataFrame:
+    """Keep only buckets that can produce pairs (size >= 2) and, when
+    ``max_bucket_size`` is set, drop degenerate buckets above it.
+
+    The size-1 prune is lossless (singleton buckets yield no pairs) and
+    typically removes most of the join input. The cap is the standard LSH
+    guard against quadratic blowup: one boilerplate/empty-document bucket
+    with m members costs m^2/2 comparisons, so at 100 TB a single degenerate
+    bucket would dominate the job. Pairs lost to the cap are only those whose
+    *every* matching band is degenerate — overwhelmingly boilerplate, not
+    near-duplicate content. The per-bucket count is a window over the same
+    keys the self-join shuffles on, so the exchange is reused."""
+    w = Window.partitionBy(*bucket_cols)
+    bands = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(F.col("_bn") >= 2)
+    if max_bucket_size is not None:
+        bands = bands.filter(F.col("_bn") <= max_bucket_size)
+    return bands.drop("_bn")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
     num_hashes: int = 32,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: hash each band of the
     signature to a bucket, self-join on (band, bucket). Returns distinct
@@ -117,12 +139,14 @@ def minhash_lsh_candidates(
 
     ``signatures`` is cached before the self-join: it is tiny (one row per
     document) and feeds both sides, so recomputing the shingle+hash pipeline
-    twice would dominate the cost."""
+    twice would dominate the cost. Only (id, band, bucket) flows through the
+    self-join — the signature arrays are joined back onto the deduplicated
+    pair set, keeping the wide payload out of the quadratic stage. Buckets
+    larger than ``max_bucket_size`` are dropped (see ``_cap_buckets``)."""
     signatures = signatures.cache()
     rows_per_band = max(1, num_hashes // num_bands)
     bands = signatures.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -131,7 +155,8 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band", "bucket"),
-    ).cache()
+    )
+    bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -144,11 +169,16 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -228,11 +258,15 @@ def simhash(
 
 
 def simhash_candidates(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
-    verify exact hamming distance."""
+    verify exact hamming distance. Buckets larger than ``max_bucket_size``
+    are dropped (see ``_cap_buckets``)."""
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -247,6 +281,7 @@ def simhash_candidates(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket_size)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(
