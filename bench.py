@@ -119,17 +119,33 @@ def main():
     timings["fit_predict_linreg_h7"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # attach the recorded DuckDB single-node baseline (tools/bench_oracle.py)
+    # so each bench run carries its own ratio-vs-baseline
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_BENCH.json")
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                base = json.load(f)
+            if base.get("sf") == sf:
+                base_total = sum(
+                    v for k, v in base["queries"].items() if v is not None and k in timings
+                )
+                ours_covered = sum(
+                    v for k, v in timings.items() if base["queries"].get(k) is not None
+                )
+                out["oracle_engine"] = base.get("engine", "duckdb")
+                out["oracle_sec"] = round(base_total, 3)
+                out["ratio_vs_oracle"] = round(ours_covered / base_total, 2)
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

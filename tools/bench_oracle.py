@@ -1,0 +1,198 @@
+"""Single-node wall-clock baseline: run the DuckDB oracle SQL for every
+bench query at $SPARK_GRAFT_SF_DIR and record per-query seconds.
+
+The reference library publishes no throughput numbers and cannot run in
+this container (no sklearn/coreforecast), so the operative baseline for the
+2x gate is DuckDB — a state-of-the-art single-node OLAP engine — executing
+the same logical queries on the same parquet at the same scale factor.
+
+Queries without an ``oracle_sql()`` entry (minhash/simhash dedup, the wide
+feature matrix) get hand-written DuckDB equivalents below with the same
+logical shape (same shingling, same 32 affine minhashes / 64-bit simhash,
+same banding and self-join, same 23-column feature matrix).
+``fit_predict_linreg_h7`` has no DuckDB equivalent (multi-feature OLS +
+recursive forecast is not expressible as one SQL query) and is recorded as
+null.
+
+Usage: python tools/bench_oracle.py  -> writes ORACLE_BENCH.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import re
+import time
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+BENCH_NAMES = [
+    "panel_build",
+    "rolling_mean",
+    "pooled_global_rolling_mean",
+    "pooled_groupby_timeagg_rolling_mean",
+    "seasonal_rolling_mean",
+    "ewm",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "doc_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "wide_feature_matrix",
+    "fit_predict_linreg_h7",
+]
+
+_MH_PRIME = (1 << 31) - 1
+
+
+def _minhash_sql() -> str:
+    """Same workload as operators/dedup.py minhash path: 3-shingles, 32
+    affine minhashes over one base hash, 8 bands of 4, banded self-join."""
+    rnd = random.Random(13)
+    coeffs = [
+        (rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME)) for _ in range(32)
+    ]
+    mins = ", ".join(
+        f"MIN((hash(shingle) % {_MH_PRIME}) * {a} + {b}) % {_MH_PRIME} AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ", ".join(
+        "hash(" + " || '|' || ".join(f"mh_{4 * b + j}" for j in range(4)) + f") AS bk_{b}"
+        for b in range(8)
+    )
+    band_rows = ", ".join(f"({b}, bk_{b})" for b in range(8))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+  FROM docs WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), keys AS (
+  SELECT doc_id, {band_keys} FROM sig
+), bands AS (
+  SELECT doc_id, b.band, b.bucket
+  FROM keys, LATERAL (VALUES {band_rows}) AS b(band, bucket)
+)
+SELECT COUNT(*) FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _simhash_sql() -> str:
+    """Same workload as operators/dedup.py simhash path: 64 signed bit sums
+    per doc, 4x16-bit chunk banding, hamming<=3 verify."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hash(tok) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(63))
+    chunk_rows = ", ".join(f"({i}, (fp >> {16 * i}) & 65535)" for i in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM toks WHERE len(tok) > 0 GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, {fp} AS fp FROM sums
+), chunks AS (
+  SELECT doc_id, fp, c.chunk_idx, c.chunk
+  FROM fps, LATERAL (VALUES {chunk_rows}) AS c(chunk_idx, chunk)
+)
+SELECT COUNT(*) FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+def _wide_feature_matrix_sql(panel_sql: str) -> str:
+    """Same 23-feature matrix as bench.py _wide_feature_matrix: lags 1..14,
+    rolling mean 7/28 + std 7 + expanding mean + EWM(0.3) on lag 1, rolling
+    mean 7/28 on lag 7."""
+    lags = ", ".join(f"LAG(y, {i}) OVER w AS lag{i}" for i in range(1, 15))
+    return f"""
+WITH {panel_sql}, feats AS (
+  SELECT unique_id, ds, {lags},
+    AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS rm7_l1,
+    AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS rm28_l1,
+    STDDEV_SAMP(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS rs7_l1,
+    AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS em_l1,
+    list_reduce(array_agg(y) OVER (PARTITION BY unique_id ORDER BY ds
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), (acc, x) -> 0.3 * x + 0.7 * acc) AS ewm_l1,
+    AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS rm7_l7,
+    AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 34 PRECEDING AND 7 PRECEDING) AS rm28_l7
+  FROM panel WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+)
+SELECT COUNT(*), SUM(lag1 + lag14 + rm7_l1 + rm28_l1 + rs7_l1 + em_l1 + ewm_l1 + rm7_l7 + rm28_l7) FROM feats
+"""
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    oracles = entry.oracle_sql()
+    extra = {
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "wide_feature_matrix": _wide_feature_matrix_sql(entry.PANEL_SQL),
+    }
+
+    timings: dict[str, float | None] = {}
+    for name in BENCH_NAMES:
+        if name in oracles:
+            sql = f"SELECT COUNT(*) FROM ({oracles[name]})"
+        elif name in extra:
+            sql = extra[name]
+        else:
+            timings[name] = None
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    out = {
+        "engine": "duckdb",
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "threads": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    with open("ORACLE_BENCH.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
