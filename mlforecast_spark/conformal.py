@@ -139,8 +139,9 @@ def weighted_interval_columns(
     from pyspark.sql import types as T
 
     level = sorted(level)
-    w = Window.partitionBy(id_col).orderBy(time_col)
-    preds = preds.withColumn("_step", F.row_number().over(w))
+    if "_step" not in preds.columns:
+        w = Window.partitionBy(id_col).orderBy(time_col)
+        preds = preds.withColumn("_step", F.row_number().over(w))
     distribution = method.endswith("distribution")
     if distribution:
         alphas = [100 - lv for lv in level]
@@ -205,10 +206,13 @@ def add_interval_columns(
     id_col: str,
     time_col: str,
 ) -> DataFrame:
-    """Attach `{model}-lo-{lv}` / `{model}-hi-{lv}` columns."""
+    """Attach `{model}-lo-{lv}` / `{model}-hi-{lv}` columns. A `_step`
+    column already on ``preds`` (direct mode) wins over positional
+    renumbering — sparse horizon subsets keep their true calibration step."""
     level = sorted(level)
-    w = Window.partitionBy(id_col).orderBy(time_col)
-    preds = preds.withColumn("_step", F.row_number().over(w))
+    if "_step" not in preds.columns:
+        w = Window.partitionBy(id_col).orderBy(time_col)
+        preds = preds.withColumn("_step", F.row_number().over(w))
 
     if method == "conformal_distribution":
         # symmetric score paths: quantiles of {-s, +s} per (id, step)

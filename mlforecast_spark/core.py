@@ -503,7 +503,21 @@ class FeaturePlan:
 
         s = self.schema
         value_col = "_mlfs_v" if collapsed else s.target_col
-        specs = {name: (lag, tfm.alpha) for name, (lag, tfm) in feats.items()}
+
+        def _supported(tfm) -> bool:
+            if hasattr(tfm, "alpha"):
+                return True
+            if hasattr(tfm, "tfm1"):  # Combine: both sides must be python-able
+                return _supported(tfm.tfm1) and _supported(tfm.tfm2)
+            return False
+
+        for name, (_, tfm) in feats.items():
+            if not _supported(tfm):
+                raise NotImplementedError(
+                    f"pooled python path supports ExponentiallyWeightedMean and "
+                    f"Combine of such; got {type(tfm).__name__} for {name!r}"
+                )
+        specs = dict(feats)
         out_schema = T.StructType(
             df.schema.fields + [T.StructField(n, T.DoubleType()) for n in specs]
         )
@@ -512,7 +526,8 @@ class FeaturePlan:
             pdf = pdf.sort_values(ord_name)
             ords = pdf[ord_name].to_numpy()
             vals = pdf[value_col].astype("float64").to_numpy()
-            for n, (lag, alpha) in specs.items():
+
+            def ewm_state(alpha):
                 # running EWM state after consuming row i (NaNs skipped)
                 state = np.full(len(vals), np.nan)
                 ewm = np.nan
@@ -520,12 +535,25 @@ class FeaturePlan:
                     if not np.isnan(v):
                         ewm = v if np.isnan(ewm) else alpha * v + (1 - alpha) * ewm
                     state[i] = ewm
+                return state
+
+            def shifted(state, lag):
                 # last index with ord <= ord[k] - lag
                 idx = np.searchsorted(ords, ords - lag, side="right") - 1
                 res = np.full(len(vals), np.nan)
                 mask = idx >= 0
                 res[mask] = state[idx[mask]]
-                pdf[n] = res
+                return res
+
+            def eval_tfm(tfm, lag):
+                if hasattr(tfm, "alpha"):
+                    return shifted(ewm_state(tfm.alpha), lag)
+                a = eval_tfm(tfm.tfm1, getattr(tfm.tfm1, "lag", lag))
+                b = eval_tfm(tfm.tfm2, getattr(tfm.tfm2, "lag", lag))
+                return tfm.operator(a, b)
+
+            for n, (lag, tfm) in specs.items():
+                pdf[n] = eval_tfm(tfm, lag)
             return pdf
 
         if bucket:

@@ -194,6 +194,9 @@ class MLForecast:
                 # each window refits so scores stay in the original scale
                 refit=bool(self.target_transforms),
                 max_horizon=max_horizon,
+                weight_col=weight_col,
+                horizon_features=horizon_features,
+                horizon_feature_templates=horizon_feature_templates,
             )
             self.cs_df_ = conformity_scores(
                 cv,
@@ -427,6 +430,8 @@ class MLForecast:
             results = results.orderBy(s.id_col, s.time_col)
         if level is not None:
             results = self._add_intervals(results, h, level)
+        if "_step" in results.columns:
+            results = results.drop("_step")
         return results
 
     def _history_warmup(self, new_df: DataFrame):
@@ -742,6 +747,10 @@ class MLForecast:
                     time_plus(F.col(s.time_col), self.freq, step - 1)
                     .cast(ds_type)
                     .alias(s.time_col),
+                    # true horizon step: conformal quantiles are calibrated
+                    # per step, so a sparse `horizons=[2, 4]` subset must not
+                    # be renumbered 1, 2 by a row_number downstream
+                    F.lit(step).cast("int").alias("_step"),
                     F.col("_pred").alias(name),
                 )
                 per_h_frames.append(scored)
@@ -749,7 +758,7 @@ class MLForecast:
 
             frame = reduce(DataFrame.unionByName, per_h_frames)
             results = frame if results is None else results.join(
-                frame, on=[s.id_col, s.time_col], how="inner"
+                frame, on=[s.id_col, s.time_col, "_step"], how="inner"
             )
         return results
 
@@ -759,11 +768,26 @@ class MLForecast:
         (`/root/reference/mlforecast/core.py:2019-2113`). With ``validate``
         the append must continue each known series gap-free from its last
         timestamp (`/root/reference/mlforecast/data_validation.py:148-199`)."""
-        if self.target_transforms:
-            raise ValueError("update() is not supported with target_transforms")
         s = self.schema_
         if validate:
             self._validate_update(df)
+        if self.target_transforms:
+            # the reference applies tfm.update() for existing series and only
+            # forbids NEW series with transforms fitted
+            # (`/root/reference/mlforecast/core.py:2075-2098`)
+            new_ids = (
+                df.select(s.id_col)
+                .distinct()
+                .join(self.statics_.select(s.id_col), on=s.id_col, how="left_anti")
+            )
+            sample = new_ids.limit(5).collect()
+            if sample:
+                ids = [r[s.id_col] for r in sample]
+                raise ValueError(
+                    f"Can't add new series with target_transforms, e.g. {ids}"
+                )
+            for tfm in self.target_transforms:
+                df = tfm.update(df)
         state = self.state_.unionByName(df, allowMissingColumns=True)
         keep = self.plan_.keep_last_n_bound()
         if keep is not None and keep > 0:
@@ -869,6 +893,24 @@ class MLForecast:
         self.statics_.write.mode("overwrite").parquet(os.path.join(path, "statics"))
         if getattr(self, "cs_df_", None) is not None:
             self.cs_df_.write.mode("overwrite").parquet(os.path.join(path, "cs"))
+        # target-transform state frames (stats_/tails_) are small per-series
+        # DataFrames — persist each as Parquet and pickle the transform with
+        # the frame attributes stripped
+        import copy
+
+        tfm_entries = []
+        for i, tfm in enumerate(self.target_transforms):
+            t = copy.copy(tfm)
+            frames = []
+            for attr in ("stats_", "tails_"):
+                fr = getattr(t, attr, None)
+                if isinstance(fr, DataFrame):
+                    fr.write.mode("overwrite").parquet(
+                        os.path.join(path, f"tfm_{i}_{attr}")
+                    )
+                    setattr(t, attr, None)
+                    frames.append(attr)
+            tfm_entries.append({"tfm": t, "frames": frames})
         meta = {
             "models": self.models,
             "models_": self.models_,
@@ -876,7 +918,7 @@ class MLForecast:
             "lags": self.lags,
             "lag_transforms": self.lag_transforms,
             "date_features": self.date_features,
-            "target_transforms": [],  # transform state frames not yet persisted
+            "target_transforms": tfm_entries,
             "schema": self.schema_,
             "static_cols": self.static_cols_,
             "dynamic_cols": self.dynamic_cols_,
@@ -885,12 +927,11 @@ class MLForecast:
             "max_horizon": getattr(self, "max_horizon_", None),
             "prediction_intervals": getattr(self, "prediction_intervals_", None),
             "horizon_orders": getattr(self, "horizon_orders_", None),
+            "horizon_cols": getattr(self, "horizon_cols_", []),
+            "horizon_features": getattr(self, "horizon_features_", {}),
+            "horizon_feature_templates": getattr(self, "horizon_feature_templates_", []),
+            "weight_col": getattr(self, "weight_col_", None),
         }
-        if self.target_transforms:
-            raise NotImplementedError(
-                "save() with target_transforms is not supported yet (their "
-                "state frames are not persisted)"
-            )
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
 
@@ -901,12 +942,25 @@ class MLForecast:
 
         with open(os.path.join(path, "meta.pkl"), "rb") as f:
             meta = pickle.load(f)
+        tfms = []
+        for i, entry in enumerate(meta.get("target_transforms") or []):
+            tfm = entry["tfm"]
+            for attr in entry["frames"]:
+                setattr(
+                    tfm,
+                    attr,
+                    spark.read.parquet(
+                        os.path.join(path, f"tfm_{i}_{attr}")
+                    ).localCheckpoint(eager=True),
+                )
+            tfms.append(tfm)
         mf = cls(
             models=meta["models"],
             freq=meta["freq"],
             lags=meta["lags"],
             lag_transforms=meta["lag_transforms"],
             date_features=meta["date_features"],
+            target_transforms=tfms,
         )
         mf.models_ = meta["models_"]
         mf.schema_ = meta["schema"]
@@ -918,6 +972,10 @@ class MLForecast:
         mf.prediction_intervals_ = meta["prediction_intervals"]
         if meta.get("horizon_orders"):
             mf.horizon_orders_ = meta["horizon_orders"]
+        mf.horizon_cols_ = meta.get("horizon_cols", [])
+        mf.horizon_features_ = meta.get("horizon_features", {})
+        mf.horizon_feature_templates_ = meta.get("horizon_feature_templates", [])
+        mf.weight_col_ = meta.get("weight_col")
         mf.plan_ = mf._build_plan(mf.schema_)
         mf.state_ = spark.read.parquet(os.path.join(path, "state")).localCheckpoint(
             eager=True
@@ -944,10 +1002,18 @@ class MLForecast:
         dropna: bool = True,
         refit: bool = True,
         max_horizon: Optional[int] = None,
+        weight_col: Optional[str] = None,
+        horizon_features: Optional[dict] = None,
+        horizon_feature_templates: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
         per-series cutoffs relative to each series' own end; result is the
-        union over windows of (id, ds, cutoff, y, *model predictions)."""
+        union over windows of (id, ds, cutoff, y, *model predictions).
+
+        ``weight_col`` / ``horizon_features`` / ``horizon_feature_templates``
+        are forwarded into each window's fit so backtest models train exactly
+        like the final model — required when fit(prediction_intervals=...)
+        delegates here, else the nested fits would silently reset them."""
         step_size = step_size or h
         w_last = Window.partitionBy(id_col)
         df = df.withColumn("_max_ds", F.max(time_col).over(w_last))
@@ -972,6 +1038,9 @@ class MLForecast:
                     static_features=static_features,
                     dropna=dropna,
                     max_horizon=max_horizon,
+                    weight_col=weight_col,
+                    horizon_features=horizon_features,
+                    horizon_feature_templates=horizon_feature_templates,
                 )
             else:
                 if self.target_transforms:
@@ -980,7 +1049,12 @@ class MLForecast:
                     )
                 self.transformed_panel_ = train
                 self._capture_state(train, id_col, time_col, target_col)
-            preds = self.predict(h)
+            # future exog for this window comes from the held-out rows
+            future_cols = list(self.dynamic_cols_) + list(
+                getattr(self, "horizon_cols_", [])
+            )
+            X_df = valid.drop(target_col) if future_cols else None
+            preds = self.predict(h, X_df=X_df)
             merged = (
                 valid.select(id_col, time_col, target_col)
                 .join(preds, on=[id_col, time_col], how="inner")

@@ -38,6 +38,13 @@ class BaseTargetTransform:
     def inverse_transform(self, df: DataFrame, pred_cols: Sequence[str]) -> DataFrame:
         raise NotImplementedError
 
+    def update(self, df: DataFrame) -> DataFrame:
+        """Transform rows appended to EXISTING series into the fitted scale,
+        advancing any internal state (`/root/reference/mlforecast/core.py:2089-2098`
+        calls ``tfm.update(ga)``). Stateless-at-append transforms (scalers,
+        BoxCox, global maps) just re-apply the fitted state."""
+        return self.transform(df)
+
     @property
     def refit_on_warmup(self) -> bool:
         """True if the transform's state must be rebuilt from new history
@@ -141,6 +148,107 @@ class Differences(_RefitOnWarmup, BaseTargetTransform):
 
         return joined.groupBy(id_col).applyInPandas(rebuild, schema=out_schema)
 
+    def update(self, df: DataFrame) -> DataFrame:
+        """Difference appended rows against the stored tails and advance the
+        tails to the new series end. One applyInPandas pass per series over
+        (new rows ⨝ collected tails); the pass emits both the transformed
+        rows and the replacement tail entries, split afterwards."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        diffs = list(self.differences)
+        id_col, time_col, target_col = self.id_col, self.time_col, self.target_col
+        if not diffs:
+            return df
+        tails = self.tails_.groupBy(id_col).agg(
+            F.collect_list(
+                F.struct("_level", "_pos", "_tail_y", F.col(time_col).alias("_tail_ds"))
+            ).alias("_tails")
+        )
+        joined = df.join(tails, on=id_col, how="left")
+        out_schema = T.StructType(
+            df.schema.fields
+            + [
+                T.StructField("_level", T.IntegerType()),
+                T.StructField("_pos", T.IntegerType()),
+                T.StructField("_tail_y", T.DoubleType()),
+                T.StructField("_is_tail", T.BooleanType()),
+            ]
+        )
+        df_cols = [f.name for f in df.schema.fields]
+
+        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col).reset_index(drop=True)
+            tail_structs = pdf["_tails"].iloc[0]
+            tail_by_level: dict = {}
+            if tail_structs is not None:
+                for item in tail_structs:
+                    tail_by_level.setdefault(item["_level"], {})[item["_pos"]] = (
+                        item["_tail_y"],
+                        item["_tail_ds"],
+                    )
+            cur = pdf[target_col].astype("float64").to_numpy()
+            cur_ds = list(pdf[time_col])
+            m = len(cur)
+            tail_rows = []
+            for lv, d in enumerate(diffs):
+                t = tail_by_level.get(lv, {})
+                tail_vals = np.array(
+                    [t[p][0] if p in t and t[p][0] is not None else np.nan for p in range(d)]
+                )
+                tail_ds = [t[p][1] if p in t else None for p in range(d)]
+                # value d steps earlier: stored tail for the first d rows,
+                # then this update's own (level-input) values
+                prev = np.array(
+                    [tail_vals[i] if i < d else cur[i - d] for i in range(m)]
+                )
+                nxt = cur - prev
+                all_vals = np.concatenate([tail_vals, cur])
+                all_ds = tail_ds + cur_ds
+                for p in range(d):
+                    tail_rows.append(
+                        (lv, p, all_vals[-d + p], all_ds[len(all_ds) - d + p])
+                    )
+                cur = nxt
+            pdf[target_col] = cur
+            pdf["_level"] = None
+            pdf["_pos"] = None
+            pdf["_tail_y"] = None
+            pdf["_is_tail"] = False
+            pdf = pdf.drop(columns=["_tails"])
+            trows = pd.DataFrame(
+                {
+                    id_col: [pdf[id_col].iloc[0]] * len(tail_rows),
+                    time_col: [r[3] for r in tail_rows],
+                    "_level": [r[0] for r in tail_rows],
+                    "_pos": [r[1] for r in tail_rows],
+                    "_tail_y": [None if np.isnan(r[2]) else float(r[2]) for r in tail_rows],
+                    "_is_tail": [True] * len(tail_rows),
+                }
+            )
+            if np.issubdtype(pdf[time_col].dtype, np.datetime64):
+                # collected tail ds arrive as date objects; align dtypes so
+                # the concat column stays datetime64 for Arrow
+                trows[time_col] = pd.to_datetime(trows[time_col])
+            return pd.concat([pdf, trows], ignore_index=True)[
+                df_cols + ["_level", "_pos", "_tail_y", "_is_tail"]
+            ]
+
+        out = (
+            joined.groupBy(id_col)
+            .applyInPandas(upd, schema=out_schema)
+            .localCheckpoint(eager=True)
+        )
+        # series NOT in this update keep their old tails unchanged
+        updated_ids = out.select(id_col).distinct()
+        kept = self.tails_.join(updated_ids, on=id_col, how="left_anti")
+        new_tails = out.filter(F.col("_is_tail")).select(
+            id_col, time_col, "_tail_y", "_level", "_pos"
+        )
+        self.tails_ = kept.unionByName(new_tails).localCheckpoint(eager=True)
+        return out.filter(~F.col("_is_tail")).select(*df_cols)
+
 
 class _AutoPerSeriesTransform(_RefitOnWarmup, BaseTargetTransform):
     """Base for per-series adaptive transforms (Auto* family,
@@ -153,6 +261,13 @@ class _AutoPerSeriesTransform(_RefitOnWarmup, BaseTargetTransform):
     def _choose_and_transform(self, y):
         """numpy in → (transformed numpy, meta dict). Implemented by subclasses."""
         raise NotImplementedError
+
+    def update(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            f"{type(self).__name__}.update() is not supported yet — per-series "
+            "adaptive state (diff tails chosen at fit) cannot be advanced "
+            "incrementally; refit on the extended history instead."
+        )
 
     def _inverse(self, preds, meta):
         raise NotImplementedError

@@ -56,6 +56,13 @@ def parse_freq(freq: Freq) -> tuple[str, int]:
     if not m:
         raise ValueError(f"Unsupported freq: {freq!r}")
     n = int(m.group(1)) if m.group(1) else 1
+    # pandas 'ms' (lowercase) means milliseconds, 'MS' means month-start —
+    # lowercasing would silently turn milliseconds into monthly stepping
+    if m.group(2) == "ms":
+        raise ValueError(
+            "Ambiguous freq 'ms' (pandas milliseconds, unsupported); "
+            "use 'MS' for month-start."
+        )
     alias = m.group(2).lower()
     if alias not in _UNIT_ALIASES:
         raise ValueError(f"Unsupported freq alias: {freq!r}")
