@@ -324,6 +324,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgtrm",
         with_region=True,
     )
+    q["pooled_seasonal_rolling_mean"] = _feature_query(
+        lambda: (
+            7,
+            SeasonalRollingMean(
+                season_length=7, window_size=4, global_=True, time_agg="sum"
+            ),
+        ),
+        "psrm",
+        quantize=True,
+    )
+    q["pooled_groupby_seasonal_rolling_mean"] = _feature_query(
+        lambda: (
+            7,
+            SeasonalRollingMean(season_length=7, window_size=2, groupby=["region"]),
+        ),
+        "pgsrm",
+        with_region=True,
+        quantize=True,
+    )
     q["pooled_partition_expanding_mean"] = _feature_query(
         lambda: (1, ExpandingMean(partition_by=["is_weekend"])),
         "ppem",
@@ -816,6 +835,42 @@ def oracle_sql() -> dict[str, str]:
         " SELECT b.unique_id, b.ds,"
         "  ROUND(CASE WHEN a.w_cnt >= 7 THEN a.w_sum * 1.0 / a.w_cnt END, 6) AS pgrm"
         " FROM base b LEFT JOIN aggs a ON b.ord = a.ord"
+    )
+
+    # pooled seasonal (global + time_agg sum): value at global ordinal o
+    # averages the collapsed per-date sums at o-7-i*7, i in 0..3. The global
+    # calendar is dense, so an anchor stat per phase + exact-ordinal delivery
+    # reproduces the phase-keyed join. Quantized ys keep sums exact; /4 is a
+    # power-of-two division so the mean is bit-identical across engines.
+    o["pooled_seasonal_rolling_mean"] = (
+        f"WITH {PANEL_SQL}, qpanel AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
+        " collapsed AS (SELECT ord, SUM(y) AS v FROM base GROUP BY ord),"
+        " anchor AS (SELECT ord, SUM(v) OVER w AS wsum, COUNT(v) OVER w AS wcnt"
+        "  FROM collapsed WINDOW w AS (PARTITION BY ord % 7 ORDER BY ord"
+        "   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
+        " SELECT b.unique_id, b.ds,"
+        "  ROUND(CASE WHEN a.wcnt >= 4 THEN a.wsum * 1.0 / a.wcnt END, 6) AS psrm"
+        " FROM base b LEFT JOIN anchor a ON a.ord = b.ord - 7"
+    )
+
+    # pooled seasonal groupby (row-level samples): per-region calendar
+    # ordinals; min_samples counts rows across series (default window_size=2)
+    o["pooled_groupby_seasonal_rolling_mean"] = (
+        f"WITH {PANEL_REGION_SQL}, qpanel AS ("
+        f" SELECT unique_id, region, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        " SELECT unique_id, region, ds, y,"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM qpanel),"
+        " collapsed AS (SELECT region, ord, SUM(y) AS s, COUNT(y) AS c"
+        "  FROM base GROUP BY 1, 2),"
+        " anchor AS (SELECT region, ord, SUM(s) OVER w AS wsum, SUM(c) OVER w AS wcnt"
+        "  FROM collapsed WINDOW w AS (PARTITION BY region, ord % 7 ORDER BY ord"
+        "   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW))"
+        " SELECT b.unique_id, b.ds,"
+        "  ROUND(CASE WHEN a.wcnt >= 2 THEN a.wsum * 1.0 / a.wcnt END, 6) AS pgsrm"
+        " FROM base b LEFT JOIN anchor a"
+        "  ON a.region = b.region AND a.ord = b.ord - 7"
     )
 
     # pooled groupby (row-level samples): window over all region rows by ordinal

@@ -390,6 +390,24 @@ class FeaturePlan:
         bucket = [norm_name[c] for c in bucket]
         key_cols = {c: df[c] for c in bucket}
 
+        # seasonal rolling needs a phase-keyed join (the output row's phase
+        # differs from its source rows' phase whenever lag % season_length
+        # != 0, which no single window partitioning can express) — peel those
+        # off before the window-expression probe
+        from .lag_transforms import _SeasonalRollingBase
+
+        seasonal_feats = {
+            n: v for n, v in feats.items() if isinstance(v[1], _SeasonalRollingBase)
+        }
+        feats = {n: v for n, v in feats.items() if n not in seasonal_feats}
+        if seasonal_feats:
+            df = self._apply_pooled_seasonal(
+                df, bucket, ord_name, key_cols, seasonal_feats, time_agg
+            )
+            key_cols = {c: df[c] for c in bucket}
+        if not feats:
+            return df.drop(ord_name, *temp_keys)
+
         expr_feats, py_feats = {}, {}
         probe = FrameCtx(
             y=F.col(s.target_col),
@@ -489,6 +507,135 @@ class FeaturePlan:
         for c in bucket + [ord_name]:
             res = res.drop(right[c])
         return res
+
+    def _apply_pooled_seasonal(self, df, bucket, ord_name, key_cols, feats, time_agg):
+        """Pooled seasonal rolling — value at parent ordinal ``o`` aggregates
+        every bucket row at ordinals ``o - lag - i*season_length`` for
+        i in 0..window_size-1 (`/root/reference/mlforecast/lag_transforms.py:1095-1127`).
+
+        A single window can't express this: the output row's phase
+        (``o % sl``) differs from its sources' phase whenever
+        ``lag % sl != 0``, and window partition keys must be one expression
+        over all rows. Compiled instead as an equi-join on
+        (bucket, phase) with a bounded range predicate over the COLLAPSED
+        per-(bucket, ordinal) frame: each output ordinal matches at most
+        ``window_size`` collapsed rows, so the join is linear in the calendar
+        — not the reference's row-level fallback whose cost grows with
+        ``unique timestamps × bucket rows``. Only ``SeasonalRollingQuantile``
+        without ``time_agg`` joins raw rows (quantiles have no partial form).
+        """
+        s = self.schema
+        y = F.col(s.target_col)
+        bkeys = [key_cols[c].alias(c) for c in bucket]
+        if time_agg is not None:
+            agg_fn = _TIME_AGG_FN[time_agg]
+            collapsed = df.groupBy(*bkeys, F.col(ord_name)).agg(
+                agg_fn(y).alias("_v")
+            )
+        else:
+            collapsed = df.groupBy(*bkeys, F.col(ord_name)).agg(
+                F.sum(y).alias("_psum"),
+                F.count(y).alias("_pcnt"),
+                F.sum(y * y).alias("_psumsq"),
+                F.min(y).alias("_pmin"),
+                F.max(y).alias("_pmax"),
+            )
+
+        groups: dict[tuple, dict] = {}
+        for name, (lag, tfm) in feats.items():
+            needs_raw = getattr(tfm, "_agg", "") == "quantile" and time_agg is None
+            key = (lag, tfm.season_length, tfm.window_size, needs_raw)
+            groups.setdefault(key, {})[name] = tfm
+
+        out_ords = collapsed.select(*bucket, ord_name)
+        cur = df
+        for (lag, sl, ws, needs_raw), grp in groups.items():
+            l = out_ords.withColumn(
+                "_oph", F.pmod(F.col(ord_name) - F.lit(lag), F.lit(sl))
+            ).withColumnRenamed(ord_name, "_o")
+            if needs_raw:
+                r = df.select(
+                    *bkeys, F.col(ord_name).alias("_p"), y.alias("_ry")
+                )
+            elif time_agg is not None:
+                r = collapsed.select(*bucket, F.col(ord_name).alias("_p"), "_v")
+            else:
+                r = collapsed.select(
+                    *bucket,
+                    F.col(ord_name).alias("_p"),
+                    "_psum", "_pcnt", "_psumsq", "_pmin", "_pmax",
+                )
+            r = r.withColumn("_pph", F.pmod(F.col("_p"), F.lit(sl)))
+            cond = l["_oph"] == r["_pph"]
+            for c in bucket:
+                cond = cond & l[c].eqNullSafe(r[c])
+            cond = (
+                cond
+                & (r["_p"] >= l["_o"] - F.lit(lag + (ws - 1) * sl))
+                & (r["_p"] <= l["_o"] - F.lit(lag))
+            )
+            j = l.join(r, cond, "left")
+            val_cols = (
+                [j["_ry"]] if needs_raw
+                else [F.col("_v")] if time_agg is not None
+                else [F.col(c) for c in ("_psum", "_pcnt", "_psumsq", "_pmin", "_pmax")]
+            )
+            j = j.select(
+                *[l[c].alias(c) for c in bucket],
+                l["_o"].alias(ord_name),
+                *val_cols,
+            )
+            if needs_raw:
+                aggs = [F.count("_ry").alias("_cnt")]
+                qv = F.col("_ry")
+            elif time_agg is not None:
+                aggs = [
+                    F.count("_v").alias("_cnt"),
+                    F.sum("_v").alias("_s"),
+                    F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+                    F.min("_v").alias("_mn"),
+                    F.max("_v").alias("_mx"),
+                ]
+                qv = F.col("_v")
+            else:
+                aggs = [
+                    F.sum("_pcnt").alias("_cnt"),
+                    F.sum("_psum").alias("_s"),
+                    F.sum("_psumsq").alias("_s2"),
+                    F.min("_pmin").alias("_mn"),
+                    F.max("_pmax").alias("_mx"),
+                ]
+                qv = None
+            qnames = {}
+            for i, (name, tfm) in enumerate(grp.items()):
+                if getattr(tfm, "_agg", "") == "quantile":
+                    aggs.append(F.percentile(qv, F.lit(tfm.p)).alias(f"_q_{i}"))
+                    qnames[name] = f"_q_{i}"
+            grouped = j.groupBy(*bucket, ord_name).agg(*aggs)
+            sel = [F.col(c) for c in bucket] + [F.col(ord_name)]
+            cnt = F.col("_cnt")
+            for name, tfm in grp.items():
+                ms = tfm._effective_min_samples()
+                agg = getattr(tfm, "_agg", "")
+                if agg == "mean":
+                    e = F.when(cnt >= max(ms, 1), F.col("_s") / cnt)
+                elif agg == "std":
+                    var = F.greatest(
+                        (F.col("_s2") - F.col("_s") * F.col("_s") / cnt) / (cnt - 1),
+                        F.lit(0.0),
+                    )
+                    e = F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
+                elif agg == "min":
+                    e = F.when(cnt >= max(ms, 1), F.col("_mn"))
+                elif agg == "max":
+                    e = F.when(cnt >= max(ms, 1), F.col("_mx"))
+                else:  # quantile
+                    e = F.when(cnt >= max(ms, 1), F.col(qnames[name]))
+                sel.append(e.alias(name))
+            right = grouped.select(*sel)
+            cur_keys = {c: cur[c] for c in bucket}
+            cur = self._join_back(cur, right, bucket, ord_name, cur_keys, list(grp))
+        return cur
 
     def _pooled_python(self, df, bucket, ord_name, feats, collapsed):
         """EWM over pooled buckets via applyInPandas keyed by bucket.

@@ -457,11 +457,6 @@ class _SeasonalRollingBase(_BaseLagTransform):
         self.partition_by = _normalize_columns(partition_by)
         self.time_agg = time_agg
         _validate_time_agg(time_agg, self.global_, self.groupby)
-        if self.is_pooled:
-            raise NotImplementedError(
-                "Pooled seasonal rolling transforms are not implemented yet "
-                "(the reference itself only has a slow row-level fallback)."
-            )
 
     def _name_params(self):
         return [
@@ -471,11 +466,23 @@ class _SeasonalRollingBase(_BaseLagTransform):
         ]
 
     def update_samples(self, lag: int) -> int:
+        if self.is_pooled:
+            # pooled ordinals are parent-calendar positions which can outpace
+            # per-series row counts — keep one extra season of slack
+            # (matches `/root/reference/mlforecast/lag_transforms.py:1092`)
+            return lag + self.season_length * self.window_size
         return lag + self.season_length * (self.window_size - 1)
 
     def _effective_min_samples(self) -> int:
-        ms = self.min_samples if self.min_samples is not None else self.window_size
-        return min(ms, self.window_size)
+        if self.min_samples is not None:
+            ms = self.min_samples
+        elif self.partition_by and not (self.global_ or self.groupby):
+            ms = 1  # local partition mode default (see reference docstring)
+        else:
+            ms = self.window_size
+        if not self.is_pooled:
+            ms = min(ms, self.window_size)  # coreforecast caps in local mode
+        return ms
 
     def _stat(self, y: Column, w) -> Column:
         fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
