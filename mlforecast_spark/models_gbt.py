@@ -229,24 +229,67 @@ class GradientBoostedTrees:
 
     def _fit_spark_hist(self, data, n_features: int, n_rows: int):
         """Level-wise distributed histograms: one mapInPandas pass per level;
-        only (nodes × features × bins) partials travel to the driver."""
+        only (nodes × features × bins) partials travel to the driver.
+
+        Rows are binned ONCE up front, and the running ensemble prediction is
+        carried as a ``_p`` column updated (and checkpointed) once per tree —
+        so per-tree cost is flat in the tree index. Replaying all prior trees
+        inside every histogram pass (the naive formulation) would be
+        O(T²·depth) full-data work by tree T."""
         import pandas as pd
 
         # 1. bin edges from an executor-side sample
         frac = min(1.0, 500_000 / max(n_rows, 1))
+        data = data.cache()
         sample = data.sample(fraction=frac, seed=self.random_state).toPandas()
         Xs = sample[[f"_f{i}" for i in range(n_features)]].to_numpy()
         self._fit_bins(Xs)
-        data = data.cache()
         self.base_score_ = float(
             data.agg({"_t": "avg"}).collect()[0][0] or 0.0
         )
-        self.trees_ = []
-        max_bins = self.max_bins
-        for _ in range(self.n_estimators):
-            tree = self._grow_tree_spark(data, n_features)
-            self.trees_.append(tree)
+        edges = self.bin_edges_
+        base = self.base_score_
+
+        def bin_rows(batches):
+            for pdf in batches:
+                X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(dtype="float64")
+                out = {}
+                for j, e in enumerate(edges):
+                    out[f"_b{j}"] = np.searchsorted(
+                        e, np.nan_to_num(X[:, j]), side="right"
+                    )
+                out["_t"] = pdf["_t"].to_numpy(dtype="float64")
+                out["_p"] = np.full(len(pdf), base)
+                yield pd.DataFrame(out)
+
+        schema = (
+            ", ".join(f"_b{j} long" for j in range(n_features))
+            + ", _t double, _p double"
+        )
+        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(eager=True)
         data.unpersist()
+        self.trees_ = []
+        lr = self.learning_rate
+        for i in range(self.n_estimators):
+            tree = self._grow_tree_spark(binned, n_features)
+            self.trees_.append(tree)
+            if i == self.n_estimators - 1:
+                break  # no consumer for a final prediction update
+
+            def upd(batches, tree=tree, lr=lr, nf=n_features):
+                for pdf in batches:
+                    Xb = np.column_stack(
+                        [pdf[f"_b{j}"].to_numpy(dtype="int64") for j in range(nf)]
+                    )
+                    pdf = pdf.copy()
+                    pdf["_p"] = pdf["_p"].to_numpy(dtype="float64") + lr * _apply_serialized(tree, Xb)
+                    yield pdf
+
+            # eager checkpoint: truncates lineage so tree k+1 reads
+            # materialized rows, not a replay of the first k update passes
+            binned = binned.mapInPandas(upd, schema=binned.schema).localCheckpoint(
+                eager=True
+            )
         return self
 
     def _grow_tree_spark(self, data, n_features: int):
@@ -254,12 +297,6 @@ class GradientBoostedTrees:
 
         root = _TreeNode()
         nodes = [root]
-        model_state = {
-            "edges": self.bin_edges_,
-            "trees": self.trees_,
-            "base": self.base_score_,
-            "lr": self.learning_rate,
-        }
         max_bins = self.max_bins
         mb = self.max_bins
 
@@ -269,26 +306,23 @@ class GradientBoostedTrees:
                 break
             tree_struct = _serialize_nodes(nodes)
             act_set = {v: k for k, v in enumerate(act)}
-            state = dict(model_state)
-            state["cur_tree"] = tree_struct
-            state["act"] = act_set
+            state = {"cur_tree": tree_struct, "act": act_set}
 
             def partials(batches, state=state, n_features=n_features, mb=mb):
                 import pandas as pd
 
-                edges = state["edges"]
                 hg = np.zeros((len(state["act"]), n_features, mb))
                 hn = np.zeros((len(state["act"]), n_features, mb))
                 for pdf in batches:
-                    X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(dtype="float64")
-                    y = pdf["_t"].to_numpy(dtype="float64")
-                    Xb = np.empty(X.shape, dtype=np.int64)
-                    for j, e in enumerate(edges):
-                        Xb[:, j] = np.searchsorted(e, np.nan_to_num(X[:, j]), side="right")
-                    pred = np.full(len(y), state["base"])
-                    for t in state["trees"]:
-                        pred += state["lr"] * _apply_serialized(t, Xb)
-                    resid = y - pred
+                    Xb = np.column_stack(
+                        [
+                            pdf[f"_b{j}"].to_numpy(dtype="int64")
+                            for j in range(n_features)
+                        ]
+                    )
+                    resid = pdf["_t"].to_numpy(dtype="float64") - pdf["_p"].to_numpy(
+                        dtype="float64"
+                    )
                     node_of = _assign_serialized(state["cur_tree"], Xb)
                     compact = np.array(
                         [state["act"].get(v, -1) for v in range(node_of.max() + 1)]
