@@ -15,7 +15,13 @@ Implemented methods:
                           of median target scale to median source scale.
 - ``error_scaled``      — source scores normalized by their series' scale,
                           pooled, re-scaled per target series.
-- weighted variants raise NotImplementedError (round 2).
+- ``weighted_conformal`` — density-ratio (source-vs-target covariates) weights
+                          on source calibration points; per-step weighted
+                          quantiles (Tibshirani et al. 2019, reference
+                          `conformal_prediction.py:876-948,472-541`).
+- ``scale_aligned_weighted`` — weighted quantiles of per-series-normalized
+                          source scores, re-scaled by per-series target scale
+                          (`conformal_prediction.py:989-1040`).
 """
 
 from __future__ import annotations
@@ -81,11 +87,42 @@ def transfer_intervals(
     attach transfer-calibrated interval columns."""
     if method not in VALID_TRANSFER_METHODS:
         raise ValueError(f"method must be one of {VALID_TRANSFER_METHODS}")
-    if method in ("scale_aligned_weighted", "weighted_conformal"):
-        raise NotImplementedError(f"{method} transfer is not implemented yet")
     s = source_mf.schema_
     models = list(source_mf.models_)
     preds = source_mf.predict(h, new_df=target_df)
+
+    if method in ("scale_aligned_weighted", "weighted_conformal"):
+        source_cs = source_mf.cs_df_
+        if source_cs is None:
+            raise ValueError(
+                "source pipeline has no conformity scores; fit it with "
+                "prediction_intervals=PredictionIntervals(...)"
+            )
+        cs_w, w_test = _dre_weighted_scores(source_mf, target_df)
+        if method == "weighted_conformal":
+            qs = _weighted_pooled_step_quantiles(cs_w, models, level, w_test)
+            return _attach(preds, qs, models, level, s.id_col, s.time_col)
+        # scale_aligned_weighted: weighted quantiles of per-series-normalized
+        # scores, half-widths re-scaled by each target series' own scale
+        src_scales = compute_series_scales(
+            source_mf.state_, s.id_col, s.time_col, s.target_col
+        )
+        cs_w = cs_w.join(src_scales, on=s.id_col, how="left")
+        for m in models:
+            cs_w = cs_w.withColumn(m, F.col(f"`{m}`") / F.col("scale"))
+        qs = _weighted_pooled_step_quantiles(
+            cs_w.drop("scale"), models, level, w_test
+        )
+        tgt_scales = compute_series_scales(
+            target_df, s.id_col, s.time_col, s.target_col
+        ).withColumnRenamed("scale", "_tgt_scale")
+        preds = preds.join(tgt_scales, on=s.id_col, how="left").fillna(
+            {"_tgt_scale": 1.0}
+        )
+        out = _attach(
+            preds, qs, models, level, s.id_col, s.time_col, scale_col="_tgt_scale"
+        )
+        return out.drop("_tgt_scale")
 
     if method == "recalibrate":
         cs = _frozen_backtest_scores(source_mf, target_df, h, n_windows)
@@ -136,6 +173,108 @@ def transfer_intervals(
         preds, qs, models, level, s.id_col, s.time_col, scale_col="_tgt_scale"
     )
     return out.drop("_tgt_scale")
+
+
+def _dre_weighted_scores(source_mf, target_df: DataFrame):
+    """Attach density-ratio weights ``_w`` to the source conformity scores.
+
+    A distributed IRLS logistic classifier separates source calibration
+    covariates (the fitted feature matrix at calibration rows) from target
+    covariates (the source plan applied to the target history); weight =
+    p/(1-p) clipped — the reference's DRE
+    (`/root/reference/mlforecast/conformal_prediction.py:876-948`). Returns
+    (weighted cs_df, w_test) where w_test is the mean target weight used as
+    the test-point mass in the weighted quantile."""
+    import copy
+
+    from pyspark.sql import types as T
+
+    from .conformal import estimate_density_ratio
+    from .utils import qcol
+
+    s = source_mf.schema_
+    feats = source_mf._fitted_feats
+    numeric = [
+        c
+        for c in source_mf.features_order_
+        if isinstance(
+            feats.schema[c].dataType,
+            (T.DoubleType, T.FloatType, T.IntegerType, T.LongType, T.ShortType),
+        )
+    ]
+    if not numeric:
+        raise ValueError("no numeric feature columns available for the DRE")
+    calib = source_mf.cs_df_.join(
+        feats.select(s.id_col, s.time_col, *[qcol(c).alias(c) for c in numeric]),
+        on=[s.id_col, s.time_col],
+        how="inner",
+    ).na.drop(subset=numeric)
+
+    dfx = target_df
+    for tfm in source_mf.target_transforms:
+        if tfm.refit_on_warmup:
+            t = copy.copy(tfm)
+            dfx = t.fit_transform(dfx)
+        else:
+            dfx = tfm.transform(dfx)
+    tgt_feats = (
+        source_mf.plan_.apply(dfx)
+        .select(*[qcol(c).alias(c) for c in numeric])
+        .na.drop(subset=numeric)
+    )
+    clf, weight = estimate_density_ratio(
+        calib.select(*numeric), tgt_feats, numeric
+    )
+    cs_w = calib.withColumn("_w", weight).drop(*numeric)
+    w_test = float(
+        tgt_feats.select(F.avg(weight).alias("w")).collect()[0]["w"] or 1.0
+    )
+    return cs_w, w_test
+
+
+def _weighted_pooled_step_quantiles(
+    cs: DataFrame,
+    model_names: Sequence[str],
+    level: Sequence[float],
+    w_test: float,
+) -> DataFrame:
+    """Per-step weighted quantiles of |score| over the pooled source
+    calibration points — the distributed form of the reference's
+    ``_weighted_quantiles`` (`conformal_prediction.py:437-460`): sort within
+    step, cumulative weight, first score whose cumulative mass reaches the
+    cut; the appended test point carries ``w_test`` mass, so an unreachable
+    cut yields +inf exactly like the reference.
+
+    All JVM window expressions — one WindowExec per model ordering — so the
+    quantile scales with executors instead of collecting scores."""
+    df = cs
+    for i, m in enumerate(model_names):
+        df = df.withColumn(f"_abs_{i}", F.abs(F.col(f"`{m}`")))
+    tot = F.sum("_w").over(Window.partitionBy("_step")) + F.lit(w_test)
+    df = df.withColumn("_tot", tot)
+    for i, m in enumerate(model_names):
+        wspec = (
+            Window.partitionBy("_step")
+            .orderBy(F.col(f"_abs_{i}"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        df = df.withColumn(f"_cum_{i}", F.sum("_w").over(wspec))
+    aggs = []
+    for i, m in enumerate(model_names):
+        for lv in sorted(level):
+            cut = lv / 100
+            aggs.append(
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col(f"_cum_{i}") >= F.lit(cut) * F.col("_tot"),
+                            F.col(f"_abs_{i}"),
+                        )
+                    ),
+                    F.lit(float("inf")),
+                ).alias(f"_q_{m}_{lv}")
+            )
+    return df.groupBy("_step").agg(*aggs)
 
 
 def _frozen_backtest_scores(

@@ -28,7 +28,16 @@ def target_panel(spark):
     ).cache()
 
 
-@pytest.mark.parametrize("method", ["scale_aligned", "error_scaled", "recalibrate"])
+@pytest.mark.parametrize(
+    "method",
+    [
+        "scale_aligned",
+        "error_scaled",
+        "recalibrate",
+        "weighted_conformal",
+        "scale_aligned_weighted",
+    ],
+)
 def test_transfer_methods(spark, source_mf, target_panel, method):
     out = transfer_intervals(
         source_mf, target_panel, h=3, level=[80], method=method, n_windows=2
@@ -62,5 +71,61 @@ def test_scale_alignment_widens_for_bigger_target(spark, source_mf, target_panel
 def test_unknown_method_raises(spark, source_mf, target_panel):
     with pytest.raises(ValueError):
         transfer_intervals(source_mf, target_panel, 2, [80], method="nope")
-    with pytest.raises(NotImplementedError):
-        transfer_intervals(source_mf, target_panel, 2, [80], method="weighted_conformal")
+
+
+def test_weighted_step_quantiles_match_reference_formula(spark):
+    """Distributed weighted quantile == the reference's _weighted_quantiles
+    (`/root/reference/mlforecast/conformal_prediction.py:437-460`) on a frame
+    with known weights."""
+    from mlforecast_spark.transfer_conformal import _weighted_pooled_step_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for step in (1, 2):
+        for _ in range(40):
+            rows.append(
+                (f"id_{rng.integers(5)}", step, float(rng.normal()), float(rng.uniform(0.2, 3.0)))
+            )
+    cs = spark.createDataFrame(
+        rows, "unique_id string, _step int, M double, _w double"
+    )
+    w_test = 1.3
+    got = (
+        _weighted_pooled_step_quantiles(cs, ["M"], [80, 95], w_test)
+        .toPandas()
+        .set_index("_step")
+        .sort_index()
+    )
+
+    def ref_wq(vals, weights, cut, w_test):
+        total = weights.sum() + w_test
+        order = np.argsort(vals)
+        sv = np.append(vals[order], np.inf)
+        sw = np.append(weights[order] / total, w_test / total)
+        cum = np.cumsum(sw)
+        idx = int(np.searchsorted(cum, 1.0 - (1.0 - cut), side="left"))
+        return sv[idx]
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["unique_id", "_step", "M", "_w"])
+    for step in (1, 2):
+        sub = pdf[pdf._step == step]
+        vals = np.abs(sub["M"].to_numpy())
+        w = sub["_w"].to_numpy()
+        for lv in (80, 95):
+            exp = ref_wq(vals, w, lv / 100, w_test)
+            np.testing.assert_allclose(got.loc[step, f"_q_M_{lv}"], exp, rtol=1e-12)
+
+
+def test_weighted_transfer_reacts_to_covariate_shift(spark, source_mf, target_panel):
+    """The DRE must upweight calibration points that look like the target:
+    weights vary (not all equal) and the weighted interval differs from the
+    unweighted pooled one."""
+    from mlforecast_spark.transfer_conformal import _dre_weighted_scores
+
+    cs_w, w_test = _dre_weighted_scores(source_mf, target_panel)
+    ws = cs_w.select("_w").toPandas()["_w"]
+    assert ws.notna().all() and (ws > 0).all()
+    assert ws.std() > 0  # covariate shift (10x scale) ⇒ non-constant weights
+    assert w_test > 0
