@@ -128,8 +128,13 @@ class MLForecast:
             self.dynamic_cols_ = [c for c in extra_cols if c not in self.static_cols_]
 
         if fit_transforms:
+            # each transform's INPUT frame is kept (lazy) so fitted-values can
+            # invert Differences with actual lagged targets instead of the
+            # recursive rebuild (reference forecast.py:1318-1423 semantics)
+            self._tfm_inputs_ = []
             for tfm in self.target_transforms:
                 tfm.set_column_names(id_col, time_col, target_col)
+                self._tfm_inputs_.append(df)
                 df = tfm.fit_transform(df)
             # keep the transformed panel: it is the recursive-predict state
             self.transformed_panel_ = df
@@ -851,34 +856,182 @@ class MLForecast:
             )
 
     # ------------------------------------------------------------------
-    def forecast_fitted_values(self) -> DataFrame:
-        """In-sample predictions on the training matrix
-        (`/root/reference/mlforecast/forecast.py:1318-1423`, h=1 path): score
-        the cached feature matrix with the fitted models, inverse-transform
-        predictions and target back to the original scale."""
+    def forecast_fitted_values(self, h: int = 1) -> DataFrame:
+        """In-sample predictions (`/root/reference/mlforecast/forecast.py:1318-1423`):
+        (id, ds, y, h, one column per model), original scale.
+
+        - recursive h=1: score the cached feature matrix.
+        - direct mode: horizon-``h`` model scored at each frontier row,
+          aligned to its target timestamp.
+        - recursive h>1: distributed origin-replication (see
+          ``_fitted_recursive_h``) — the Spark-native replacement for the
+          reference's per-origin driver loop (`forecast.py:978-1120`).
+
+        Differences are inverted with the ACTUAL lagged targets (available
+        in-sample), not the recursive tail rebuild."""
+        if not isinstance(h, int) or h < 1:
+            raise ValueError("`h` must be a positive integer.")
+        s = self.schema_
+        cols = [s.target_col] + list(self.models_)
+        if getattr(self, "max_horizon_", None) is not None:
+            if h > self.max_horizon_:
+                raise ValueError(f"h={h} exceeds max_horizon={self.max_horizon_}")
+            ds_type = self.state_.schema[s.time_col].dataType
+            feats = self._fitted_feats
+            base_order = list(self.features_order_)
+            sel = [
+                F.col(s.id_col),
+                time_plus(F.col(s.time_col), self.freq, h - 1)
+                .cast(ds_type)
+                .alias(s.time_col),
+            ]
+            for name, per_h_models in self.models_.items():
+                self.features_order_ = getattr(self, "horizon_orders_", {}).get(
+                    h - 1, base_order
+                )
+                sel.append(self._score_col(per_h_models[h - 1]).alias(name))
+                self.features_order_ = base_order
+            scored = feats.select(*sel)
+            actual = self.transformed_panel_.select(
+                s.id_col, s.time_col, s.target_col
+            )
+            out = scored.join(actual, on=[s.id_col, s.time_col], how="inner")
+        elif h == 1:
+            feats = self._fitted_feats
+            out = feats.select(
+                s.id_col,
+                s.time_col,
+                F.col(s.target_col),
+                *[
+                    self._score_col(model).alias(name)
+                    for name, model in self.models_.items()
+                ],
+            )
+        else:
+            out = self._fitted_recursive_h(h)
+        out = self._inverse_transforms_fitted(out, cols)
+        out = out.select(
+            s.id_col, s.time_col, s.target_col, F.lit(h).cast("long").alias("h"),
+            *list(self.models_),
+        )
+        return out.orderBy(s.id_col, s.time_col)
+
+    def _inverse_transforms_fitted(self, out: DataFrame, cols) -> DataFrame:
+        """Reverse transform chain for in-sample rows: Differences add back
+        the ACTUAL lagged values of their fitted input series (one window
+        pass + broadcastable join), everything else uses its normal
+        inverse."""
         from .target_transforms import Differences
 
-        if any(isinstance(t, Differences) for t in self.target_transforms):
-            raise NotImplementedError(
-                "forecast_fitted_values with Differences is not supported yet "
-                "(in-sample inverse needs the actual lagged targets)"
-            )
-        if getattr(self, "max_horizon_", None) is not None:
-            raise NotImplementedError("fitted values for direct mode not supported yet")
         s = self.schema_
-        feats = self._fitted_feats
-        out = feats.select(
-            s.id_col,
-            s.time_col,
-            F.col(s.target_col),
-            *[
-                self._score_col(model).alias(name)
-                for name, model in self.models_.items()
-            ],
+        inputs = getattr(self, "_tfm_inputs_", [])
+        for i in range(len(self.target_transforms) - 1, -1, -1):
+            tfm = self.target_transforms[i]
+            if isinstance(tfm, Differences):
+                src = inputs[i]
+                w = Window.partitionBy(s.id_col).orderBy(s.time_col)
+                cur = src.select(
+                    s.id_col, s.time_col, F.col(s.target_col).alias("_lvl0")
+                )
+                lag_cols = []
+                for k, d in enumerate(tfm.differences):
+                    cur = cur.withColumn(f"_lag{k}", F.lag(f"_lvl{k}", d).over(w))
+                    cur = cur.withColumn(
+                        f"_lvl{k + 1}", F.col(f"_lvl{k}") - F.col(f"_lag{k}")
+                    )
+                    lag_cols.append(F.col(f"_lag{k}"))
+                addback = lag_cols[0]
+                for c in lag_cols[1:]:
+                    addback = addback + c
+                add = cur.select(s.id_col, s.time_col, addback.alias("_addback"))
+                out = out.join(add, on=[s.id_col, s.time_col], how="left")
+                for c in cols:
+                    out = out.withColumn(c, qcol(c) + F.col("_addback"))
+                out = out.drop("_addback")
+            else:
+                out = tfm.inverse_transform(out, cols)
+        return out
+
+    def _fitted_recursive_h(self, h: int) -> DataFrame:
+        """h-step-ahead in-sample predictions, fully distributed.
+
+        The reference walks origins one at a time on the driver
+        (`forecast.py:978-1120`). Here every (series, origin) pair becomes its
+        own synthetic series holding the ``keep_last_n_bound()`` rows of
+        history before the origin, and ONE run of the existing recursive
+        engine predicts h steps for all origins at once — h Spark jobs total
+        instead of n_origins sequential predicts. Row expansion is bounded by
+        origins × bound, which is why unbounded-history transforms
+        (expanding/EWM) are rejected."""
+        if self.target_transforms:
+            raise NotImplementedError(
+                "h>1 fitted values with target_transforms are not supported yet"
+            )
+        bound = self.plan_.keep_last_n_bound()
+        if bound is None:
+            raise NotImplementedError(
+                "h>1 fitted values need finite-history transforms "
+                "(expanding/EWM would make the per-origin state unbounded); "
+                "the reference has the matching restriction for pooled "
+                "transforms (forecast.py:1391-1399)"
+            )
+        s = self.schema_
+        tp = self.transformed_panel_
+        w = Window.partitionBy(s.id_col).orderBy(s.time_col)
+        state_cols = [*self.static_cols_, *self.dynamic_cols_]
+        base = tp.select(s.id_col, s.time_col, s.target_col, *state_cols).withColumn(
+            "_rn", F.row_number().over(w)
         )
-        cols = [s.target_col] + list(self.models_)
-        out = self._inverse_transforms(out, cols)
-        return out.orderBy(s.id_col, s.time_col)
+        base = base.withColumn(
+            "_n", F.max("_rn").over(Window.partitionBy(s.id_col))
+        ).localCheckpoint(eager=True)
+        # valid origins p: the row AFTER p survived dropna (it is in the
+        # fitted matrix) and the h-step target row exists
+        valid = self._fitted_feats.select(s.id_col, s.time_col).withColumn(
+            "_isv", F.lit(1)
+        )
+        origins = (
+            base.join(valid, on=[s.id_col, s.time_col], how="inner")
+            .filter((F.col("_rn") >= 2) & (F.col("_rn") - 1 + h <= F.col("_n")))
+            .select(s.id_col, (F.col("_rn") - 1).alias("_p"))
+        )
+        cid = F.concat_ws("\x1f", F.col(s.id_col).cast("string"), F.col("_p"))
+        mapping = origins.select(
+            s.id_col, "_p", cid.alias("_cid")
+        ).localCheckpoint(eager=True)
+        # history membership: row at position j serves origin p iff
+        # p-bound < j <= p
+        hist = base.select(
+            s.id_col, s.time_col, s.target_col, *state_cols,
+            F.explode(
+                F.sequence(F.col("_rn"), F.col("_rn") + F.lit(bound - 1))
+            ).alias("_p"),
+        ).join(origins, on=[s.id_col, "_p"], how="inner")
+        expanded = hist.select(
+            cid.alias("_cid"), s.time_col, s.target_col, *state_cols
+        ).withColumnRenamed("_cid", s.id_col)
+        x_df = None
+        if self.dynamic_cols_:
+            fut = base.select(
+                s.id_col, s.time_col, *self.dynamic_cols_,
+                F.explode(
+                    F.sequence(F.col("_rn") - F.lit(h), F.col("_rn") - F.lit(1))
+                ).alias("_p"),
+            ).join(origins, on=[s.id_col, "_p"], how="inner")
+            x_df = fut.select(
+                cid.alias(s.id_col), s.time_col, *self.dynamic_cols_
+            )
+        preds = self.predict(h, X_df=x_df, new_df=expanded)
+        w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
+        last = (
+            preds.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumnRenamed(s.id_col, "_cid")
+        )
+        out = last.join(mapping, on="_cid", how="inner").drop("_cid", "_p")
+        actual = tp.select(s.id_col, s.time_col, s.target_col)
+        return out.join(actual, on=[s.id_col, s.time_col], how="inner")
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

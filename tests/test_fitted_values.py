@@ -1,0 +1,130 @@
+"""forecast_fitted_values long tail: Differences inverse via actual lags,
+direct mode, distributed recursive h>1 (reference
+`/root/reference/mlforecast/forecast.py:978-1120,1318-1423`)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlforecast_spark import MLForecast
+from mlforecast_spark.models import LinearRegression
+from mlforecast_spark.target_transforms import Differences, LocalStandardScaler
+
+
+def _int_panel(spark, n=30, ids=("a", "b")):
+    rows = [
+        (i, t, float(t + 10.0 * k + float(np.sin(t / 3)) * 3))
+        for k, i in enumerate(ids)
+        for t in range(n)
+    ]
+    return spark.createDataFrame(rows, "unique_id string, ds long, y double")
+
+
+def test_fitted_values_with_differences_actual_lags(spark):
+    panel = _int_panel(spark, 30)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1, 2],
+        target_transforms=[Differences([2])],
+    )
+    mf.fit(panel)
+    fitted = mf.forecast_fitted_values().toPandas().sort_values(["unique_id", "ds"])
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+
+    # y must invert exactly back to the original values (actual lags, not a
+    # recursive rebuild)
+    merged = fitted.merge(raw, on=["unique_id", "ds"], suffixes=("_f", ""))
+    np.testing.assert_allclose(merged["y_f"], merged["y"], rtol=1e-12)
+
+    # hand-computed model prediction: model scored on diffed features, plus
+    # the ACTUAL y[t-2]
+    raw["d2"] = raw.groupby("unique_id")["y"].diff(2)
+    raw["d2_l1"] = raw.groupby("unique_id")["d2"].shift(1)
+    raw["d2_l2"] = raw.groupby("unique_id")["d2"].shift(2)
+    raw["y_l2"] = raw.groupby("unique_id")["y"].shift(2)
+    model = mf.models_["LinearRegression"]
+    a = np.asarray(model.coef_, dtype=float)
+    b = float(model.intercept_)
+    raw["exp"] = raw["d2_l1"] * a[0] + raw["d2_l2"] * a[1] + b + raw["y_l2"]
+    cmp = fitted.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"])
+    cmp = cmp.dropna(subset=["exp"])
+    assert len(cmp) == len(fitted)
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_differences_then_scaler(spark):
+    panel = _int_panel(spark, 28)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[Differences([1]), LocalStandardScaler()],
+    )
+    mf.fit(panel)
+    fitted = mf.forecast_fitted_values().toPandas()
+    raw = panel.toPandas()
+    merged = fitted.merge(raw, on=["unique_id", "ds"], suffixes=("_f", ""))
+    np.testing.assert_allclose(merged["y_f"], merged["y"], rtol=1e-9)
+
+
+def test_fitted_values_direct_mode(spark):
+    panel = _int_panel(spark, 40)
+    mf = MLForecast(models=[LinearRegression()], freq=1, lags=[1, 2])
+    mf.fit(panel, max_horizon=3)
+    f1 = mf.forecast_fitted_values(h=1).toPandas()
+    f3 = mf.forecast_fitted_values(h=3).toPandas()
+    assert (f1["h"] == 1).all() and (f3["h"] == 3).all()
+    # horizon-3 rows end 2 steps later than horizon-1 rows start allows
+    assert f3["ds"].max() == f1["ds"].max()
+    # hand-check h=3: model_3 scored on features at frontier tau, aligned to
+    # tau+2
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["l1"] = raw.groupby("unique_id")["y"].shift(1)
+    raw["l2"] = raw.groupby("unique_id")["y"].shift(2)
+    m3 = mf.models_["LinearRegression"][2]
+    a = np.asarray(m3.coef_, dtype=float)
+    b = float(m3.intercept_)
+    raw["pred_at_tau"] = raw["l1"] * a[0] + raw["l2"] * a[1] + b
+    raw["exp"] = raw["pred_at_tau"]
+    raw["ds_target"] = raw["ds"] + 2
+    cmp = f3.merge(
+        raw[["unique_id", "ds_target", "exp"]],
+        left_on=["unique_id", "ds"],
+        right_on=["unique_id", "ds_target"],
+    ).dropna(subset=["exp"])
+    assert len(cmp) == len(f3)
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_recursive_h2_matches_manual_rollout(spark):
+    panel = _int_panel(spark, 25)
+    mf = MLForecast(models=[LinearRegression()], freq=1, lags=[1])
+    mf.fit(panel)
+    f2 = mf.forecast_fitted_values(h=2).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    # 2-step rollout from origin t-2: yhat1 = a*y[t-2]+b; yhat2 = a*yhat1+b
+    raw["y_l2"] = raw.groupby("unique_id")["y"].shift(2)
+    raw["exp"] = a * (a * raw["y_l2"] + b) + b
+    cmp = f2.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f2) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+    # h=2 targets start one step later than h=1 targets
+    f1 = mf.forecast_fitted_values(h=1).toPandas()
+    assert f2["ds"].min() == f1["ds"].min() + 1
+
+
+def test_fitted_values_h2_rejects_unbounded_transforms(spark, panel):
+    from mlforecast_spark.lag_transforms import ExpandingMean
+
+    mf = MLForecast(
+        models=[LinearRegression()], freq="D", lag_transforms={1: [ExpandingMean()]}
+    )
+    mf.fit(panel)
+    with pytest.raises(NotImplementedError, match="finite-history"):
+        mf.forecast_fitted_values(h=2)

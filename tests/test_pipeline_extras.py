@@ -20,7 +20,8 @@ def test_forecast_fitted_values(spark, panel):
     )
     mf.fit(panel)
     fitted = mf.forecast_fitted_values().toPandas()
-    assert {"unique_id", "ds", "y", "LinearRegression"} == set(fitted.columns)
+    assert {"unique_id", "ds", "y", "h", "LinearRegression"} == set(fitted.columns)
+    assert (fitted["h"] == 1).all()
     # y must be back in the original scale
     orig = panel.toPandas()
     merged = fitted.merge(orig, on=["unique_id", "ds"], suffixes=("_f", ""))
