@@ -506,6 +506,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = minhash
 
+    def minhash_verified(spark, sf):
+        """LSH recall promoted into the correctness contract: candidates from
+        banded minhash, exact-verified by n-gram Jaccard >= 0.3. The result
+        equals the exact all-pairs set (the DuckDB oracle) iff LSH recall at
+        this threshold is 100% — any recall regression breaks the hash."""
+        from mlforecast_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            shingle_df,
+        )
+
+        docs = _docs(spark, sf)
+        sig = minhash_signatures(shingle_df(docs, n=3))
+        cand = minhash_lsh_candidates(sig).select("id_a", "id_b")
+        exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        return exact.join(cand, on=["id_a", "id_b"], how="inner").select(
+            "id_a", "id_b", "jaccard"
+        )
+
+    q["dedup_minhash_verified"] = minhash_verified
+
     def simhash_q(spark, sf):
         from mlforecast_spark.operators.dedup import simhash, simhash_candidates
 
@@ -974,6 +996,61 @@ def oracle_sql() -> dict[str, str]:
         " FROM panel"
     )
 
+    # AutoDifferences(max_diffs=2): per-series d from the variance-ratio
+    # criterion (target_transforms.py _ndiffs: keep differencing while
+    # var_pop(diff) < 0.95 * var_pop(cur), with the same length guards)
+    o["auto_differences"] = (
+        f"WITH {PANEL_SQL}, d1 AS ("
+        " SELECT unique_id, ds, y,"
+        "  y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ds) AS dy1"
+        " FROM panel),"
+        " diffs AS ("
+        " SELECT unique_id, ds, y, dy1,"
+        "  dy1 - LAG(dy1) OVER (PARTITION BY unique_id ORDER BY ds) AS dy2"
+        " FROM d1),"
+        " stats AS ("
+        " SELECT unique_id, COUNT(*) AS n, var_pop(y) AS v0,"
+        "  var_pop(dy1) AS v1, var_pop(dy2) AS v2"
+        " FROM diffs GROUP BY unique_id),"
+        " choice AS ("
+        " SELECT unique_id,"
+        "  CASE WHEN n >= 4 AND v0 > 0 AND v1 < 0.95 * v0 THEN"
+        "   CASE WHEN n >= 5 AND v1 > 0 AND v2 < 0.95 * v1 THEN 2 ELSE 1 END"
+        "  ELSE 0 END AS d"
+        " FROM stats)"
+        " SELECT d.unique_id, d.ds,"
+        "  ROUND(CASE c.d WHEN 0 THEN d.y WHEN 1 THEN d.dy1 ELSE d.dy2 END, 6) AS y_ad"
+        " FROM diffs d JOIN choice c ON d.unique_id = c.unique_id"
+    )
+
+    # LocalBoxCox: per-series lambda by grid MLE (target_transforms.py
+    # fit_lambda: 61-point linspace(-1, 2), ll = -n/2*ln(var_pop(z)) +
+    # (lmb-1)*sum(ln y), first-best tie-break). The grid replicates numpy
+    # linspace exactly: i*step + start with the endpoint forced to 2.0.
+    o["local_boxcox"] = (
+        f"WITH {PANEL_SQL}, grid AS ("
+        " SELECT CASE WHEN i = 60 THEN 2.0 ELSE i * (3.0 / 60.0) + (-1.0) END AS lmb"
+        " FROM range(61) t(i)),"
+        " stats AS ("
+        " SELECT unique_id, lmb,"
+        "  CASE WHEN ABS(lmb) < 1e-12 THEN var_pop(ln(y))"
+        "   ELSE var_pop((POWER(y, lmb) - 1.0) / lmb) END AS v,"
+        "  SUM(ln(y)) AS slog, COUNT(*) AS n, BOOL_AND(y > 0) AS pos"
+        " FROM panel CROSS JOIN grid GROUP BY unique_id, lmb),"
+        " ll AS ("
+        " SELECT unique_id, lmb,"
+        "  CASE WHEN pos AND n > 2 AND v > 0"
+        "   THEN -0.5 * n * ln(v) + (lmb - 1.0) * slog END AS ll"
+        " FROM stats),"
+        " best AS ("
+        " SELECT unique_id, COALESCE(arg_max(lmb, ll ORDER BY ll DESC, lmb ASC), 1.0) AS lmb"
+        " FROM ll WHERE ll IS NOT NULL GROUP BY unique_id)"
+        " SELECT p.unique_id, p.ds,"
+        "  ROUND(CASE WHEN ABS(b.lmb) < 1e-12 THEN ln(p.y)"
+        "   ELSE (POWER(p.y, b.lmb) - 1.0) / b.lmb END, 6) AS y_bc"
+        " FROM panel p JOIN best b ON p.unique_id = b.unique_id"
+    )
+
     o["local_standard_scaler"] = (
         f"WITH {PANEL_SQL}, stats AS ("
         " SELECT unique_id, AVG(y) AS mu,"
@@ -1075,6 +1152,25 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
         " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
         " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
+    )
+
+    # exact all-pairs Jaccard >= 0.3, NO blocking: equals the LSH-verified
+    # Spark result only while minhash recall at 0.3 stays 100%
+    o["dedup_minhash_verified"] = (
+        "WITH toks AS (SELECT doc_id,"
+        "  string_split_regex(TRIM(LOWER(text)), '\\s+') AS t FROM documents),"
+        " sh AS (SELECT DISTINCT doc_id,"
+        "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle"
+        "  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)"
+        "  WHERE len(t) >= 3),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),"
+        " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter"
+        "  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2)"
+        " SELECT id_a, id_b,"
+        "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+        " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
+        " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.3"
     )
 
     o["events_tumbling_agg"] = (
