@@ -320,6 +320,11 @@ class MLForecast:
                 kwargs["weight_col"] = weight_col
             model.fit_spark(feats, self.features_order_, target_col, **kwargs)
         else:
+            # ESCAPE HATCH, NOT A SCALE PATH: a model without fit_spark
+            # collects the ENTIRE feature matrix to the driver. Fine for
+            # experimentation on small panels; at cluster scale implement
+            # fit_spark (sufficient statistics / distributed histograms —
+            # see models.py, models_gbt.py) instead.
             pdf = feats.select(
                 *[qcol(c).alias(c) for c in self.features_order_], target_col
             ).toPandas()

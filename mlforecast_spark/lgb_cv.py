@@ -98,23 +98,36 @@ class LightGBMCV:
                 static_features=static_features,
             )
             mf_w._capture_state(train, id_col, time_col, target_col)
-            pdf = feats.select(
-                *[F.col(f"`{c}`").alias(c) for c in mf_w.features_order_], target_col
-            ).toPandas()
-            X = pdf[mf_w.features_order_].to_numpy(dtype="float64")
-            y = pdf[target_col].to_numpy(dtype="float64")
             booster = GradientBoostedTrees(n_estimators=0, **self.params)
-            booster._fit_bins(X)
-            booster.base_score_ = float(np.nanmean(y))
-            self._windows.append(
-                {
-                    "mf": mf_w,
-                    "booster": booster,
-                    "X": X,
-                    "y": y,
-                    "valid": valid.select(id_col, time_col, target_col).toPandas(),
-                }
-            )
+            wstate = {
+                "mf": mf_w,
+                "booster": booster,
+                # validation stays a Spark frame — the metric is computed
+                # distributed, never collected
+                "valid": valid.select(id_col, time_col, target_col),
+            }
+            n_feats = len(mf_w.features_order_)
+            sel = [
+                F.col(f"`{c}`").cast("double").alias(f"_f{i}")
+                for i, c in enumerate(mf_w.features_order_)
+            ] + [F.col(f"`{target_col}`").cast("double").alias("_t")]
+            data = feats.select(*sel).na.drop()
+            n_rows = data.count()
+            if n_rows <= booster.collect_threshold:
+                # small windows: driver-local staged boosting is cheaper
+                pdf = data.toPandas()
+                X = pdf[[f"_f{i}" for i in range(n_feats)]].to_numpy(dtype="float64")
+                y = pdf["_t"].to_numpy(dtype="float64")
+                booster._fit_bins(X)
+                booster.base_score_ = float(np.nanmean(y))
+                wstate.update(X=X, y=y)
+            else:
+                # scale path: binned rows + carried prediction live as a
+                # checkpointed Spark frame; each stage grows trees via the
+                # distributed histogram passes (no full-matrix collect)
+                wstate["binned"] = booster.prepare_spark_state(data, n_feats, n_rows)
+                wstate["n_feats"] = n_feats
+            self._windows.append(wstate)
         self.metric_history_: list[float] = []
         return self
 
@@ -124,21 +137,35 @@ class LightGBMCV:
         id_col, time_col, target_col = self._cols
         scores = []
         for wstate in self._windows:
-            booster, X, y = wstate["booster"], wstate["X"], wstate["y"]
-            Xb = booster._bin(X)
-            pred = booster.predict(X) if booster.trees_ else np.full(len(y), booster.base_score_)
-            for _ in range(num_iterations):
-                resid = y - pred
-                tree = booster._grow_tree_local(Xb, resid)
-                booster.trees_.append(tree)
-                pred = pred + booster.learning_rate * booster._apply_tree(tree, Xb)
-            # score via the recursive engine with the current booster
+            booster = wstate["booster"]
+            if "binned" in wstate:
+                wstate["binned"] = booster.boost_spark(
+                    wstate["binned"], wstate["n_feats"], num_iterations
+                )
+            else:
+                X, y = wstate["X"], wstate["y"]
+                Xb = booster._bin(X)
+                pred = booster.predict(X) if booster.trees_ else np.full(len(y), booster.base_score_)
+                for _ in range(num_iterations):
+                    resid = y - pred
+                    tree = booster._grow_tree_local(Xb, resid)
+                    booster.trees_.append(tree)
+                    pred = pred + booster.learning_rate * booster._apply_tree(tree, Xb)
+            # score via the recursive engine with the current booster;
+            # SMAPE aggregates in Spark — validation rows never hit the driver
             mf = wstate["mf"]
             mf.models_ = {"Booster": booster}
             mf.max_horizon_ = None
-            preds = mf.predict(self.h).toPandas()
-            merged = wstate["valid"].merge(preds, on=[id_col, time_col])
-            scores.append(_smape(merged[target_col].to_numpy(), merged["Booster"].to_numpy()))
+            preds = mf.predict(self.h)
+            merged = wstate["valid"].join(preds, on=[id_col, time_col])
+            y_c, p_c = F.col(f"`{target_col}`"), F.col("Booster")
+            denom = F.abs(y_c) + F.abs(p_c)
+            row = merged.select(
+                F.avg(
+                    F.when(denom > 0, 2.0 * F.abs(p_c - y_c) / denom)
+                ).alias("s")
+            ).collect()[0]
+            scores.append(float(row["s"] if row["s"] is not None else 0.0))
         score = float(np.mean(scores))
         self.metric_history_.append(score)
         return score

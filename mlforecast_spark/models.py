@@ -78,9 +78,7 @@ class _LinearBase:
     ):
         if len(feature_cols) <= self._JVM_GRAM_MAX_K:
             return self._fit_spark_jvm(df, feature_cols, target_col, weight_col)
-        if weight_col is not None:
-            raise NotImplementedError("weight_col with >40 features not supported yet")
-        return self._fit_spark_arrow(df, feature_cols, target_col)
+        return self._fit_spark_arrow(df, feature_cols, target_col, weight_col)
 
     def _fit_spark_jvm(
         self,
@@ -125,7 +123,13 @@ class _LinearBase:
         self.n_samples_ = row["n"] or 0
         return self._solve(gram, xty, self.n_samples_, k)
 
-    def _fit_spark_arrow(self, df: DataFrame, feature_cols: Sequence[str], target_col: str):
+    def _fit_spark_arrow(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        target_col: str,
+        weight_col: Optional[str] = None,
+    ):
         import pandas as pd
 
         orig_cols = list(feature_cols)
@@ -134,24 +138,32 @@ class _LinearBase:
         feature_cols = [f"_f{i}" for i in range(k)]
         sel = [qcol(c).cast("double").alias(a) for c, a in zip(orig_cols, feature_cols)]
         sel.append(qcol(target_col).cast("double").alias("_t"))
+        if weight_col is not None:
+            sel.append(qcol(weight_col).cast("double").alias("_w"))
         df = df.select(*sel)
         target_col = "_t"
+        weighted = weight_col is not None
 
         def partials(batches):
             gram = np.zeros((k + 1, k + 1))
             xty = np.zeros(k + 1)
-            n = 0
+            n = 0.0
             for pdf in batches:
                 X = pdf[feature_cols].to_numpy(dtype=np.float64)
                 y = pdf[target_col].to_numpy(dtype=np.float64)
-                mask = ~(np.isnan(X).any(axis=1) | np.isnan(y))
-                X, y = X[mask], y[mask]
+                w = (
+                    pdf["_w"].to_numpy(dtype=np.float64)
+                    if weighted
+                    else np.ones(len(y))
+                )
+                mask = ~(np.isnan(X).any(axis=1) | np.isnan(y) | np.isnan(w))
+                X, y, w = X[mask], y[mask], w[mask]
                 if len(y) == 0:
                     continue
                 Xa = np.column_stack([np.ones(len(y)), X])
-                gram += Xa.T @ Xa
-                xty += Xa.T @ y
-                n += len(y)
+                gram += (Xa * w[:, None]).T @ Xa
+                xty += Xa.T @ (w * y)
+                n += float(w.sum())
             yield pd.DataFrame(
                 {
                     "gram": [gram.ravel().tobytes()],
@@ -161,11 +173,11 @@ class _LinearBase:
             )
 
         parts = df.mapInPandas(
-            partials, schema="gram binary, xty binary, n long"
+            partials, schema="gram binary, xty binary, n double"
         ).collect()
         gram = np.zeros((k + 1, k + 1))
         xty = np.zeros(k + 1)
-        n = 0
+        n = 0.0
         for row in parts:
             gram += np.frombuffer(row["gram"]).reshape(k + 1, k + 1)
             xty += np.frombuffer(row["xty"])

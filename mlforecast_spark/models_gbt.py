@@ -236,23 +236,32 @@ class GradientBoostedTrees:
         so per-tree cost is flat in the tree index. Replaying all prior trees
         inside every histogram pass (the naive formulation) would be
         O(T²·depth) full-data work by tree T."""
+        binned = self.prepare_spark_state(data, n_features, n_rows)
+        self._boost_spark(binned, n_features, self.n_estimators, update_last=False)
+        return self
+
+    def prepare_spark_state(self, data, n_features: int, n_rows: int):
+        """Bin rows + initialize the carried prediction column WITHOUT growing
+        trees — the shared prep for ``fit_spark`` and staged boosting
+        (LightGBMCV). Returns the checkpointed binned frame for
+        ``boost_spark``."""
         import pandas as pd
 
-        # 1. bin edges from an executor-side sample
+        # bin edges from an executor-side sample
         frac = min(1.0, 500_000 / max(n_rows, 1))
         data = data.cache()
         sample = data.sample(fraction=frac, seed=self.random_state).toPandas()
         Xs = sample[[f"_f{i}" for i in range(n_features)]].to_numpy()
         self._fit_bins(Xs)
-        self.base_score_ = float(
-            data.agg({"_t": "avg"}).collect()[0][0] or 0.0
-        )
+        self.base_score_ = float(data.agg({"_t": "avg"}).collect()[0][0] or 0.0)
         edges = self.bin_edges_
         base = self.base_score_
 
         def bin_rows(batches):
             for pdf in batches:
-                X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(dtype="float64")
+                X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(
+                    dtype="float64"
+                )
                 out = {}
                 for j, e in enumerate(edges):
                     out[f"_b{j}"] = np.searchsorted(
@@ -266,15 +275,26 @@ class GradientBoostedTrees:
             ", ".join(f"_b{j} long" for j in range(n_features))
             + ", _t double, _p double"
         )
-        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(eager=True)
+        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(
+            eager=True
+        )
         data.unpersist()
         self.trees_ = []
+        return binned
+
+    def boost_spark(self, binned, n_features: int, n_trees: int):
+        """Grow ``n_trees`` more trees distributed, advancing the carried
+        prediction after every tree (staged-boosting continuation point).
+        Returns the new binned frame to use for the next stage."""
+        return self._boost_spark(binned, n_features, n_trees, update_last=True)
+
+    def _boost_spark(self, binned, n_features: int, n_trees: int, update_last: bool):
         lr = self.learning_rate
-        for i in range(self.n_estimators):
+        for i in range(n_trees):
             tree = self._grow_tree_spark(binned, n_features)
             self.trees_.append(tree)
-            if i == self.n_estimators - 1:
-                break  # no consumer for a final prediction update
+            if not update_last and i == n_trees - 1:
+                break  # fit(): no consumer for a final prediction update
 
             def upd(batches, tree=tree, lr=lr, nf=n_features):
                 for pdf in batches:
@@ -290,7 +310,7 @@ class GradientBoostedTrees:
             binned = binned.mapInPandas(upd, schema=binned.schema).localCheckpoint(
                 eager=True
             )
-        return self
+        return binned
 
     def _grow_tree_spark(self, data, n_features: int):
         import pandas as pd
