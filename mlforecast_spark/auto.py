@@ -51,24 +51,85 @@ def smape_loss(cv_df, model_name: str, target_col: str = "y") -> float:
     return float(row["smape"]) if row["smape"] is not None else float("inf")
 
 
-def _seasonality_based_space(season_length: Optional[int]):
-    """Candidate feature configs derived from the seasonality
-    (mirrors `/root/reference/mlforecast/auto.py:308-447` in spirit)."""
-    sl = season_length or 7
-    lag_choices = [
-        [1, 2, 3],
-        [1, 2, sl],
-        list(range(1, min(sl, 6) + 1)) + [sl, 2 * sl],
-    ]
-    tfm_choices = [
+def _seasonality_based_space(
+    season_length: Optional[int],
+    h: int,
+    min_samples: int,
+    min_value: float,
+    int_freq: bool,
+):
+    """The reference's full seasonality-derived candidate space
+    (`/root/reference/mlforecast/auto.py:308-447`): target transforms gated
+    on sign and history length, per-seasonality lag menus, EWM(0.9) +
+    season-window rolling-mean lag transforms, seasonality-mapped date
+    features."""
+    from .target_transforms import LocalStandardScaler
+
+    sl = season_length or 1
+    log1p = GlobalSklearnTransformer("log1p")
+    targ_choices: list = [
         None,
-        {1: [ExpandingMean()]},
-        {1: [RollingMean(window_size=sl)]},
-        {1: [ExponentiallyWeightedMean(alpha=0.3)]},
+        [LocalStandardScaler()],
+        [Differences([1]), LocalStandardScaler()],
     ]
-    date_choices = [[], ["dayofweek"], ["dayofweek", "month"]]
-    target_choices = [[], [Differences([1])], [GlobalSklearnTransformer("log1p")]]
-    return lag_choices, tfm_choices, date_choices, target_choices
+    if min_value >= 0:
+        targ_choices.extend(
+            [
+                [log1p, LocalStandardScaler()],
+                [log1p, Differences([1]), LocalStandardScaler()],
+            ]
+        )
+    # leave two seasonal periods for the features and model
+    if sl > 1 and min_samples > 3 * sl + 1:
+        targ_choices.append([Differences([1, sl]), LocalStandardScaler()])
+        if min_value >= 0:
+            targ_choices.append(
+                [log1p, Differences([1, sl]), LocalStandardScaler()]
+            )
+
+    lag_choices: list = [None, [sl]]
+    extra_lags = {
+        7: [[7, 14], [7, 28]],
+        12: [list(range(1, 13))],
+        24: [list(range(1, 25)), list(range(24, 24 * 7 + 1, 24))],
+        52: [list(range(4, 53, 4))],
+    }
+    if sl in extra_lags:
+        lag_choices.extend(extra_lags[sl])
+    if h >= 2 * sl:
+        lag_choices.extend(
+            [list(range(sl, h + 1, sl)), [h], [sl, h]]
+        )
+
+    tfm_choices: list = [None, {1: [ExponentiallyWeightedMean(alpha=0.9)]}]
+    if sl > 1:
+        tfm_choices.append(
+            {
+                1: [ExponentiallyWeightedMean(alpha=0.9)],
+                sl: [RollingMean(window_size=sl, min_samples=1)],
+            }
+        )
+    if sl != h:
+        tfm_choices.append(
+            {
+                1: [ExponentiallyWeightedMean(alpha=0.9)],
+                sl: [RollingMean(window_size=sl, min_samples=1)],
+                h: [RollingMean(window_size=sl, min_samples=1)],
+            }
+        )
+
+    date_map = {
+        1: ["year"],
+        4: ["quarter", "year"],
+        7: ["dayofweek", "month", "year"],
+        12: ["month", "year"],
+        24: ["hour", "dayofweek", "month", "year"],
+        52: ["week", "year"],
+        60: ["dayofweek", "hour", "second"],
+    }
+    date_features = [] if int_freq else date_map.get(sl, [])
+    date_choices = [[], date_features] if date_features else [[]]
+    return lag_choices, tfm_choices, date_choices, targ_choices
 
 
 class AutoMLForecast:
@@ -96,10 +157,10 @@ class AutoMLForecast:
         self.loss = loss or smape_loss
         self.seed = seed
 
-    def _sample_feature_config(self, rng: random.Random) -> dict:
+    def _sample_feature_config(self, rng: random.Random, space=None) -> dict:
         if self.init_config is not None:
             return self.init_config(rng)
-        lags, tfms, dates, targets = _seasonality_based_space(self.season_length)
+        lags, tfms, dates, targets = space
         return {
             "lags": rng.choice(lags),
             "lag_transforms": rng.choice(tfms),
@@ -118,10 +179,29 @@ class AutoMLForecast:
         static_features: Optional[Sequence[str]] = None,
     ) -> "AutoMLForecast":
         rng = random.Random(self.seed)
+        space = None
+        if self.init_config is None:
+            # panel stats gate the candidate space (reference auto.py:308-346)
+            stats = (
+                df.groupBy(id_col)
+                .agg(
+                    F.count(target_col).alias("_n"),
+                    F.min(target_col).alias("_mn"),
+                )
+                .agg(F.min("_n").alias("_n"), F.min("_mn").alias("_mn"))
+                .collect()[0]
+            )
+            space = _seasonality_based_space(
+                self.season_length,
+                h,
+                int(stats["_n"] or 0),
+                float(stats["_mn"] if stats["_mn"] is not None else -1.0),
+                isinstance(self.freq, int),
+            )
         self.trials_ = []
         best = {name: (float("inf"), None, None) for name in self.models}
         for trial in range(self.num_samples):
-            feat_cfg = self._sample_feature_config(rng)
+            feat_cfg = self._sample_feature_config(rng, space)
             model_insts = {
                 name: am.sample(rng) for name, am in self.models.items()
             }

@@ -418,39 +418,88 @@ class AutoSeasonalDifferences(AutoDifferences):
 
 
 class AutoSeasonalityAndDifferences(AutoSeasonalDifferences):
-    """Detect the season length per series (autocorrelation argmax up to
-    ``max_season_length``), then seasonal differences
-    (`/root/reference/mlforecast/target_transforms.py:329-375`)."""
+    """Detect the season length per series, then seasonal differences
+    (`/root/reference/mlforecast/target_transforms.py:329-375`; detection
+    delegated there to coreforecast's STL-style period finder).
 
-    def __init__(self, max_season_length: int, max_diffs: int, n_seasons: Optional[int] = None):
+    Detection here: autocorrelation of the DETRENDED (first-differenced)
+    series; candidate periods are significant LOCAL MAXIMA of the ACF
+    (|acf| > 1.96/sqrt(n), the standard white-noise band), strongest wins.
+    Detrending first stops trends masquerading as long periods — the main
+    failure mode of a plain ACF argmax on multi-seasonal/trending series.
+    ``n_seasons`` caps the sample used for the differencing test to the last
+    ``max_season_length * n_seasons`` points, matching the reference."""
+
+    def __init__(self, max_season_length: int, max_diffs: int, n_seasons: Optional[int] = 10):
         self.max_season_length = max_season_length
         self.max_diffs = max_diffs
         self.n_seasons = n_seasons
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        # the reference validates series length driver-side before the
+        # per-series pass (`target_transforms.py:354-372`)
+        min_required = self.max_diffs + 4
+        short = (
+            df.groupBy(self.id_col)
+            .agg(F.count(self.target_col).alias("_n"))
+            .filter(F.col("_n") < min_required)
+            .limit(5)
+            .collect()
+        )
+        if short:
+            ids = [r[self.id_col] for r in short]
+            raise ValueError(
+                f"Insufficient data for seasonality detection: with "
+                f"max_diffs={self.max_diffs} each series needs at least "
+                f"{min_required} observations; offenders e.g. {ids}"
+            )
+        return super().fit_transform(df)
 
     def _detect_season(self, y) -> int:
         import numpy as np
 
         y = y[~np.isnan(y)]
-        n = len(y)
-        best_sl, best_ac = 1, 0.0
-        yc = y - y.mean()
-        denom = float(yc @ yc)
-        if denom == 0:
+        if len(y) < 4:
             return 1
-        for sl in range(2, min(self.max_season_length, n // 3) + 1):
-            ac = float(yc[sl:] @ yc[:-sl]) / denom
-            if ac > best_ac:
-                best_ac, best_sl = ac, sl
-        return best_sl if best_ac > 0.3 else 1
+        d = np.diff(y)  # detrend
+        n = len(d)
+        dc = d - d.mean()
+        denom = float(dc @ dc)
+        if denom == 0 or n < 6:
+            return 1
+        max_sl = min(self.max_season_length, n // 3)
+        acf = np.array(
+            [float(dc[sl:] @ dc[:-sl]) / denom for sl in range(1, max_sl + 2)]
+        )
+        sig = 1.96 / np.sqrt(n)
+        best_sl, best_ac = 1, 0.0
+        for sl in range(2, max_sl + 1):
+            a = acf[sl - 1]
+            # significant local maximum of the ACF
+            if a > sig and a >= acf[sl - 2] and a >= acf[sl]:
+                if a > best_ac:
+                    best_ac, best_sl = a, sl
+        return best_sl
 
     def _choose_and_transform(self, y):
         import numpy as np
 
         sl = self._detect_season(y)
         self.season_length = sl  # per-series; recorded in meta below
-        cur, meta = AutoSeasonalDifferences._choose_and_transform(self, y)
-        meta["sl"] = sl
-        return cur, meta
+        if self.n_seasons is not None:
+            tail = self.max_season_length * self.n_seasons
+            y_test = y[-tail:] if len(y) > tail else y
+        else:
+            y_test = y
+        d = _ndiffs(y_test, self.max_diffs, season_length=sl)
+        tails = []
+        cur = y.astype("float64").copy()
+        for _ in range(d):
+            tails.append([float(v) for v in cur[-sl:]])
+            nxt = np.full_like(cur, np.nan)
+            nxt[sl:] = cur[sl:] - cur[:-sl]
+            cur = nxt
+        return cur, {"d": d, "sl": sl, "tails": tails}
 
 
 class _LocalScalerBase(BaseTargetTransform):
