@@ -501,7 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs(spark, sf)
-        sig = minhash_signatures(shingle_df(docs, n=3))
+        # minhash MIN is duplicate-invariant: skip the shingle-dedup shuffle
+        sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
         return minhash_lsh_candidates(sig).filter(F.col("est_jaccard") >= 0.5)
 
     q["dedup_minhash_lsh"] = minhash
@@ -519,7 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs(spark, sf)
-        sig = minhash_signatures(shingle_df(docs, n=3))
+        sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
         cand = minhash_lsh_candidates(sig).select("id_a", "id_b")
         exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
         return exact.join(cand, on=["id_a", "id_b"], how="inner").select(

@@ -38,12 +38,19 @@ def exact_duplicates(
 
 
 def _exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int, extra_cols: tuple = ()
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    extra_cols: tuple = (),
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs via posexplode + lead windows.
+    """(id, shingle) pairs via posexplode + lead windows.
 
     Spark's higher-order functions (transform/slice) run interpreted; the
-    window formulation stays in whole-stage codegen and is ~5× faster."""
+    window formulation stays in whole-stage codegen and is ~5× faster.
+    ``distinct=False`` skips the dedup shuffle — correct for consumers whose
+    aggregation is duplicate-invariant (minhash MIN)."""
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
@@ -59,18 +66,25 @@ def _exploded_shingles(
         F.concat_ws(" ", *parts).alias("shingle"),
         F.lead("_tok", n - 1).over(w).alias("_last"),
     )
-    return (
-        sh.filter(F.col("_last").isNotNull())
-        .drop("_last")
-        .dropDuplicates([id_col, "shingle"])
-    )
+    sh = sh.filter(F.col("_last").isNotNull()).drop("_last")
+    if distinct:
+        sh = sh.dropDuplicates([id_col, "shingle"])
+    return sh
 
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) exploded pairs — the base for minhash and Jaccard."""
-    return _exploded_shingles(df, text_col, id_col, n)
+    """(id, shingle) exploded pairs — the base for minhash and Jaccard.
+
+    Jaccard set semantics need ``distinct=True``; minhash signatures are
+    MIN-aggregated and duplicate-invariant, so ``distinct=False`` saves a
+    full shuffle there."""
+    return _exploded_shingles(df, text_col, id_col, n, distinct=distinct)
 
 
 def minhash_signatures(
