@@ -108,3 +108,40 @@ def test_linear_scoring_is_pure_expression(spark, panel):
     plan = _plan(scored)
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_pooled_seasonal_stays_jvm_with_broadcast_joins(spark, panel):
+    """Pooled seasonal rolling compiles to joins over the collapsed calendar:
+    no Python eval nodes, and the tiny collapsed frames broadcast."""
+    from mlforecast_spark.lag_transforms import SeasonalRollingMean
+
+    registry = _parse_transforms(
+        None,
+        {7: [SeasonalRollingMean(season_length=7, window_size=2, global_=True)]},
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_signature_path_has_no_shingle_dedup(spark):
+    """distinct=False shingles must not add an extra aggregate before the
+    signature groupBy (minhash MIN is duplicate-invariant)."""
+    from mlforecast_spark.operators.dedup import minhash_signatures, shingle_df
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y x y x y")], "doc_id string, text string"
+    )
+    sig_nodedup = minhash_signatures(shingle_df(docs, distinct=False))
+    sig_dedup = minhash_signatures(shingle_df(docs, distinct=True))
+    # exactly one aggregate (partial+final) feeds the signature — no extra
+    # shingle-dedup stage (Catalyst's RemoveRedundantAggregates also strips
+    # the distinct under MIN; pin that neither path regresses)
+    assert _plan(sig_nodedup).count("HashAggregate") == 2
+    assert _plan(sig_dedup).count("HashAggregate") == 2
+    # and identical signatures either way
+    a = {r["doc_id"]: r["signature"] for r in sig_nodedup.collect()}
+    b = {r["doc_id"]: r["signature"] for r in sig_dedup.collect()}
+    assert a == b
