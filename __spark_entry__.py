@@ -567,6 +567,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
+    def ann_ivf(spark, sf):
+        """Full-probe IVF == brute force exactly, so the plumbing (k-means
+        partition, probe join, exact re-rank) is oracle-checkable; recall of
+        partial probing is pytest-covered."""
+        from mlforecast_spark.operators.similarity import ivf_topk
+
+        embs = _embs(spark, sf)
+        queries_df = embs.filter(F.col("vec_id") < 20)
+        return ivf_topk(embs, queries_df, k=10, n_lists=8, nprobe=8)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     def exog_q(spark, sf):
         from mlforecast_spark.feature_engineering import transform_exog
         from mlforecast_spark.lag_transforms import RollingMean
@@ -1204,6 +1216,19 @@ def oracle_sql() -> dict[str, str]:
         " SELECT unique_id, ds, ROUND(price, 6) AS price, ROUND(pl, 6) AS price_lag1,"
         "  ROUND(CASE WHEN c >= 7 THEN s * 1.0 / c END, 6) AS price_rm7"
         " FROM aggs"
+    )
+
+    # full-probe IVF is exactly brute force — same oracle
+    o["ann_ivf_topk"] = (
+        "WITH pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "   CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+        "  FROM embeddings a, embeddings b"
+        "  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)"
+        " SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "   ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)"
+        " WHERE rank <= 10"
     )
 
     o["ann_cosine_topk"] = (

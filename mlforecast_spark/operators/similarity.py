@@ -3,9 +3,12 @@
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline. Dot
   products via ``zip_with``/``aggregate`` higher-order functions (JVM-side,
   no Python). Quadratic; use for query sets, not all-pairs at scale.
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Vectors
-  only meet within matching buckets, turning the quadratic join into a
-  bucket-local one. Recall tunable via num_planes/num_tables.
+- ``lsh_topk``: random-hyperplane LSH bucketing — data-independent scale
+  path. Vectors only meet within matching buckets, turning the quadratic
+  join into a bucket-local one. Recall tunable via num_planes/num_tables.
+- ``ivf_topk``: k-means inverted lists (FAISS-style) — the data-adaptive
+  scale path; probes the ``nprobe`` nearest lists per query and degrades
+  exactly to brute force at ``nprobe == n_lists``.
 """
 
 from __future__ import annotations
@@ -132,6 +135,80 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    (Spark MLlib, distributed) partitions vectors into ``n_lists`` inverted
+    lists; each query probes its ``nprobe`` nearest centroids and ranks only
+    those lists' vectors exactly. The candidate join is an equi-join on the
+    list id — per query it touches ~``nprobe/n_lists`` of the corpus, the
+    standard FAISS-style scale path for clusterable embeddings.
+
+    ``nprobe == n_lists`` degrades exactly to brute force (every list
+    probed), which is the oracle-checkable configuration; recall at small
+    ``nprobe`` depends on how clusterable the corpus is."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    feats = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        array_to_vector(vd).alias("_feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "_nv", F.col("prediction").alias("_list")
+    )
+
+    # probe: nprobe nearest centroids per query via a broadcast centroid join
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(centers, "_list int, _center array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    diff = F.zip_with(qv, F.col("_center"), lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+    w_probe = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("_list"))
+    probes = (
+        q.join(F.broadcast(cdf), how="cross")
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_list")
+    )
+
+    nv = F.transform(F.col("_nv"), lambda x: x.cast("double"))
+    qv2 = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    cos = _dot(qv2, nv) / (_norm(qv2) * _norm(nv))
+    pairs = (
+        probes.join(assigned, on="_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

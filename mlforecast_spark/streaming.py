@@ -75,6 +75,61 @@ def stream_update(
     return writer.start()
 
 
+def stateful_ewm(
+    stream_df: DataFrame,
+    alpha: float = 0.3,
+    id_col: str = "unique_id",
+    time_col: str = "ds",
+    target_col: str = "y",
+    out_col: str = "ewm",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-series EWM whose recursion state (one double) is carried across
+    micro-batches in the state store — the streaming analogue of the
+    carried-EWM predict mode (O(1) state per series, no history replay).
+
+    Rows inside a batch are processed in ``time_col`` order; the final state
+    per series persists through the checkpoint, so a restarted
+    ``availableNow`` query continues the recursion exactly where the last
+    run stopped."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        list(stream_df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("e", T.DoubleType())])
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        e = float("nan")
+        if state.exists:
+            (stored,) = state.get
+            if stored is not None:
+                e = float(stored)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            vals = pdf[target_col].to_numpy(dtype="float64")
+            out = np.empty(len(vals))
+            for i, v in enumerate(vals):
+                if not np.isnan(v):
+                    e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
+                out[i] = e
+            pdf[out_col] = out
+            yield pdf
+        state.update((None if np.isnan(e) else float(e),))
+
+    return stream_df.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_score(
     mf,
     stream_df: DataFrame,

@@ -154,3 +154,47 @@ def test_multimodal_plumbing(spark, docs):
         decode_and_featurize(with_payload, fake=False)
     frames = frame_sample_plan(docs, every_n=10).toPandas()
     assert len(frames) == 6 * 10
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe == n_lists must reproduce exact brute-force top-k regardless of
+    the k-means assignment."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(embs, q, k=5).toPandas().sort_values(["query_id", "rank"])
+    full = (
+        ivf_topk(embs, q, k=5, n_lists=6, nprobe=6)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert full.reset_index(drop=True).equals(exact.reset_index(drop=True))
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Probing a fraction of the lists must beat the expected-random recall
+    floor (nearest-centroid probing is data-adaptive)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    # clusterable corpus: 4 well-separated gaussian blobs
+    rows = []
+    for i in range(200):
+        c = i % 4
+        center = np.zeros(16)
+        center[c * 4 : c * 4 + 4] = 5.0
+        rows.append((int(i), [float(x) for x in center + rng.normal(size=16)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = embs.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(embs, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(embs, q, k=5, n_lists=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    inter = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    recall = inter / exact.count()
+    assert recall >= 0.8, recall

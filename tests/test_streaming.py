@@ -61,3 +61,57 @@ def test_stream_score_is_expression_only(spark, panel):
     scored = stream_score(mf, feats).toPandas()
     assert "LinearRegression" in scored.columns
     assert scored["LinearRegression"].notna().all()
+
+
+def test_stateful_ewm_carries_state_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: the per-series EWM recursion must continue
+    across micro-batches AND across query restarts (state store persists via
+    the checkpoint), matching a batch EWM over the concatenated data."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from mlforecast_spark.streaming import stateful_ewm
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    alpha = 0.3
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, "unique_id string, ds long, y double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "unique_id string, ds long, y double"
+        ).parquet(src)
+        out = stateful_ewm(stream, alpha=alpha)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [("a", t, float(t + 1)) for t in range(5)]
+    batch2 = [("a", t, float(t + 1)) for t in range(5, 9)]
+    run_batch(batch1)
+    run_batch(batch2)  # fresh query, same checkpoint: state must carry
+
+    got = (
+        pd.concat([pd.read_parquet(f) for f in glob.glob(f"{outdir}/*.parquet")])
+        .sort_values("ds")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 9
+    e, exp = float("nan"), []
+    for _, _, v in batch1 + batch2:
+        e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
+        exp.append(e)
+    np.testing.assert_allclose(got["ewm"].to_numpy(), exp, rtol=1e-12)
