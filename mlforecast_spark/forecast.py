@@ -781,6 +781,25 @@ class MLForecast:
         s = self.schema_
         if validate:
             self._validate_update(df)
+        # pooled lag transforms window across series, so every updated
+        # timestamp must carry every series — the reference enforces the same
+        # (`/root/reference/mlforecast/core.py:2035-2053`)
+        if any(tfm.is_pooled for _, tfm in self.registry.values()):
+            known = self.statics_.select(s.id_col)
+            incoming = df.select(s.id_col).distinct()
+            expected = known.unionByName(incoming).distinct().count()
+            bad = (
+                df.groupBy(s.time_col)
+                .agg(F.countDistinct(s.id_col).alias("_n_ids"))
+                .filter(F.col("_n_ids") != expected)
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    "Pooled lag transforms require updates to include all "
+                    "series for each timestamp."
+                )
         if self.target_transforms:
             # the reference applies tfm.update() for existing series and only
             # forbids NEW series with transforms fitted

@@ -268,3 +268,27 @@ def test_pooled_python_unsupported_raises_clearly(spark, panel):
     plan = FeaturePlan(schema=PanelSchema(), registry=registry)
     with pytest.raises(NotImplementedError, match="pooled python path"):
         plan.apply(panel).limit(1).collect()
+
+
+def test_update_with_pooled_transforms_requires_all_series(spark):
+    """Reference core.py:2035-2053: pooled lag transforms demand every
+    series per updated timestamp."""
+    from mlforecast_spark.lag_transforms import RollingMean
+
+    panel = _int_panel(spark, 20)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lag_transforms={1: [RollingMean(window_size=3, global_=True, time_agg="sum")]},
+    )
+    mf.fit(panel)
+    partial = spark.createDataFrame(
+        [("a", 20, 1.0)], "unique_id string, ds long, y double"
+    )
+    with pytest.raises(ValueError, match="all series"):
+        mf.update(partial)
+    both = spark.createDataFrame(
+        [("a", 20, 1.0), ("b", 20, 2.0)], "unique_id string, ds long, y double"
+    )
+    mf.update(both)  # complete timestamp passes
+    assert mf.predict(1).toPandas()["ds"].iloc[0] == 21
