@@ -193,3 +193,32 @@ def generate_daily_series(
         * (F.lit(0.5) + F.rand(seed + 1)),
     )
     return df.drop("_sid", "_len", "_offset", "_i")
+
+
+def generate_prices_for_series(
+    series: "DataFrame", horizon: int = 7, seed: int = 0
+) -> "DataFrame":
+    """Random exogenous price per (series, day) covering each series' span
+    plus ``horizon`` future days (`/root/reference/mlforecast/utils.py:225-246`).
+    Requires equal series ends, like the reference. Built with sequence +
+    explode and a hash-derived uniform so it is partitioning-stable."""
+    from pyspark.sql import Window
+
+    spans = series.groupBy("unique_id").agg(
+        F.min("ds").alias("_start"), F.max("ds").alias("_end")
+    )
+    n_ends = spans.select("_end").distinct().count()
+    if n_ends > 1:
+        raise ValueError("series must have equal ends.")
+    grid = spans.select(
+        "unique_id",
+        F.explode(
+            F.sequence(
+                F.col("_start"), F.date_add(F.col("_end"), horizon), F.expr("interval 1 day")
+            )
+        ).alias("ds"),
+    )
+    price = (
+        F.pmod(F.xxhash64(F.lit(seed), "unique_id", "ds"), F.lit(10**9)) / 1e9
+    )
+    return grid.withColumn("price", price)

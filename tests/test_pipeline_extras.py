@@ -122,3 +122,20 @@ def test_elastic_net_shrinks(spark, panel):
     assert np.abs(en).sum() < np.abs(lr).sum()
     preds = mf.predict(2).toPandas()
     assert preds["ElasticNet"].notna().all()
+
+
+def test_generate_prices_for_series(spark):
+    from mlforecast_spark.utils import generate_daily_series, generate_prices_for_series
+
+    s = generate_daily_series(spark, 4, 20, 30, equal_ends=True, seed=1)
+    p = generate_prices_for_series(s, horizon=5).toPandas()
+    spans = s.groupBy("unique_id").count().toPandas().set_index("unique_id")["count"]
+    got = p.groupby("unique_id").size()
+    for uid in spans.index:
+        assert got[uid] == spans[uid] + 5
+    assert ((p["price"] >= 0) & (p["price"] < 1)).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="equal ends"):
+        generate_prices_for_series(generate_daily_series(spark, 3, 20, 30, seed=2))
