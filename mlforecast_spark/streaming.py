@@ -142,3 +142,56 @@ def stream_score(
     for name, model in mf.models_.items():
         out = out.withColumn(name, mf._score_col(model))
     return out
+
+
+def sliding_aggregate(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_cols: tuple = ("event_type",),
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    agg: str = "sum",
+) -> DataFrame:
+    """Sliding-window aggregation (overlapping windows every ``slide``);
+    batch + streaming, like :func:`tumbling_aggregate`."""
+    agg_fn = {"sum": F.sum, "count": F.count, "mean": F.avg, "min": F.min, "max": F.max}[agg]
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(*key_cols, F.window(time_col, window, slide).alias("_w"))
+        .agg(agg_fn(F.col(value_col)).alias("y"))
+        .select(*key_cols, F.col("_w.start").alias("ds"), F.col("_w.end").alias("ds_end"), "y")
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_cols: tuple = ("user_id",),
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key (``F.session_window``); emits per-session count/sum and
+    bounds. Batch + streaming."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(*key_cols, F.session_window(time_col, gap).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("y"),
+        )
+        .select(
+            *key_cols,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+            "y",
+        )
+    )

@@ -115,3 +115,36 @@ def test_stateful_ewm_carries_state_across_restarts(spark, tmp_path):
         e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
         exp.append(e)
     np.testing.assert_allclose(got["ewm"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_sliding_aggregate_overlap(spark):
+    from mlforecast_spark.streaming import sliding_aggregate
+
+    rows = [("a", f"2024-01-01 00:{m:02d}:00", 1.0) for m in range(0, 60, 10)]
+    ev = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    out = sliding_aggregate(
+        ev, window="30 minutes", slide="15 minutes", agg="count"
+    ).toPandas()
+    # 30m windows sliding by 15m over one hour of events: overlapping windows
+    assert len(out) > 4  # more windows than tumbling would give
+    assert out["y"].max() == 3  # a full 30m window holds 3 events (10m apart)
+
+
+def test_session_aggregate_gap_split(spark):
+    from mlforecast_spark.streaming import session_aggregate
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1.0),
+        ("u1", "2024-01-01 00:10:00", 2.0),
+        ("u1", "2024-01-01 02:00:00", 3.0),  # > 30m gap: new session
+        ("u2", "2024-01-01 00:05:00", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    out = session_aggregate(ev, gap="30 minutes").toPandas()
+    u1 = out[out.user_id == "u1"].sort_values("session_start")
+    assert len(u1) == 2
+    assert u1["n_events"].tolist() == [2, 1]
+    assert u1["y"].tolist() == [3.0, 3.0]
+    assert len(out[out.user_id == "u2"]) == 1
