@@ -263,11 +263,75 @@ class _AutoPerSeriesTransform(_RefitOnWarmup, BaseTargetTransform):
         raise NotImplementedError
 
     def update(self, df: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            f"{type(self).__name__}.update() is not supported yet — per-series "
-            "adaptive state (diff tails chosen at fit) cannot be advanced "
-            "incrementally; refit on the extended history instead."
+        """Difference appended rows of EXISTING series with the per-series
+        meta chosen at fit (d, sl, tails) and advance the tails — the
+        incremental path the reference's coreforecast scalers expose via
+        ``update`` (`/root/reference/mlforecast/core.py:2089-2098`). The
+        per-series decision (d, sl) is NOT revisited."""
+        import json
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        id_col, time_col, target_col = self.id_col, self.time_col, self.target_col
+        joined = df.join(self.stats_, on=id_col, how="left")
+        out_schema = T.StructType(
+            df.schema.fields
+            + [
+                T.StructField("_meta", T.StringType()),
+                T.StructField("_is_meta", T.BooleanType()),
+            ]
         )
+        df_cols = [f.name for f in df.schema.fields]
+
+        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col).reset_index(drop=True)
+            raw_meta = pdf["_meta"].iloc[0]
+            meta = json.loads(raw_meta) if raw_meta else {"d": 0, "sl": 1, "tails": []}
+            sl = meta.get("sl", 1)
+            cur = pdf[target_col].astype("float64").to_numpy()
+            m = len(cur)
+            new_tails = []
+            for level in range(meta.get("d", 0)):
+                tail = np.array(
+                    [v if v is not None else np.nan for v in meta["tails"][level]],
+                    dtype="float64",
+                )
+                prev = np.array(
+                    [tail[i] if i < sl else cur[i - sl] for i in range(m)]
+                )
+                merged = np.concatenate([tail, cur])
+                new_tails.append(
+                    [None if np.isnan(v) else float(v) for v in merged[-sl:]]
+                )
+                cur = cur - prev
+            meta["tails"] = new_tails
+            pdf[target_col] = cur
+            pdf["_meta"] = None
+            pdf["_is_meta"] = False
+            pdf = pdf.drop(columns=[c for c in pdf.columns if c not in df_cols + ["_meta", "_is_meta"]])
+            mrow = {c: [None] for c in df_cols}
+            mrow[id_col] = [pdf[id_col].iloc[0]]
+            mrow["_meta"] = [json.dumps(meta)]
+            mrow["_is_meta"] = [True]
+            mdf = pd.DataFrame(mrow)
+            if np.issubdtype(pdf[time_col].dtype, np.datetime64):
+                mdf[time_col] = pd.to_datetime(mdf[time_col])
+            return pd.concat([pdf, mdf], ignore_index=True)[
+                df_cols + ["_meta", "_is_meta"]
+            ]
+
+        out = (
+            joined.groupBy(id_col)
+            .applyInPandas(upd, schema=out_schema)
+            .localCheckpoint(eager=True)
+        )
+        updated_ids = out.select(id_col).distinct()
+        kept = self.stats_.join(updated_ids, on=id_col, how="left_anti")
+        new_stats = out.filter(F.col("_is_meta")).select(id_col, "_meta")
+        self.stats_ = kept.unionByName(new_stats).localCheckpoint(eager=True)
+        return out.filter(~F.col("_is_meta")).select(*df_cols)
 
     def _inverse(self, preds, meta):
         raise NotImplementedError

@@ -292,3 +292,47 @@ def test_update_with_pooled_transforms_requires_all_series(spark):
     )
     mf.update(both)  # complete timestamp passes
     assert mf.predict(1).toPandas()["ds"].iloc[0] == 21
+
+
+def test_update_with_auto_differences_matches_full_refit_transform(spark):
+    """AutoDifferences.update must difference appended rows with the d/tails
+    chosen at fit and advance the tails, so subsequent inversion matches."""
+    from mlforecast_spark.target_transforms import AutoDifferences
+
+    full = _int_panel(spark, 26)
+    head = full.filter(F.col("ds") < 20)
+    tail = full.filter(F.col("ds") >= 20)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1, 2],
+        target_transforms=[AutoDifferences(max_diffs=2)],
+    )
+    mf.fit(head)
+    import json
+
+    metas = {
+        r["unique_id"]: json.loads(r["_meta"])
+        for r in mf.target_transforms[0].stats_.collect()
+    }
+    mf.update(tail)
+
+    # expected transformed values: d-fold diff of the FULL raw series at the
+    # appended timestamps, using the head-fitted d per series
+    raw = full.toPandas().sort_values(["unique_id", "ds"])
+    inc_state = mf.state_.filter(F.col("ds") >= 20).toPandas()
+    for uid, grp in raw.groupby("unique_id"):
+        d = metas[uid]["d"]
+        vals = grp["y"].to_numpy()
+        for _ in range(d):
+            vals = np.concatenate([[np.nan], np.diff(vals)])
+        exp = pd.Series(vals, index=grp["ds"].to_numpy())
+        got = inc_state[inc_state.unique_id == uid].set_index("ds")["y"]
+        for ds, v in got.items():
+            np.testing.assert_allclose(v, exp.loc[ds], rtol=1e-9)
+
+    # predictions invert through the ADVANCED tails: last appended raw value
+    # anchors the rebuild
+    preds = mf.predict(1).toPandas()
+    assert preds["LinearRegression"].notna().all()
+    assert (preds["ds"] == 26).all()
