@@ -987,9 +987,11 @@ class MLForecast:
         instead of n_origins sequential predicts. Row expansion is bounded by
         origins × bound, which is why unbounded-history transforms
         (expanding/EWM) are rejected."""
-        if self.target_transforms:
+        if any(t.refit_on_warmup for t in self.target_transforms):
             raise NotImplementedError(
-                "h>1 fitted values with target_transforms are not supported yet"
+                "h>1 fitted values with Differences/Auto transforms are not "
+                "supported yet (their inverse needs per-origin tail state); "
+                "scaler-type transforms work."
             )
         bound = self.plan_.keep_last_n_bound()
         if bound is None:
@@ -1045,7 +1047,15 @@ class MLForecast:
             x_df = fut.select(
                 cid.alias(s.id_col), s.time_col, *self.dynamic_cols_
             )
-        preds = self.predict(h, X_df=x_df, new_df=expanded)
+        # the expanded state is built from transformed_panel_, i.e. ALREADY in
+        # the transformed scale — suppress the warm-up's transform pass and
+        # inverse per ORIGINAL series id after mapping back
+        saved_tfms = self.target_transforms
+        self.target_transforms = []
+        try:
+            preds = self.predict(h, X_df=x_df, new_df=expanded)
+        finally:
+            self.target_transforms = saved_tfms
         w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
         last = (
             preds.withColumn("_rn", F.row_number().over(w_last))

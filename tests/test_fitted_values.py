@@ -128,3 +128,35 @@ def test_fitted_values_h2_rejects_unbounded_transforms(spark, panel):
     mf.fit(panel)
     with pytest.raises(NotImplementedError, match="finite-history"):
         mf.forecast_fitted_values(h=2)
+
+
+def test_fitted_values_recursive_h2_with_scaler(spark):
+    """h>1 fitted values with a scaler: transform once, replicate origins,
+    inverse per original series — pinned against a manual scaled rollout."""
+    panel = _int_panel(spark, 25)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[LocalStandardScaler()],
+    )
+    mf.fit(panel)
+    f2 = mf.forecast_fitted_values(h=2).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    stats = raw.groupby("unique_id")["y"].agg(["mean"]).rename(columns={"mean": "loc"})
+    stats["scale"] = raw.groupby("unique_id")["y"].std(ddof=0)
+    raw = raw.merge(stats, on="unique_id")
+    raw["z"] = (raw["y"] - raw["loc"]) / raw["scale"]
+    raw["z_l2"] = raw.groupby("unique_id")["z"].shift(2)
+    raw["exp"] = (a * (a * raw["z_l2"] + b) + b) * raw["scale"] + raw["loc"]
+    cmp = f2.merge(raw[["unique_id", "ds", "exp", "loc", "scale"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f2) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+    # y column back in the original scale
+    raw_chk = f2.merge(panel.toPandas(), on=["unique_id", "ds"], suffixes=("_f", ""))
+    np.testing.assert_allclose(raw_chk["y_f"], raw_chk["y"], rtol=1e-9)
