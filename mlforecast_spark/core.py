@@ -465,8 +465,29 @@ class FeaturePlan:
                 )
                 df = self._join_back(df, right, bucket, ord_name, key_cols, list(agg_feats))
             if row_feats:
-                cols = {n: tfm.expr(probe, lag) for n, (lag, tfm) in row_feats.items()}
-                df = df.select("*", *[c.alias(n) for n, c in cols.items()])
+                # ROLLING quantiles have a bounded window: compute them as a
+                # (bucket, ordinal-range) join against the raw rows — each
+                # row matches <= window_size output ordinals, so the work
+                # distributes instead of funneling every bucket row through
+                # one window partition (for global_ that is ALL rows).
+                # Expanding quantiles stay on the window (an unbounded join
+                # would be quadratic in the calendar).
+                from .lag_transforms import RollingQuantile
+
+                bounded_q = {
+                    n: v
+                    for n, v in row_feats.items()
+                    if isinstance(v[1], RollingQuantile)
+                }
+                rest = {n: v for n, v in row_feats.items() if n not in bounded_q}
+                if bounded_q:
+                    df = self._apply_pooled_rolling_quantile(
+                        df, bucket, ord_name, key_cols, bounded_q
+                    )
+                    key_cols = {c: df[c] for c in bucket}
+                if rest:
+                    cols = {n: tfm.expr(probe, lag) for n, (lag, tfm) in rest.items()}
+                    df = df.select("*", *[c.alias(n) for n, c in cols.items()])
             if py_feats:
                 df = self._pooled_python(df, bucket, ord_name, py_feats, collapsed=False)
             return df.drop(ord_name, *temp_keys)
@@ -507,6 +528,48 @@ class FeaturePlan:
         for c in bucket + [ord_name]:
             res = res.drop(right[c])
         return res
+
+    def _apply_pooled_rolling_quantile(self, df, bucket, ord_name, key_cols, feats):
+        """Pooled rolling quantile via a bounded ordinal-range join: output
+        ordinals (the collapsed calendar) against raw rows in
+        ``[o-lag-ws+1, o-lag]``, then one exact percentile per (bucket, o).
+        Same shape as the pooled seasonal path, minus the phase key."""
+        s = self.schema
+        y = F.col(s.target_col)
+        bkeys = [key_cols[c].alias(c) for c in bucket]
+        out_ords = df.select(*bkeys, F.col(ord_name)).distinct()
+        groups: dict[tuple, dict] = {}
+        for name, (lag, tfm) in feats.items():
+            groups.setdefault((lag, tfm.window_size), {})[name] = tfm
+        cur = df
+        for (lag, ws), grp in groups.items():
+            l = out_ords.withColumnRenamed(ord_name, "_o")
+            r = df.select(*bkeys, F.col(ord_name).alias("_p"), y.alias("_ry"))
+            cond = (
+                (r["_p"] >= l["_o"] - F.lit(lag + ws - 1))
+                & (r["_p"] <= l["_o"] - F.lit(lag))
+            )
+            for c in bucket:
+                cond = cond & l[c].eqNullSafe(r[c])
+            j = l.join(r, cond, "left").select(
+                *[l[c].alias(c) for c in bucket], l["_o"].alias(ord_name), "_ry"
+            )
+            aggs = [F.count("_ry").alias("_cnt")]
+            qnames = {}
+            for i, (name, tfm) in enumerate(grp.items()):
+                aggs.append(F.percentile(F.col("_ry"), F.lit(tfm.p)).alias(f"_q_{i}"))
+                qnames[name] = f"_q_{i}"
+            grouped = j.groupBy(*bucket, ord_name).agg(*aggs)
+            sel = [F.col(c) for c in bucket] + [F.col(ord_name)]
+            for name, tfm in grp.items():
+                ms = max(tfm._effective_min_samples(), 1)
+                sel.append(
+                    F.when(F.col("_cnt") >= ms, F.col(qnames[name])).alias(name)
+                )
+            right = grouped.select(*sel)
+            cur_keys = {c: cur[c] for c in bucket}
+            cur = self._join_back(cur, right, bucket, ord_name, cur_keys, list(grp))
+        return cur
 
     def _apply_pooled_seasonal(self, df, bucket, ord_name, key_cols, feats, time_agg):
         """Pooled seasonal rolling — value at parent ordinal ``o`` aggregates

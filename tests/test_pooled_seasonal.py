@@ -149,3 +149,55 @@ def test_pooled_seasonal_through_fit_predict(spark, panel):
     mf.fit(panel, dropna=False)
     preds = mf.predict(3).toPandas()
     assert preds["LinearRegression"].notna().all()
+
+
+def test_pooled_rolling_quantile_join_path(spark, panel_static):
+    """Pooled RollingQuantile compiles to the bounded ordinal-range join
+    (scale path) and matches brute force in global and groupby modes."""
+    from mlforecast_spark.lag_transforms import RollingQuantile
+
+    got, _ = _apply(
+        panel_static,
+        2,
+        [
+            RollingQuantile(p=0.5, window_size=3, global_=True),
+            RollingQuantile(
+                p=0.25, window_size=4, groupby=["static_0"], min_samples=2
+            ),
+        ],
+    )
+    raw = panel_static.toPandas()
+
+    def oracle(df, row, keys, lag, ws, ms, p):
+        sub = df[(df.o >= row.o - lag - ws + 1) & (df.o <= row.o - lag)]
+        for k in keys:
+            sub = sub[sub[k] == getattr(row, k)]
+        v = sub.y.to_numpy()
+        v = v[~np.isnan(v)]
+        return float(np.quantile(v, p)) if len(v) >= ms and len(v) > 0 else np.nan
+
+    g = _add_ord(raw.copy(), [])
+    gm = got.merge(g[["unique_id", "ds", "o"]].drop_duplicates(), on=["unique_id", "ds"])
+    exp0 = np.array([oracle(g, r, [], 2, 3, 3, 0.5) for r in gm.itertuples()])
+    np.testing.assert_allclose(
+        gm["_f0"].to_numpy(dtype=float), exp0, rtol=1e-9, equal_nan=True
+    )
+    g2 = _add_ord(raw.copy(), ["static_0"])
+    gm2 = got.merge(
+        g2[["unique_id", "ds", "o"]].drop_duplicates(), on=["unique_id", "ds"]
+    )
+    exp1 = np.array(
+        [oracle(g2, r, ["static_0"], 2, 4, 2, 0.25) for r in gm2.itertuples()]
+    )
+    np.testing.assert_allclose(
+        gm2["_f1"].to_numpy(dtype=float), exp1, rtol=1e-9, equal_nan=True
+    )
+    # plan stays JVM with no single-partition window over raw rows
+    from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+
+    registry = _parse_transforms(
+        None, {2: [RollingQuantile(p=0.5, window_size=3, global_=True)]}
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel_static)
+    plan_str = feats._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_str
