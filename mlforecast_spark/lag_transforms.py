@@ -408,7 +408,13 @@ class ExpandingMax(_ExpandingBase):
 
 
 class ExpandingQuantile(_ExpandingBase):
-    """`/root/reference/mlforecast/lag_transforms.py:1465-1499`."""
+    """`/root/reference/mlforecast/lag_transforms.py:1465-1499`.
+
+    Scale note: in pooled ``global_`` mode this is the one transform with no
+    partial-aggregate or bounded-join form (an exact expanding quantile needs
+    every prior raw value), so it windows the raw rows through a single
+    partition. Prefer ``RollingQuantile`` with a long window (bounded-join
+    scale path) or per-series/groupby scoping on very large panels."""
 
     def __init__(self, p: float, **kwargs):
         super().__init__(**kwargs)
