@@ -25,14 +25,6 @@ from .models_gbt import GradientBoostedTrees
 from .utils import time_plus
 
 
-def _smape(y, yhat) -> float:
-    denom = np.abs(y) + np.abs(yhat)
-    ok = denom > 0
-    if not ok.any():
-        return 0.0
-    return float(np.mean(2.0 * np.abs(yhat[ok] - y[ok]) / denom[ok]))
-
-
 class LightGBMCV:
     """CV-driven staged boosting (API-parity name; the booster is the
     engine's native histogram GBT)."""
