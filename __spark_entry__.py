@@ -648,6 +648,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessionize
 
+    def predict_snaive(spark, sf):
+        """The recursive predict ENGINE under the hash gate: SeasonalNaive(7)
+        over h=10 has a closed form — steps 1..7 read the 7 last observed
+        values positionally, steps 8..10 feed back the loop's own
+        predictions — so the whole loop (state advance, frontier build, time
+        arithmetic, prediction append) is DuckDB-checkable."""
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import SeasonalNaive
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[SeasonalNaive(7)], freq="D", lags=[7])
+        mf.fit(panel)
+        return mf.predict(10).select(
+            "unique_id", "ds", F.round("SeasonalNaive", 6).alias("yhat")
+        )
+
+    q["predict_seasonal_naive_h10"] = predict_snaive
+
     def conformal_q(spark, sf):
         from mlforecast_spark import MLForecast
         from mlforecast_spark.conformal import PredictionIntervals
@@ -1184,6 +1202,26 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
         " FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
         " WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.3"
+    )
+
+    # recursive engine closed form: yhat(step i) = y at row position
+    # n - 7*ceil(i/7) + i (positional, so history gaps match the engine's
+    # row-based lag); forecast dates are last_ds + i calendar days
+    o["predict_seasonal_naive_h10"] = (
+        f"WITH {PANEL_SQL}, nums AS ("
+        " SELECT unique_id, ds, y,"
+        "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,"
+        "  COUNT(*) OVER (PARTITION BY unique_id) AS n,"
+        "  MAX(ds) OVER (PARTITION BY unique_id) AS last_ds"
+        " FROM panel),"
+        " series AS (SELECT DISTINCT unique_id, n, last_ds FROM nums),"
+        " steps AS (SELECT unique_id, n, last_ds,"
+        "  unnest(generate_series(1, 10)) AS i FROM series)"
+        " SELECT s.unique_id,"
+        "  CAST(CAST(s.last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "  ROUND(v.y, 6) AS yhat"
+        " FROM steps s JOIN nums v ON v.unique_id = s.unique_id"
+        "  AND v.rn = s.n - 7 * CAST(CEIL(i / 7.0) AS INT) + i"
     )
 
     o["events_tumbling_agg"] = (
