@@ -666,6 +666,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["predict_seasonal_naive_h10"] = predict_snaive
 
+    def cv_snaive(spark, sf):
+        """cross_validation under the hash gate: with SeasonalNaive(7) and
+        h=7 every window's predictions are the positional closed form over
+        its truncated history, so cutoff arithmetic, per-window state capture
+        and the valid join are all DuckDB-checkable."""
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import SeasonalNaive
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[SeasonalNaive(7)], freq="D", lags=[7])
+        cv = mf.cross_validation(panel, n_windows=2, h=7)
+        return cv.select(
+            "unique_id",
+            "ds",
+            "cutoff",
+            F.round("y", 6).alias("y"),
+            F.round("SeasonalNaive", 6).alias("yhat"),
+        )
+
+    q["cross_validation_snaive"] = cv_snaive
+
     def conformal_q(spark, sf):
         from mlforecast_spark import MLForecast
         from mlforecast_spark.conformal import PredictionIntervals
@@ -1222,6 +1243,38 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(v.y, 6) AS yhat"
         " FROM steps s JOIN nums v ON v.unique_id = s.unique_id"
         "  AND v.rn = s.n - 7 * CAST(CEIL(i / 7.0) AS INT) + i"
+    )
+
+    # CV closed form: per window (backs 14, 7 days), predictions are the
+    # train span's last-7 positional values mapped onto train_last + i days;
+    # valid rows are observed rows in (cutoff, cutoff + 7 days]
+    o["cross_validation_snaive"] = (
+        f"WITH {PANEL_SQL},"
+        " m AS (SELECT unique_id, MAX(ds) AS max_ds FROM panel GROUP BY 1),"
+        " cut AS (SELECT unique_id, CAST(CAST(max_ds AS TIMESTAMP)"
+        "   - back * INTERVAL 1 DAY AS DATE) AS cutoff"
+        "  FROM m, UNNEST([14, 7]) AS t(back)),"
+        " train AS (SELECT c.unique_id, c.cutoff, p.ds, p.y,"
+        "   ROW_NUMBER() OVER (PARTITION BY c.unique_id, c.cutoff ORDER BY p.ds) AS rn,"
+        "   COUNT(*) OVER (PARTITION BY c.unique_id, c.cutoff) AS n,"
+        "   MAX(p.ds) OVER (PARTITION BY c.unique_id, c.cutoff) AS tl"
+        "  FROM cut c JOIN panel p ON p.unique_id = c.unique_id AND p.ds <= c.cutoff),"
+        " spans AS (SELECT DISTINCT unique_id, cutoff, n, tl FROM train),"
+        " steps AS (SELECT unique_id, cutoff, n, tl,"
+        "  unnest(generate_series(1, 7)) AS i FROM spans),"
+        " preds AS (SELECT s.unique_id, s.cutoff,"
+        "   CAST(CAST(s.tl AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "   t.y AS yhat"
+        "  FROM steps s JOIN train t ON t.unique_id = s.unique_id"
+        "   AND t.cutoff = s.cutoff AND t.rn = s.n - 7 + s.i),"
+        " valid AS (SELECT c.unique_id, c.cutoff, p.ds, p.y"
+        "  FROM cut c JOIN panel p ON p.unique_id = c.unique_id"
+        "   AND p.ds > c.cutoff"
+        "   AND p.ds <= CAST(CAST(c.cutoff AS TIMESTAMP) + 7 * INTERVAL 1 DAY AS DATE))"
+        " SELECT v.unique_id, v.ds, v.cutoff, ROUND(v.y, 6) AS y,"
+        "  ROUND(pr.yhat, 6) AS yhat"
+        " FROM valid v JOIN preds pr ON pr.unique_id = v.unique_id"
+        "  AND pr.cutoff = v.cutoff AND pr.ds = v.ds"
     )
 
     o["events_tumbling_agg"] = (
