@@ -105,6 +105,35 @@ def _feature_query(transform_factory, out_name: str, with_region: bool = False, 
     return q
 
 
+def _multi_feature_query(transforms_factory, out_names, with_region: bool = False, extra_cols=None, quantize: bool = False):
+    """Query = panel -> FeaturePlan with several transforms -> one row per
+    (unique_id, ds) with one column per transform. Merged variants keep every
+    operator under the driver's value-hash gate while spending a single
+    ``queries()`` slot (the driver checks only the first 50 entries)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        panel = _panel(spark, sf_dir, with_region=with_region)
+        if quantize:
+            panel = _quantize(panel)
+        if extra_cols:
+            for name, expr in extra_cols.items():
+                panel = panel.withColumn(name, expr)
+        registry = _parse_transforms([], transforms_factory())
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        feats = plan.apply(panel)
+        fnames = list(registry)
+        return feats.select(
+            "unique_id",
+            "ds",
+            *[
+                F.round(qcol(fn), 6).alias(out)
+                for fn, out in zip(fnames, out_names)
+            ],
+        )
+
+    return q
+
+
 # oracle SQL templates (local mode: ROWS frames, gap-free-irrelevant because
 # both engines window over the same observed rows ordered by ds)
 
@@ -247,33 +276,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7)), "rm"
     )
-    q["rolling_std"] = _feature_query(lambda: (1, RollingStd(window_size=7)), "rs")
-    q["rolling_min"] = _feature_query(lambda: (1, RollingMin(window_size=7)), "rmin")
-    q["rolling_max"] = _feature_query(lambda: (1, RollingMax(window_size=7)), "rmax")
-    q["rolling_quantile"] = _feature_query(
-        lambda: (1, RollingQuantile(p=0.5, window_size=7)), "rq"
+    q["rolling_std_quantile"] = _multi_feature_query(
+        lambda: {1: [RollingStd(window_size=7), RollingQuantile(p=0.5, window_size=7)]},
+        ["rs", "rq"],
+    )
+    q["rolling_min_max"] = _multi_feature_query(
+        lambda: {1: [RollingMin(window_size=7), RollingMax(window_size=7)]},
+        ["rmin", "rmax"],
     )
     q["expanding_mean"] = _feature_query(lambda: (1, ExpandingMean()), "em", quantize=True)
     q["expanding_std"] = _feature_query(lambda: (1, ExpandingStd()), "es", quantize=True)
-    q["expanding_min"] = _feature_query(lambda: (1, ExpandingMin()), "emin")
-    q["expanding_max"] = _feature_query(lambda: (1, ExpandingMax()), "emax")
+    q["expanding_min_max"] = _multi_feature_query(
+        lambda: {1: [ExpandingMin(), ExpandingMax()]}, ["emin", "emax"]
+    )
     q["expanding_quantile"] = _feature_query(
         lambda: (1, ExpandingQuantile(p=0.25)), "eq"
     )
-    q["seasonal_rolling_mean"] = _feature_query(
-        lambda: (1, SeasonalRollingMean(season_length=7, window_size=4, min_samples=1)),
-        "srm",
-    )
 
-    def seasonal_std_q(spark, sf):
+    def seasonal_mean_std_q(spark, sf):
         from mlforecast_spark.lag_transforms import SeasonalRollingStd
 
-        return _feature_query(
-            lambda: (1, SeasonalRollingStd(season_length=7, window_size=4, min_samples=2)),
-            "srs",
+        return _multi_feature_query(
+            lambda: {
+                1: [
+                    SeasonalRollingMean(season_length=7, window_size=4, min_samples=1),
+                    SeasonalRollingStd(season_length=7, window_size=4, min_samples=2),
+                ]
+            },
+            ["srm", "srs"],
         )(spark, sf)
 
-    q["seasonal_rolling_std"] = seasonal_std_q
+    q["seasonal_rolling_mean_std"] = seasonal_mean_std_q
     q["ewm"] = _feature_query(
         lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val"
     )
@@ -355,13 +388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         with_region=True,
     )
 
-    # --- date features --------------------------------------------------
-    def date_feats(spark, sf):
-        panel = _panel(spark, sf)
-        from mlforecast_spark.date_features import date_feature_col
+    # --- date features (string family + dummy expansion, one slot) ------
+    def date_feats_all(spark, sf):
+        from mlforecast_spark.date_features import apply_date_features, date_feature_col
 
+        panel = _panel(spark, sf)
+        out, names = apply_date_features(panel, "ds", ["dayofweek"], as_dummies=True)
         ds = F.col("ds")
-        return panel.select(
+        return out.select(
             "unique_id",
             "ds",
             date_feature_col("dayofweek", ds).alias("dayofweek"),
@@ -370,18 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             date_feature_col("dayofyear", ds).alias("dayofyear"),
             date_feature_col("is_month_end", ds).alias("is_month_end"),
             date_feature_col("daysinmonth", ds).alias("daysinmonth"),
+            *names,
         )
 
-    q["date_features"] = date_feats
-
-    def date_dummies(spark, sf):
-        from mlforecast_spark.date_features import apply_date_features
-
-        panel = _panel(spark, sf)
-        out, names = apply_date_features(panel, "ds", ["dayofweek"], as_dummies=True)
-        return out.select("unique_id", "ds", *names)
-
-    q["date_dummies"] = date_dummies
+    q["date_features_all"] = date_feats_all
 
     def boxcox_q(spark, sf):
         from mlforecast_spark.target_transforms import LocalBoxCox
@@ -416,33 +442,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["differences"] = diff1
 
-    def zscore(spark, sf):
-        from mlforecast_spark.target_transforms import LocalStandardScaler
+    def local_scalers(spark, sf):
+        """All three Local* scalers in one slot: each fit_transform runs the
+        real operator; the three outputs join back on (unique_id, ds) so each
+        scaled column sits under the driver's hash gate."""
+        from mlforecast_spark.target_transforms import (
+            LocalMinMaxScaler,
+            LocalRobustScaler,
+            LocalStandardScaler,
+        )
 
         panel = _panel(spark, sf)
-        tfm = LocalStandardScaler()
-        out = tfm.fit_transform(panel)
-        return out.select("unique_id", "ds", F.round("y", 6).alias("y_z"))
+        z = (
+            LocalStandardScaler()
+            .fit_transform(panel)
+            .select("unique_id", "ds", F.round("y", 6).alias("y_z"))
+        )
+        mm = (
+            LocalMinMaxScaler()
+            .fit_transform(panel)
+            .select("unique_id", "ds", F.round("y", 6).alias("y_mm"))
+        )
+        r = (
+            LocalRobustScaler(scale="iqr")
+            .fit_transform(panel)
+            .select("unique_id", "ds", F.round("y", 6).alias("y_r"))
+        )
+        return z.join(mm, ["unique_id", "ds"]).join(r, ["unique_id", "ds"])
 
-    q["local_standard_scaler"] = zscore
-
-    def minmax(spark, sf):
-        from mlforecast_spark.target_transforms import LocalMinMaxScaler
-
-        panel = _panel(spark, sf)
-        out = LocalMinMaxScaler().fit_transform(panel)
-        return out.select("unique_id", "ds", F.round("y", 6).alias("y_mm"))
-
-    q["local_minmax_scaler"] = minmax
-
-    def robust(spark, sf):
-        from mlforecast_spark.target_transforms import LocalRobustScaler
-
-        panel = _panel(spark, sf)
-        out = LocalRobustScaler(scale="iqr").fit_transform(panel)
-        return out.select("unique_id", "ds", F.round("y", 6).alias("y_r"))
-
-    q["local_robust_scaler"] = robust
+    q["local_scalers"] = local_scalers
 
     def log1p_q(spark, sf):
         from mlforecast_spark.target_transforms import GlobalSklearnTransformer
@@ -456,26 +484,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["global_log1p"] = log1p_q
 
     # --- documents: text analysis + dedup ------------------------------
-    def tok_stats(spark, sf):
-        from mlforecast_spark.operators.text import token_stats
+    def doc_text_profile(spark, sf):
+        """Token stats + language ID + fingerprint in one slot: all three
+        operators run for real and join on doc_id, so every output column
+        stays under the driver's hash gate."""
+        from mlforecast_spark.operators.text import (
+            fingerprint,
+            language_scores,
+            token_stats,
+        )
 
-        return token_stats(_docs(spark, sf))
+        docs = _docs(spark, sf)
+        return (
+            token_stats(docs)
+            .join(language_scores(docs), "doc_id")
+            .join(fingerprint(docs), "doc_id")
+        )
 
-    q["doc_token_stats"] = tok_stats
-
-    def lang_id(spark, sf):
-        from mlforecast_spark.operators.text import language_scores
-
-        return language_scores(_docs(spark, sf))
-
-    q["doc_language_id"] = lang_id
-
-    def doc_fp(spark, sf):
-        from mlforecast_spark.operators.text import fingerprint
-
-        return fingerprint(_docs(spark, sf))
-
-    q["doc_fingerprint"] = doc_fp
+    q["doc_text_profile"] = doc_text_profile
 
     def exact_dup(spark, sf):
         from mlforecast_spark.operators.dedup import exact_duplicates
@@ -501,9 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs(spark, sf)
-        # minhash MIN is duplicate-invariant: skip the shingle-dedup shuffle
+        # minhash MIN is duplicate-invariant: skip the shingle-dedup shuffle;
+        # bucket cap opted in explicitly (the 100 TB degenerate-bucket guard)
         sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
-        return minhash_lsh_candidates(sig).filter(F.col("est_jaccard") >= 0.5)
+        return minhash_lsh_candidates(sig, max_bucket_size=1000).filter(
+            F.col("est_jaccard") >= 0.5
+        )
 
     q["dedup_minhash_lsh"] = minhash
 
@@ -756,7 +785,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_validation"] = cv_q
 
-    return q
+    # Driver-gate ordering: the harness oracle-checks only the first 50
+    # queries() entries, so every oracle-backed query must precede the
+    # rows-only family (trained-model outputs / LSH candidate sets that have
+    # no deterministic SQL oracle). Keep this list in sync with oracle_sql().
+    rows_only = [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_lsh_topk",
+        "predict_recursive_linreg",
+        "conformal_intervals",
+        "predict_gbt",
+        "cross_validation",
+    ]
+    ordered = {k: v for k, v in q.items() if k not in rows_only}
+    assert len(ordered) <= 50, (
+        f"{len(ordered)} oracle-backed queries exceed the driver's 50-row "
+        "correctness window — merge variants before adding more"
+    )
+    for k in rows_only:
+        ordered[k] = q[k]
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -807,11 +856,29 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 1, 7, 7, "rm")
-    o["rolling_std"] = _rolling_sql(_STD_AGG, _STD_RES, 1, 7, 7, "rs")
-    o["rolling_min"] = _rolling_sql(_MIN_AGG, _MIN_RES, 1, 7, 7, "rmin")
-    o["rolling_max"] = _rolling_sql(_MAX_AGG, _MAX_RES, 1, 7, 7, "rmax")
-    o["rolling_quantile"] = _rolling_sql(
-        _Q_AGG.format(p=0.5, ms="{ms}"), _Q_RES, 1, 7, 7, "rq"
+    o["rolling_std_quantile"] = (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        " SELECT unique_id, ds, SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq,"
+        "  COUNT(y) OVER w AS w_cnt, quantile_cont(y, 0.5) OVER w AS w_q FROM panel"
+        " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        "  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt >= 7 AND w_cnt > 1 THEN"
+        "   SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0))"
+        "  END, 6) AS rs,"
+        "  ROUND(CASE WHEN w_cnt >= 7 THEN w_q END, 6) AS rq"
+        " FROM aggs"
+    )
+    o["rolling_min_max"] = (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        " SELECT unique_id, ds, MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max,"
+        "  COUNT(y) OVER w AS w_cnt FROM panel"
+        " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        "  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt >= 7 THEN w_min END, 6) AS rmin,"
+        "  ROUND(CASE WHEN w_cnt >= 7 THEN w_max END, 6) AS rmax"
+        " FROM aggs"
     )
     o["rolling_mean_min_samples"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 2, 14, 3, "rmms")
     # Offset(RollingMean(7), 2) at lag 1 == RollingMean(7) at lag 3
@@ -833,8 +900,16 @@ def oracle_sql() -> dict[str, str]:
     dow_dummies = ", ".join(
         f"CAST(isodow(ds) - 1 = {v} AS INTEGER) AS dayofweek_{v}" for v in range(7)
     )
-    o["date_dummies"] = (
-        f"WITH {PANEL_SQL} SELECT unique_id, ds, {dow_dummies} FROM panel"
+    o["date_features_all"] = (
+        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
+        " CAST(isodow(ds) - 1 AS INTEGER) AS dayofweek,"
+        " CAST(MONTH(ds) AS INTEGER) AS month,"
+        " CAST(QUARTER(ds) AS INTEGER) AS quarter,"
+        " CAST(DAYOFYEAR(ds) AS INTEGER) AS dayofyear,"
+        " CAST(ds = last_day(ds) AS INTEGER) AS is_month_end,"
+        " CAST(DAY(last_day(ds)) AS INTEGER) AS daysinmonth,"
+        f" {dow_dummies}"
+        " FROM panel"
     )
 
     o["expanding_mean"] = _expanding_sql(
@@ -848,11 +923,16 @@ def oracle_sql() -> dict[str, str]:
         "es",
         quant=True,
     )
-    o["expanding_min"] = _expanding_sql(
-        _MIN_AGG, "CASE WHEN w_cnt > 0 THEN w_min END", 1, "emin"
-    )
-    o["expanding_max"] = _expanding_sql(
-        _MAX_AGG, "CASE WHEN w_cnt > 0 THEN w_max END", 1, "emax"
+    o["expanding_min_max"] = (
+        f"WITH {PANEL_SQL}, aggs AS ("
+        " SELECT unique_id, ds, MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max,"
+        "  COUNT(y) OVER w AS w_cnt FROM panel"
+        " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt > 0 THEN w_min END, 6) AS emin,"
+        "  ROUND(CASE WHEN w_cnt > 0 THEN w_max END, 6) AS emax"
+        " FROM aggs"
     )
     o["expanding_quantile"] = _expanding_sql(
         "quantile_cont(y, 0.25) OVER w AS w_q, COUNT(y) OVER w AS w_cnt",
@@ -862,31 +942,20 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # seasonal: same-phase ROWS window over the lag-shifted series
-    o["seasonal_rolling_mean"] = (
+    o["seasonal_rolling_mean_std"] = (
         f"WITH {PANEL_SQL}, base AS ("
         " SELECT unique_id, ds,"
         "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord,"
         "  LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS ly"
         " FROM panel), aggs AS ("
-        " SELECT unique_id, ds, AVG(ly) OVER w AS w_avg, COUNT(ly) OVER w AS w_cnt"
+        " SELECT unique_id, ds, AVG(ly) OVER w AS w_avg, SUM(ly) OVER w AS s,"
+        "  SUM(ly*ly) OVER w AS sq, COUNT(ly) OVER w AS c"
         " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
         "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
-        " SELECT unique_id, ds, ROUND(CASE WHEN w_cnt >= 1 THEN w_avg END, 6) AS srm"
-        " FROM aggs"
-    )
-
-    o["seasonal_rolling_std"] = (
-        f"WITH {PANEL_SQL}, base AS ("
         " SELECT unique_id, ds,"
-        "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord,"
-        "  LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS ly"
-        " FROM panel), aggs AS ("
-        " SELECT unique_id, ds, SUM(ly) OVER w AS s, SUM(ly*ly) OVER w AS sq,"
-        "  COUNT(ly) OVER w AS c"
-        " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
-        "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
-        " SELECT unique_id, ds, ROUND(CASE WHEN c >= 2 AND c > 1 THEN"
-        "  SQRT(GREATEST((sq - s * s * 1.0 / c) / (c - 1), 0.0)) END, 6) AS srs"
+        "  ROUND(CASE WHEN c >= 1 THEN w_avg END, 6) AS srm,"
+        "  ROUND(CASE WHEN c >= 2 AND c > 1 THEN"
+        "   SQRT(GREATEST((sq - s * s * 1.0 / c) / (c - 1), 0.0)) END, 6) AS srs"
         " FROM aggs"
     )
 
@@ -1058,17 +1127,6 @@ def oracle_sql() -> dict[str, str]:
         " WHERE rank <= 3 AND cosine >= 0.35"
     )
 
-    o["date_features"] = (
-        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
-        " CAST(isodow(ds) - 1 AS INTEGER) AS dayofweek,"
-        " CAST(MONTH(ds) AS INTEGER) AS month,"
-        " CAST(QUARTER(ds) AS INTEGER) AS quarter,"
-        " CAST(DAYOFYEAR(ds) AS INTEGER) AS dayofyear,"
-        " CAST(ds = last_day(ds) AS INTEGER) AS is_month_end,"
-        " CAST(DAY(last_day(ds)) AS INTEGER) AS daysinmonth"
-        " FROM panel"
-    )
-
     o["differences"] = (
         f"WITH {PANEL_SQL} SELECT unique_id, ds,"
         " ROUND(y - LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds), 6) AS y_diff"
@@ -1130,51 +1188,25 @@ def oracle_sql() -> dict[str, str]:
         " FROM panel p JOIN best b ON p.unique_id = b.unique_id"
     )
 
-    o["local_standard_scaler"] = (
+    o["local_scalers"] = (
         f"WITH {PANEL_SQL}, stats AS ("
         " SELECT unique_id, AVG(y) AS mu,"
-        "  CASE WHEN stddev_pop(y) = 0 THEN 1.0 ELSE stddev_pop(y) END AS sigma"
-        " FROM panel GROUP BY 1)"
-        " SELECT p.unique_id, p.ds, ROUND((p.y - s.mu) / s.sigma, 6) AS y_z"
-        " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
-    )
-
-    o["local_minmax_scaler"] = (
-        f"WITH {PANEL_SQL}, stats AS ("
-        " SELECT unique_id, MIN(y) AS lo,"
-        "  CASE WHEN MAX(y) - MIN(y) = 0 THEN 1.0 ELSE MAX(y) - MIN(y) END AS rng"
-        " FROM panel GROUP BY 1)"
-        " SELECT p.unique_id, p.ds, ROUND((p.y - s.lo) / s.rng, 6) AS y_mm"
-        " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
-    )
-
-    o["local_robust_scaler"] = (
-        f"WITH {PANEL_SQL}, stats AS ("
-        " SELECT unique_id, quantile_cont(y, 0.5) AS med,"
+        "  CASE WHEN stddev_pop(y) = 0 THEN 1.0 ELSE stddev_pop(y) END AS sigma,"
+        "  MIN(y) AS lo,"
+        "  CASE WHEN MAX(y) - MIN(y) = 0 THEN 1.0 ELSE MAX(y) - MIN(y) END AS rng,"
+        "  quantile_cont(y, 0.5) AS med,"
         "  CASE WHEN quantile_cont(y, 0.75) - quantile_cont(y, 0.25) = 0 THEN 1.0"
         "   ELSE quantile_cont(y, 0.75) - quantile_cont(y, 0.25) END AS iqr"
         " FROM panel GROUP BY 1)"
-        " SELECT p.unique_id, p.ds, ROUND((p.y - s.med) / s.iqr, 6) AS y_r"
+        " SELECT p.unique_id, p.ds,"
+        "  ROUND((p.y - s.mu) / s.sigma, 6) AS y_z,"
+        "  ROUND((p.y - s.lo) / s.rng, 6) AS y_mm,"
+        "  ROUND((p.y - s.med) / s.iqr, 6) AS y_r"
         " FROM panel p JOIN stats s ON p.unique_id = s.unique_id"
     )
 
     # --- documents -----------------------------------------------------
-    o["doc_token_stats"] = (
-        "WITH base AS (SELECT doc_id, text, LENGTH(text) AS n_chars,"
-        " CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
-        "  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,"
-        " LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct,"
-        " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces"
-        " FROM documents)"
-        " SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
-        "  CAST(n_tokens AS BIGINT) AS n_tokens,"
-        "  ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - n_spaces) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,"
-        "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
-        "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
-        " FROM base"
-    )
-
-    # language scores: same padded-occurrence arithmetic
+    # language scores: same padded-occurrence arithmetic as operators/text.py
     def _occ_sql(word: str) -> str:
         needle = f" {word} "
         return (
@@ -1194,18 +1226,32 @@ def oracle_sql() -> dict[str, str]:
     for lang in langs[1:]:
         guess = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {guess} END"
         best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
-    o["doc_language_id"] = (
-        "WITH base AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents),"
-        f" scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)"
-        f" SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess"
-        " FROM scored"
-    )
+    li_score_cols = ", ".join(f"li.score_{lang}" for lang in langs)
 
-    o["doc_fingerprint"] = (
-        "SELECT doc_id, md5(TRIM(regexp_replace("
-        " regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
-        " '\\s+', ' ', 'g'))) AS fingerprint"
-        " FROM documents"
+    o["doc_text_profile"] = (
+        "WITH tbase AS (SELECT doc_id, text, LENGTH(text) AS n_chars,"
+        " CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
+        "  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,"
+        " LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct,"
+        " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces"
+        " FROM documents),"
+        " ts AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
+        "  CAST(n_tokens AS BIGINT) AS n_tokens,"
+        "  ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - n_spaces) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
+        " FROM tbase),"
+        " lbase AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents),"
+        f" li AS (SELECT doc_id, {', '.join(score_exprs)} FROM lbase),"
+        f" li2 AS (SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess FROM li),"
+        " fp AS (SELECT doc_id, md5(TRIM(regexp_replace("
+        "  regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+        "  '\\s+', ' ', 'g'))) AS fingerprint FROM documents)"
+        " SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.avg_token_len,"
+        f"  ts.punct_ratio, ts.space_ratio, {li_score_cols.replace('li.', 'li2.')},"
+        "  li2.lang_guess, fp.fingerprint"
+        " FROM ts JOIN li2 ON ts.doc_id = li2.doc_id"
+        " JOIN fp ON ts.doc_id = fp.doc_id"
     )
 
     o["dedup_exact"] = (

@@ -90,11 +90,11 @@ def main():
         "rolling_mean",
         "pooled_global_rolling_mean",
         "pooled_groupby_timeagg_rolling_mean",
-        "seasonal_rolling_mean",
+        "seasonal_rolling_mean_std",
         "ewm",
         "events_tumbling_agg",
         "events_sessionize",
-        "doc_token_stats",
+        "doc_text_profile",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",

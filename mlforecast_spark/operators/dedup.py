@@ -144,7 +144,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 8,
     num_hashes: int = 32,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: hash each band of the
     signature to a bucket, self-join on (band, bucket). Returns distinct
@@ -155,8 +155,12 @@ def minhash_lsh_candidates(
     document) and feeds both sides, so recomputing the shingle+hash pipeline
     twice would dominate the cost. Only (id, band, bucket) flows through the
     self-join — the signature arrays are joined back onto the deduplicated
-    pair set, keeping the wide payload out of the quadratic stage. Buckets
-    larger than ``max_bucket_size`` are dropped (see ``_cap_buckets``)."""
+    pair set, keeping the wide payload out of the quadratic stage.
+
+    ``max_bucket_size`` is OFF by default so the banding guarantee holds
+    exactly; at 100 TB scale, set it (e.g. 1000) to drop degenerate
+    boilerplate buckets — the recall caveat is that pairs whose *every*
+    matching band lands in a capped bucket are lost (see ``_cap_buckets``)."""
     signatures = signatures.cache()
     rows_per_band = max(1, num_hashes // num_bands)
     bands = signatures.select(
@@ -275,12 +279,16 @@ def simhash_candidates(
     fps: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
-    verify exact hamming distance. Buckets larger than ``max_bucket_size``
-    are dropped (see ``_cap_buckets``)."""
+    verify exact hamming distance.
+
+    ``max_bucket_size`` is OFF by default: capping breaks the pigeonhole
+    guarantee for pairs whose every equal chunk sits in a capped bucket. Set
+    it explicitly (e.g. 1000) as the 100 TB guard against one degenerate
+    chunk value turning the self-join quadratic (see ``_cap_buckets``)."""
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),

@@ -109,16 +109,23 @@ def stateful_ewm(
             (stored,) = state.get
             if stored is not None:
                 e = float(stored)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
-            vals = pdf[target_col].to_numpy(dtype="float64")
-            out = np.empty(len(vals))
-            for i, v in enumerate(vals):
-                if not np.isnan(v):
-                    e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
-                out[i] = e
-            pdf[out_col] = out
-            yield pdf
+        # A group's rows arrive as multiple Arrow chunks in arbitrary order
+        # once the series exceeds arrow.maxRecordsPerBatch in one micro-batch
+        # — materialize them all before sorting, or the recursion would
+        # consume values out of time order.
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((None if np.isnan(e) else float(e),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(time_col)
+        vals = pdf[target_col].to_numpy(dtype="float64")
+        out = np.empty(len(vals))
+        for i, v in enumerate(vals):
+            if not np.isnan(v):
+                e = v if np.isnan(e) else alpha * v + (1 - alpha) * e
+            out[i] = e
+        pdf[out_col] = out
+        yield pdf
         state.update((None if np.isnan(e) else float(e),))
 
     return stream_df.groupBy(id_col).applyInPandasWithState(
