@@ -533,7 +533,16 @@ class FeaturePlan:
         """Pooled rolling quantile via a bounded ordinal-range join: output
         ordinals (the collapsed calendar) against raw rows in
         ``[o-lag-ws+1, o-lag]``, then one exact percentile per (bucket, o).
-        Same shape as the pooled seasonal path, minus the phase key."""
+        Same shape as the pooled seasonal path, minus the phase key.
+
+        The join carries an explicit equi-key: a coarse ordinal block id of
+        span ``lag + ws``. Each output ordinal's source window spans at most
+        two consecutive blocks (the left side explodes into both), and each
+        raw row belongs to exactly one, so Spark plans a hash join on
+        (bucket, block) with the range predicate as a residual filter —
+        without it, ``global_`` mode (empty bucket) has no equi-key at all
+        and degrades to a broadcast nested-loop join costing
+        O(raw_rows x calendar_length)."""
         s = self.schema
         y = F.col(s.target_col)
         bkeys = [key_cols[c].alias(c) for c in bucket]
@@ -543,10 +552,24 @@ class FeaturePlan:
             groups.setdefault((lag, tfm.window_size), {})[name] = tfm
         cur = df
         for (lag, ws), grp in groups.items():
-            l = out_ords.withColumnRenamed(ord_name, "_o")
-            r = df.select(*bkeys, F.col(ord_name).alias("_p"), y.alias("_ry"))
+            span = lag + ws  # window length <= span, so <= 2 blocks per ordinal
+            l = out_ords.withColumnRenamed(ord_name, "_o").withColumn(
+                "_blk",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            F.floor((F.col("_o") - F.lit(lag + ws - 1)) / F.lit(span)),
+                            F.floor((F.col("_o") - F.lit(lag)) / F.lit(span)),
+                        )
+                    )
+                ),
+            )
+            r = df.select(
+                *bkeys, F.col(ord_name).alias("_p"), y.alias("_ry")
+            ).withColumn("_blk", F.floor(F.col("_p") / F.lit(span)))
             cond = (
-                (r["_p"] >= l["_o"] - F.lit(lag + ws - 1))
+                (l["_blk"] == r["_blk"])
+                & (r["_p"] >= l["_o"] - F.lit(lag + ws - 1))
                 & (r["_p"] <= l["_o"] - F.lit(lag))
             )
             for c in bucket:

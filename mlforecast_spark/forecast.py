@@ -895,6 +895,15 @@ class MLForecast:
         in-sample), not the recursive tail rebuild."""
         if not isinstance(h, int) or h < 1:
             raise ValueError("`h` must be a positive integer.")
+        if not hasattr(self, "_fitted_feats") or not hasattr(
+            self, "transformed_panel_"
+        ):
+            raise ValueError(
+                "forecast_fitted_values is unavailable on a load()ed "
+                "pipeline: save() persists model/transform state but not the "
+                "fitted feature matrix. Re-run fit() (or preprocess()) on "
+                "the training panel first."
+            )
         s = self.schema_
         cols = [s.target_col] + list(self.models_)
         if getattr(self, "max_horizon_", None) is not None:

@@ -145,3 +145,17 @@ def test_minhash_signature_path_has_no_shingle_dedup(spark):
     a = {r["doc_id"]: r["signature"] for r in sig_nodedup.collect()}
     b = {r["doc_id"]: r["signature"] for r in sig_dedup.collect()}
     assert a == b
+
+
+def test_pooled_global_rolling_quantile_is_hash_join(spark, panel):
+    """The global_ rolling-quantile range join carries a block-id equi-key:
+    without it Spark has no equi-condition (empty bucket) and plans a
+    BroadcastNestedLoopJoin costing O(raw_rows x calendar_length)."""
+    from mlforecast_spark.lag_transforms import RollingQuantile
+
+    registry = _parse_transforms(
+        [], {1: [RollingQuantile(p=0.5, window_size=7, global_=True)]}
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    assert "NestedLoop" not in plan, plan[:3000]

@@ -121,6 +121,10 @@ def test_save_load_roundtrip_with_transforms(spark, tmp_path):
     mf2.update(nxt)
     preds = mf2.predict(1).toPandas()
     assert (preds["ds"] == 31).all()
+    # fitted values need the (unpersisted) feature matrix: clear error, not
+    # a raw AttributeError/IndexError deep in the inverse-transform chain
+    with pytest.raises(ValueError, match="load\\(\\)ed pipeline"):
+        mf2.forecast_fitted_values()
 
 
 def test_save_load_restores_weight_and_horizon_state(spark, tmp_path):
