@@ -743,6 +743,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conformal_snaive"] = conformal_snaive
 
+    def conformal_dist_snaive(spark, sf):
+        """conformal_distribution under the hash gate: the symmetric score
+        union {+s, -s} and its per-(series, step) quantiles are closed-form
+        SQL once SeasonalNaive makes the backtest scores closed-form."""
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.conformal import PredictionIntervals
+        from mlforecast_spark.models import SeasonalNaive
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[SeasonalNaive(7)], freq="D", lags=[7])
+        mf.fit(
+            panel,
+            prediction_intervals=PredictionIntervals(
+                n_windows=2, h=7, method="conformal_distribution"
+            ),
+        )
+        out = mf.predict(7, level=[80])
+        return out.select(
+            "unique_id",
+            "ds",
+            F.round("SeasonalNaive", 6).alias("yhat"),
+            F.round(F.col("`SeasonalNaive-lo-80`"), 6).alias("lo"),
+            F.round(F.col("`SeasonalNaive-hi-80`"), 6).alias("hi"),
+        )
+
+    q["conformal_distribution_snaive"] = conformal_dist_snaive
+
     def conformal_q(spark, sf):
         from mlforecast_spark import MLForecast
         from mlforecast_spark.conformal import PredictionIntervals
@@ -1400,6 +1427,63 @@ def oracle_sql() -> dict[str, str]:
         "   AND v.rn = s.n - 7 + s.i)"
         " SELECT f.unique_id, f.ds, ROUND(f.yhat, 6) AS yhat,"
         "  ROUND(f.yhat - q.q, 6) AS lo, ROUND(f.yhat + q.q, 6) AS hi"
+        " FROM fpreds f LEFT JOIN qs q ON q.unique_id = f.unique_id"
+        "  AND q.step = f.step"
+    )
+
+    # conformal_distribution closed form: same backtest scores as
+    # conformal_error, but the interval bounds are quantiles of the
+    # SYMMETRIC score union {+s, -s} added to the prediction
+    # (lo = yhat + q10, hi = yhat + q90 at level 80)
+    o["conformal_distribution_snaive"] = (
+        f"WITH {PANEL_SQL},"
+        " m AS (SELECT unique_id, MAX(ds) AS max_ds FROM panel GROUP BY 1),"
+        " cut AS (SELECT unique_id, CAST(CAST(max_ds AS TIMESTAMP)"
+        "   - back * INTERVAL 1 DAY AS DATE) AS cutoff"
+        "  FROM m, UNNEST([14, 7]) AS t(back)),"
+        " train AS (SELECT c.unique_id, c.cutoff, p.ds, p.y,"
+        "   ROW_NUMBER() OVER (PARTITION BY c.unique_id, c.cutoff ORDER BY p.ds) AS rn,"
+        "   COUNT(*) OVER (PARTITION BY c.unique_id, c.cutoff) AS n,"
+        "   MAX(p.ds) OVER (PARTITION BY c.unique_id, c.cutoff) AS tl"
+        "  FROM cut c JOIN panel p ON p.unique_id = c.unique_id AND p.ds <= c.cutoff),"
+        " spans AS (SELECT DISTINCT unique_id, cutoff, n, tl FROM train),"
+        " steps AS (SELECT unique_id, cutoff, n, tl,"
+        "  unnest(generate_series(1, 7)) AS i FROM spans),"
+        " wpreds AS (SELECT s.unique_id, s.cutoff,"
+        "   CAST(CAST(s.tl AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "   t.y AS yhat"
+        "  FROM steps s JOIN train t ON t.unique_id = s.unique_id"
+        "   AND t.cutoff = s.cutoff AND t.rn = s.n - 7 + s.i),"
+        " valid AS (SELECT c.unique_id, c.cutoff, p.ds, p.y"
+        "  FROM cut c JOIN panel p ON p.unique_id = c.unique_id"
+        "   AND p.ds > c.cutoff"
+        "   AND p.ds <= CAST(CAST(c.cutoff AS TIMESTAMP) + 7 * INTERVAL 1 DAY AS DATE)),"
+        " cv AS (SELECT v.unique_id, v.cutoff, v.ds, v.y, pr.yhat"
+        "  FROM valid v JOIN wpreds pr ON pr.unique_id = v.unique_id"
+        "   AND pr.cutoff = v.cutoff AND pr.ds = v.ds),"
+        " scores AS (SELECT unique_id, ABS(y - yhat) AS s,"
+        "   ROW_NUMBER() OVER (PARTITION BY unique_id, cutoff ORDER BY ds) AS step"
+        "  FROM cv),"
+        " sym AS (SELECT unique_id, step, s AS v FROM scores"
+        "  UNION ALL SELECT unique_id, step, -s AS v FROM scores),"
+        " qs AS (SELECT unique_id, step, quantile_cont(v, 0.1) AS ql,"
+        "   quantile_cont(v, 0.9) AS qh"
+        "  FROM sym GROUP BY 1, 2),"
+        " full_nums AS (SELECT unique_id, ds, y,"
+        "   ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,"
+        "   COUNT(*) OVER (PARTITION BY unique_id) AS n,"
+        "   MAX(ds) OVER (PARTITION BY unique_id) AS last_ds"
+        "  FROM panel),"
+        " fser AS (SELECT DISTINCT unique_id, n, last_ds FROM full_nums),"
+        " fsteps AS (SELECT unique_id, n, last_ds,"
+        "  unnest(generate_series(1, 7)) AS i FROM fser),"
+        " fpreds AS (SELECT s.unique_id, s.i AS step,"
+        "   CAST(CAST(s.last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "   v.y AS yhat"
+        "  FROM fsteps s JOIN full_nums v ON v.unique_id = s.unique_id"
+        "   AND v.rn = s.n - 7 + s.i)"
+        " SELECT f.unique_id, f.ds, ROUND(f.yhat, 6) AS yhat,"
+        "  ROUND(f.yhat + q.ql, 6) AS lo, ROUND(f.yhat + q.qh, 6) AS hi"
         " FROM fpreds f LEFT JOIN qs q ON q.unique_id = f.unique_id"
         "  AND q.step = f.step"
     )
