@@ -551,7 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
         cand = minhash_lsh_candidates(sig).select("id_a", "id_b")
-        exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3, allow_all_pairs=True)
         return exact.join(cand, on=["id_a", "id_b"], how="inner").select(
             "id_a", "id_b", "jaccard"
         )

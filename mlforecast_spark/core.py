@@ -486,6 +486,27 @@ class FeaturePlan:
                     )
                     key_cols = {c: df[c] for c in bucket}
                 if rest:
+                    # plan-time scale gate: a global_ expanding quantile has
+                    # no partial-aggregate or bounded-join form, so its window
+                    # funnels EVERY raw row through one partition — refuse to
+                    # ship that plan silently
+                    from .lag_transforms import ExpandingQuantile
+
+                    if not bucket:
+                        for name, (lag, tfm) in rest.items():
+                            if isinstance(tfm, ExpandingQuantile) and not getattr(
+                                tfm, "allow_single_partition", False
+                            ):
+                                raise ValueError(
+                                    f"{name}: ExpandingQuantile(global_=True) "
+                                    "windows all raw rows through a single "
+                                    "partition — a scale cliff on large "
+                                    "panels. Use RollingQuantile with a long "
+                                    "window (bounded-join scale path), scope "
+                                    "with groupby/partition_by, or pass "
+                                    "allow_single_partition=True to accept "
+                                    "the single-partition plan."
+                                )
                     cols = {n: tfm.expr(probe, lag) for n, (lag, tfm) in rest.items()}
                     df = df.select("*", *[c.alias(n) for n, c in cols.items()])
             if py_feats:

@@ -26,6 +26,11 @@ from .date_features import DateFeature
 from .target_transforms import BaseTargetTransform
 from .utils import Freq, qcol, time_plus
 
+# A model without fit_spark collects the whole feature matrix to the driver;
+# above this many rows that collect is refused unless the model opts in via
+# `model.allow_driver_collect = True`.
+DRIVER_COLLECT_MAX_ROWS = 5_000_000
+
 
 def _get_model_name(model) -> str:
     return type(model).__name__
@@ -324,7 +329,20 @@ class MLForecast:
             # collects the ENTIRE feature matrix to the driver. Fine for
             # experimentation on small panels; at cluster scale implement
             # fit_spark (sufficient statistics / distributed histograms —
-            # see models.py, models_gbt.py) instead.
+            # see models.py, models_gbt.py) instead. Row-count guard so the
+            # collect can't silently ship against a cluster-scale panel.
+            n_rows = feats.count()
+            if n_rows > DRIVER_COLLECT_MAX_ROWS and not getattr(
+                model, "allow_driver_collect", False
+            ):
+                raise ValueError(
+                    f"{type(model).__name__} has no fit_spark and the feature "
+                    f"matrix holds {n_rows:,} rows (> "
+                    f"{DRIVER_COLLECT_MAX_ROWS:,}): refusing to collect it to "
+                    "the driver. Implement fit_spark for a distributed fit, "
+                    "or set `model.allow_driver_collect = True` to accept "
+                    "the driver-side collect."
+                )
             pdf = feats.select(
                 *[qcol(c).alias(c) for c in self.features_order_], target_col
             ).toPandas()

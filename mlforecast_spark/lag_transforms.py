@@ -413,12 +413,15 @@ class ExpandingQuantile(_ExpandingBase):
     Scale note: in pooled ``global_`` mode this is the one transform with no
     partial-aggregate or bounded-join form (an exact expanding quantile needs
     every prior raw value), so it windows the raw rows through a single
-    partition. Prefer ``RollingQuantile`` with a long window (bounded-join
-    scale path) or per-series/groupby scoping on very large panels."""
+    partition. The plan compiler REFUSES that plan unless
+    ``allow_single_partition=True`` is passed — prefer ``RollingQuantile``
+    with a long window (bounded-join scale path) or per-series/groupby
+    scoping on very large panels."""
 
-    def __init__(self, p: float, **kwargs):
+    def __init__(self, p: float, allow_single_partition: bool = False, **kwargs):
         super().__init__(**kwargs)
         self.p = p
+        self.allow_single_partition = allow_single_partition
 
     def _name_params(self):
         return [("p", self.p, None)] + super()._name_params()

@@ -217,9 +217,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_cols: tuple = (),
     threshold: float = 0.0,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs (optionally blocked by
-    ``block_cols`` to bound the quadratic term). Pure joins + aggregations."""
+    ``block_cols`` to bound the quadratic term). Pure joins + aggregations.
+
+    Without ``block_cols`` the shingle self-join is unblocked all-pairs —
+    correct as an exact VERIFIER on LSH candidate pairs, quadratic and
+    scale-unsafe as a primary dedup pass. Callers must acknowledge that with
+    ``allow_all_pairs=True``; at 100 TB run minhash/simhash banding first and
+    verify only the candidates."""
+    if not block_cols and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_cols is an unblocked all-pairs "
+            "shingle join (quadratic in corpus size). Pass block_cols to "
+            "bound it, or allow_all_pairs=True to accept the all-pairs plan "
+            "(e.g. as the exact verifier on LSH candidates)."
+        )
     sh = _exploded_shingles(df, text_col, id_col, n, extra_cols=tuple(block_cols))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -32,7 +32,7 @@ def test_exact_duplicates(spark, docs):
 def test_ngram_jaccard(spark, docs):
     from mlforecast_spark.operators.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.0).toPandas()
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.0, allow_all_pairs=True).toPandas()
     pair = out[(out.id_a == 1) & (out.id_b == 2)]
     assert len(pair) == 1 and pair["jaccard"].iloc[0] == 1.0
     near = out[(out.id_a == 1) & (out.id_b == 3)]
@@ -51,7 +51,7 @@ def test_minhash_estimates_jaccard(spark, docs):
 
     sig = minhash_signatures(shingle_df(docs, n=2), num_hashes=64)
     cand = minhash_lsh_candidates(sig, num_hashes=64, num_bands=16).toPandas()
-    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.0).toPandas()
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.0, allow_all_pairs=True).toPandas()
     pair = cand[(cand.id_a == 1) & (cand.id_b == 2)]
     assert len(pair) == 1 and pair["est_jaccard"].iloc[0] == 1.0
     near = cand[(cand.id_a == 1) & (cand.id_b == 3)]
@@ -198,3 +198,64 @@ def test_ivf_topk_partial_probe_recall(spark):
     inter = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
     recall = inter / exact.count()
     assert recall >= 0.8, recall
+
+
+def test_scale_guards(spark, docs):
+    """The three documented scale-cliffs refuse to ship their plan silently:
+    unblocked all-pairs jaccard, pooled-global expanding quantile, and the
+    no-fit_spark driver collect (the last via its opt-in attribute)."""
+    import pytest
+
+    from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+    from mlforecast_spark.lag_transforms import ExpandingQuantile
+    from mlforecast_spark.operators.dedup import ngram_jaccard_pairs
+    from mlforecast_spark.utils import generate_daily_series
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(docs, n=3)
+
+    panel = generate_daily_series(spark, 3, 20, 30, seed=11)
+    registry = _parse_transforms([], {1: [ExpandingQuantile(p=0.5, global_=True)]})
+    with pytest.raises(ValueError, match="single.*partition"):
+        FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+
+    # opt-in accepts the single-partition plan
+    registry = _parse_transforms(
+        [], {1: [ExpandingQuantile(p=0.5, global_=True, allow_single_partition=True)]}
+    )
+    out = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    assert out.count() > 0
+
+
+def test_driver_collect_guard(spark):
+    """Models without fit_spark hit a row-count guard before toPandas()."""
+    import pytest
+
+    import mlforecast_spark.forecast as fc
+    from mlforecast_spark import MLForecast
+    from mlforecast_spark.utils import generate_daily_series
+
+    class TinySkModel:
+        def fit(self, X, y):
+            self.mean_ = float(y.mean())
+            return self
+
+        def predict(self, X):
+            import numpy as np
+
+            return np.full(len(X), self.mean_)
+
+    panel = generate_daily_series(spark, 2, 25, 30, seed=7)
+    old = fc.DRIVER_COLLECT_MAX_ROWS
+    fc.DRIVER_COLLECT_MAX_ROWS = 10  # force the guard at test scale
+    try:
+        mf = MLForecast(models=[TinySkModel()], freq="D", lags=[1])
+        with pytest.raises(ValueError, match="refusing to collect"):
+            mf.fit(panel)
+        m = TinySkModel()
+        m.allow_driver_collect = True
+        mf2 = MLForecast(models=[m], freq="D", lags=[1])
+        mf2.fit(panel)
+        assert mf2.predict(2).count() == 4
+    finally:
+        fc.DRIVER_COLLECT_MAX_ROWS = old
