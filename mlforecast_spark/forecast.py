@@ -959,7 +959,16 @@ class MLForecast:
                 ],
             )
         else:
-            out = self._fitted_recursive_h(h)
+            out, already_inverted = self._fitted_recursive_h(h)
+            if already_inverted:
+                out = out.select(
+                    s.id_col,
+                    s.time_col,
+                    s.target_col,
+                    F.lit(h).cast("long").alias("h"),
+                    *list(self.models_),
+                )
+                return out.orderBy(s.id_col, s.time_col)
         out = self._inverse_transforms_fitted(out, cols)
         out = out.select(
             s.id_col, s.time_col, s.target_col, F.lit(h).cast("long").alias("h"),
@@ -1013,12 +1022,23 @@ class MLForecast:
         engine predicts h steps for all origins at once — h Spark jobs total
         instead of n_origins sequential predicts. Row expansion is bounded by
         origins × bound, which is why unbounded-history transforms
-        (expanding/EWM) are rejected."""
-        if any(t.refit_on_warmup for t in self.target_transforms):
+        (expanding/EWM) are rejected.
+
+        Returns ``(frame, already_inverted)``: with ``Differences`` in the
+        chain the per-origin recursive inverse happens here (it needs every
+        step of each origin's path, not just the last), so the caller must
+        skip the shared actual-lag inverse."""
+        from .target_transforms import Differences
+
+        if any(
+            t.refit_on_warmup and not isinstance(t, Differences)
+            for t in self.target_transforms
+        ):
             raise NotImplementedError(
-                "h>1 fitted values with Differences/Auto transforms are not "
-                "supported yet (their inverse needs per-origin tail state); "
-                "scaler-type transforms work."
+                "h>1 fitted values with Auto* transforms are not supported "
+                "yet (their per-series chosen differences need per-origin "
+                "tail state); plain Differences and scaler-type transforms "
+                "work."
             )
         bound = self.plan_.keep_last_n_bound()
         if bound is None:
@@ -1083,6 +1103,32 @@ class MLForecast:
             preds = self.predict(h, X_df=x_df, new_df=expanded)
         finally:
             self.target_transforms = saved_tfms
+        diff_idx = [
+            i
+            for i, t in enumerate(self.target_transforms)
+            if isinstance(t, Differences)
+        ]
+        if diff_idx:
+            w_step = Window.partitionBy(s.id_col).orderBy(s.time_col)
+            steps = (
+                preds.withColumn("_step", F.row_number().over(w_step))
+                .withColumnRenamed(s.id_col, "_cid")
+                .join(mapping, on="_cid", how="inner")
+                .drop("_cid")
+            )
+            model_cols = list(self.models_)
+            inputs = self._tfm_inputs_
+            for i in range(len(self.target_transforms) - 1, -1, -1):
+                tfm = self.target_transforms[i]
+                if isinstance(tfm, Differences):
+                    steps = self._invert_differences_per_origin(
+                        steps, tfm, inputs[i], model_cols, h
+                    )
+                else:
+                    steps = tfm.inverse_transform(steps, model_cols)
+            out = steps.filter(F.col("_step") == h).drop("_step", "_p")
+            actual = inputs[0].select(s.id_col, s.time_col, s.target_col)
+            return out.join(actual, on=[s.id_col, s.time_col], how="inner"), True
         w_last = Window.partitionBy(s.id_col).orderBy(F.col(s.time_col).desc())
         last = (
             preds.withColumn("_rn", F.row_number().over(w_last))
@@ -1092,7 +1138,66 @@ class MLForecast:
         )
         out = last.join(mapping, on="_cid", how="inner").drop("_cid", "_p")
         actual = tp.select(s.id_col, s.time_col, s.target_col)
-        return out.join(actual, on=[s.id_col, s.time_col], how="inner")
+        return out.join(actual, on=[s.id_col, s.time_col], how="inner"), False
+
+    def _invert_differences_per_origin(
+        self, steps: DataFrame, tfm, src: DataFrame, model_cols, h: int
+    ) -> DataFrame:
+        """Per-origin recursive inverse of one ``Differences`` transform for
+        h-step fitted values: the step-``i`` reconstruction of origin ``p``
+        adds back the transform-input level at position ``p + i - d`` — an
+        ACTUAL value while that position is at or before the origin, the
+        origin's own step-``i-d`` reconstruction beyond it. The reference
+        rebuilds the same recursion origin-by-origin on the driver
+        (`/root/reference/mlforecast/forecast.py:978-1120`); here each fill
+        round is one window pass over the (origin x step) frame, and
+        ceil(h/d)-1 rounds complete the recursion."""
+        import math
+
+        s = self.schema_
+        w = Window.partitionBy(s.id_col).orderBy(s.time_col)
+        diffs = list(tfm.differences)
+        cur = src.select(
+            s.id_col, s.time_col, F.col(s.target_col).alias("_lvl0")
+        )
+        for k, d in enumerate(diffs):
+            cur = cur.withColumn(
+                f"_lvl{k + 1}", F.col(f"_lvl{k}") - F.lag(f"_lvl{k}", d).over(w)
+            )
+        cur = cur.withColumn("_apos", F.row_number().over(w))
+        w_o = Window.partitionBy(s.id_col, "_p").orderBy("_step")
+        for lv in range(len(diffs) - 1, -1, -1):
+            d = diffs[lv]
+            act = cur.select(
+                F.col(s.id_col).alias("_aid"),
+                F.col("_apos"),
+                F.col(f"_lvl{lv}").alias("_act"),
+            )
+            steps = steps.withColumn(
+                "_need", F.col("_p") + F.col("_step") - F.lit(d)
+            ).join(
+                act,
+                on=(F.col(s.id_col) == F.col("_aid"))
+                & (F.col("_need") == F.col("_apos")),
+                how="left",
+            ).drop("_aid", "_apos", "_need")
+            dcols = {m: f"_d_{j}" for j, m in enumerate(model_cols)}
+            for m, dc in dcols.items():
+                steps = steps.withColumn(dc, F.col(m))
+            for m, dc in dcols.items():
+                steps = steps.withColumn(
+                    m, F.when(F.col("_step") <= d, F.col(dc) + F.col("_act"))
+                )
+            for _ in range(math.ceil(h / d) - 1):
+                for m, dc in dcols.items():
+                    steps = steps.withColumn(
+                        m,
+                        F.coalesce(
+                            F.col(m), F.col(dc) + F.lag(F.col(m), d).over(w_o)
+                        ),
+                    )
+            steps = steps.drop("_act", *dcols.values())
+        return steps
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

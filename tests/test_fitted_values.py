@@ -160,3 +160,126 @@ def test_fitted_values_recursive_h2_with_scaler(spark):
     # y column back in the original scale
     raw_chk = f2.merge(panel.toPandas(), on=["unique_id", "ds"], suffixes=("_f", ""))
     np.testing.assert_allclose(raw_chk["y_f"], raw_chk["y"], rtol=1e-9)
+
+
+def test_fitted_values_h3_with_differences_matches_manual_rollout(spark):
+    """h=3 with Differences([1]): the model rolls out 3 steps on the diffed
+    series from origin t-3, and the inverse adds back the ACTUAL level at the
+    origin plus the origin's own reconstructions beyond it — the closed form
+    is y[t-3] + dhat1 + dhat2 + dhat3."""
+    panel = _int_panel(spark, 28)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[Differences([1])],
+    )
+    mf.fit(panel)
+    f3 = mf.forecast_fitted_values(h=3).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["d"] = raw.groupby("unique_id")["y"].diff(1)
+    # rollout on the diffed series from origin t-3: last observed diff is d[t-3]
+    raw["d_l3"] = raw.groupby("unique_id")["d"].shift(3)
+    d1 = a * raw["d_l3"] + b
+    d2 = a * d1 + b
+    d3 = a * d2 + b
+    raw["y_l3"] = raw.groupby("unique_id")["y"].shift(3)
+    raw["exp"] = raw["y_l3"] + d1 + d2 + d3
+    cmp = f3.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f3) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+    # y column carries the actual values
+    merged = f3.merge(raw[["unique_id", "ds"]].assign(
+        y_true=panel.toPandas().sort_values(["unique_id", "ds"])["y"].values
+    ), on=["unique_id", "ds"])
+    np.testing.assert_allclose(merged["y"], merged["y_true"], rtol=1e-12)
+
+
+def test_fitted_values_h3_with_difference_2_uses_actuals_within_d(spark):
+    """Differences([2]) at h=3: steps 1 and 2 add back ACTUAL levels
+    (t-3 and t-2 positions... i.e. p+i-2 <= p), step 3 adds the origin's own
+    step-1 reconstruction: closed form y[t-2... ] verified per step."""
+    panel = _int_panel(spark, 28)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[Differences([2])],
+    )
+    mf.fit(panel)
+    f3 = mf.forecast_fitted_values(h=3).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["d"] = raw.groupby("unique_id")["y"].diff(2)
+    # origin p = t-3: last observed diff d[p] = d[t-3]
+    raw["d_l3"] = raw.groupby("unique_id")["d"].shift(3)
+    d1 = a * raw["d_l3"] + b
+    d2 = a * d1 + b
+    d3 = a * d2 + b
+    # levels: lvl[p+1] = d1 + y[p-1], lvl[p+2] = d2 + y[p], lvl[p+3] = d3 + lvl[p+1]
+    raw["y_l4"] = raw.groupby("unique_id")["y"].shift(4)  # y[p-1] for t=p+3
+    raw["y_l3"] = raw.groupby("unique_id")["y"].shift(3)  # y[p]
+    lvl1 = d1 + raw["y_l4"]
+    raw["exp"] = d3 + lvl1
+    cmp = f3.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f3) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_h2_differences_then_scaler(spark):
+    """Mixed chain [Differences, LocalStandardScaler] at h=2: scaler inverse
+    per original series, then the per-origin Differences recursion."""
+    panel = _int_panel(spark, 26)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[Differences([1]), LocalStandardScaler()],
+    )
+    mf.fit(panel)
+    f2 = mf.forecast_fitted_values(h=2).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["d"] = raw.groupby("unique_id")["y"].diff(1)
+    stats = raw.groupby("unique_id")["d"].agg(loc="mean")
+    stats["scale"] = raw.groupby("unique_id")["d"].std(ddof=0)
+    raw = raw.merge(stats, on="unique_id")
+    raw["z"] = (raw["d"] - raw["loc"]) / raw["scale"]
+    raw["z_l2"] = raw.groupby("unique_id")["z"].shift(2)
+    z1 = a * raw["z_l2"] + b
+    z2 = a * z1 + b
+    d1 = z1 * raw["scale"] + raw["loc"]
+    d2 = z2 * raw["scale"] + raw["loc"]
+    raw["y_l2"] = raw.groupby("unique_id")["y"].shift(2)
+    raw["exp"] = raw["y_l2"] + d1 + d2
+    cmp = f2.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f2) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_h2_rejects_auto_transforms(spark):
+    from mlforecast_spark.target_transforms import AutoDifferences
+
+    panel = _int_panel(spark, 30)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[AutoDifferences(max_diffs=1)],
+    )
+    mf.fit(panel)
+    with pytest.raises(NotImplementedError, match="Auto"):
+        mf.forecast_fitted_values(h=2)
