@@ -102,8 +102,20 @@ def main():
     ]
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footers once
+    # Warm the JVM: parquet footers for the bench dir, plus one tiny-SF pass
+    # of every bench query so whole-stage-codegen JIT compiles before the
+    # timed runs (the minhash/simhash pipelines alone carry multi-second
+    # cold-JIT cost that a long-lived cluster pays once, not per query).
     _force(entry._panel(spark, sf_dir))
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in bench_names:
+            try:
+                _force(qs[name](spark, warm_dir))
+            except Exception:
+                pass
+        _force(_wide_feature_matrix(spark, warm_dir))
+        _force(_fit_predict(spark, warm_dir))
 
     for name in bench_names:
         t0 = time.perf_counter()
@@ -127,8 +139,11 @@ def main():
         "sf": sf,
     }
     # attach the recorded DuckDB single-node baseline (tools/bench_oracle.py)
-    # so each bench run carries its own ratio-vs-baseline
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_BENCH.json")
+    # so each bench run carries its own ratio-vs-baseline; per-SF file wins
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    base_path = os.path.join(repo_dir, f"ORACLE_BENCH_sf{sf}.json")
+    if not os.path.exists(base_path):
+        base_path = os.path.join(repo_dir, "ORACLE_BENCH.json")
     if os.path.exists(base_path):
         try:
             with open(base_path) as f:

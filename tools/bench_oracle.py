@@ -189,8 +189,11 @@ def main():
         "sf": sf,
         "threads": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
-    with open("ORACLE_BENCH.json", "w") as f:
+    with open(f"ORACLE_BENCH_sf{sf}.json", "w") as f:
         json.dump(out, f, indent=2)
+    if sf == 0.1:  # keep the canonical bench-SF file in sync
+        with open("ORACLE_BENCH.json", "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out))
 
 
