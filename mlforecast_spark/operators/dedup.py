@@ -269,22 +269,43 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: sum ±1 per bit weighted by token
     frequency, sign → bit. All expression-based: explode tokens → xxhash64 →
-    per-bit contribution via bitwise ops → groupBy sum."""
+    packed per-bit counters → groupBy sum.
+
+    The naive formulation is 64 ``SUM(CASE WHEN bit THEN 1 ELSE -1)``
+    aggregates over the exploded token rows — a 64-slot aggregation buffer
+    with a branch per slot, and the dominant cost of the whole pipeline at
+    scale. Instead we pack four 16-bit ones-counters per BIGINT lane
+    (lane j counts bits 4j..4j+3), so the aggregate is 16 branchless SUMs
+    plus one COUNT; the ±1 sign rule is recovered per doc as
+    ``2*ones_i > n`` (identical fingerprints: sum(±1) = 2*ones − n).
+
+    The 16-bit counter caps at 65,535 tokens per document — far above
+    typical LLM-corpus documents, which are pre-truncated/sharded well below
+    that; beyond the cap, fingerprint the leading tokens (standard practice)
+    before calling this.
+    """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     h = F.xxhash64(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    one = F.lit(1).cast("long")
+    lane_sums = []
+    for j in range(16):
+        contrib = F.shiftrightunsigned(h, 4 * j).bitwiseAND(one)
+        for k in range(1, 4):
+            contrib = contrib + F.shiftleft(
+                F.shiftrightunsigned(h, 4 * j + k).bitwiseAND(one), 16 * k
+            )
+        lane_sums.append(F.sum(contrib).alias(f"l{j}"))
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
     fp = F.lit(0).cast("long")
     for i in range(63):  # keep the sign bit clear to avoid ANSI overflow
+        j, k = divmod(i, 4)
+        ones = F.shiftrightunsigned(F.col(f"l{j}"), 16 * k).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
+        )
         fp = fp + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ones * 2 > F.col("_n"), F.shiftleft(one, i)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
