@@ -70,6 +70,31 @@ def test_simhash_near_dups(spark, docs):
     assert ((cands.id_a == 1) & (cands.id_b == 2)).any()
 
 
+def test_simhash_long_doc(spark):
+    """ANSI-overflow regression: a 70k-token doc puts >32,767 occurrences on
+    individual hash bits — the 4x16-bit packed formulation threw
+    ARITHMETIC_OVERFLOW under Spark's default ANSI SUM; the 3x21-bit packing
+    must survive and match the naive ±1 sign rule."""
+    from mlforecast_spark.operators.dedup import simhash
+
+    text = " ".join("tok%d" % (i % 97) for i in range(70000))
+    big = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = simhash(big).collect()[0]
+    # naive oracle: sign of sum(±1) per bit over the same token stream
+    import numpy as np
+
+    toks = big.selectExpr(
+        "explode(split(trim(lower(text)), '\\\\s+')) AS tok"
+    ).selectExpr("xxhash64(tok) AS h")
+    hashes = np.array([r["h"] for r in toks.collect()], dtype=np.uint64)
+    fp = 0
+    for i in range(63):
+        ones = int(((hashes >> np.uint64(i)) & np.uint64(1)).sum())
+        if 2 * ones > len(hashes):
+            fp |= 1 << i
+    assert row["simhash"] == fp
+
+
 def test_language_id(spark, docs):
     from mlforecast_spark.operators.text import language_scores
 
