@@ -608,6 +608,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf
 
+    def ann_ivf_probe(spark, sf):
+        """Bench-scale IVF configuration: partial probe (nprobe=4 of 16
+        lists, 3 Lloyd iterations) — each query touches ~1/4 of the corpus,
+        the plan you'd run at 100 TB. No deterministic SQL oracle (k-means
+        assignment is seed-dependent); recall is pytest-covered and
+        tools/bench_oracle.py carries a same-shape DuckDB IVF for the
+        wall-clock ratio."""
+        from mlforecast_spark.operators.similarity import ivf_topk
+
+        embs = _embs(spark, sf)
+        queries_df = embs.filter(F.col("vec_id") < 20)
+        return ivf_topk(embs, queries_df, k=10, n_lists=16, nprobe=4, max_iter=3)
+
+    q["ann_ivf_probe"] = ann_ivf_probe
+
     def exog_q(spark, sf):
         from mlforecast_spark.feature_engineering import transform_exog
         from mlforecast_spark.lag_transforms import RollingMean
@@ -820,16 +835,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
+        "ann_ivf_probe",
         "predict_recursive_linreg",
         "conformal_intervals",
         "predict_gbt",
         "cross_validation",
     ]
     ordered = {k: v for k, v in q.items() if k not in rows_only}
-    assert len(ordered) <= 50, (
-        f"{len(ordered)} oracle-backed queries exceed the driver's 50-row "
-        "correctness window — merge variants before adding more"
-    )
+    # Invariants (RuntimeError, not assert — must survive `python -O`):
+    # every query ahead of the driver's 50-row correctness window has an
+    # oracle_sql() entry, nothing in the rows-only tail does, and the
+    # oracle-backed prefix fits inside the window.
+    oracle_keys = set(oracle_sql())
+    unoracled = [k for k in ordered if k not in oracle_keys]
+    misplaced = [k for k in rows_only if k in oracle_keys]
+    if unoracled or misplaced:
+        raise RuntimeError(
+            f"queries()/oracle_sql() out of sync: missing oracle for "
+            f"{unoracled}; rows_only entries with an oracle: {misplaced}"
+        )
+    if len(ordered) > 50:
+        raise RuntimeError(
+            f"{len(ordered)} oracle-backed queries exceed the driver's 50-row "
+            "correctness window — merge variants before adding more"
+        )
     for k in rows_only:
         ordered[k] = q[k]
     return ordered

@@ -98,7 +98,7 @@ def main():
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "ann_cosine_topk",
+        "ann_ivf_probe",
     ]
     timings: dict[str, float] = {}
 

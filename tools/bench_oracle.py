@@ -42,7 +42,7 @@ BENCH_NAMES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_cosine_topk",
+    "ann_ivf_probe",
     "wide_feature_matrix",
     "fit_predict_linreg_h7",
 ]
@@ -120,6 +120,52 @@ SELECT COUNT(*) FROM (
 """
 
 
+def _ivf_sql(n_lists: int = 16, nprobe: int = 4, iters: int = 3, dim: int = 64, k: int = 10) -> str:
+    """Same workload as operators/similarity.py ivf_topk bench config
+    (n_lists=16, nprobe=4, 3 Lloyd iterations): seeded centroids, unrolled
+    Lloyd re-assignment/re-centering, nprobe nearest lists per query, exact
+    cosine re-rank inside the probed lists."""
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, e AS c"
+        f" FROM v ORDER BY vec_id LIMIT {n_lists}),",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, e, arg_min(list_id, list_distance(e, c)) AS list_id"
+            f" FROM v CROSS JOIN {prev} GROUP BY vec_id, e),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT list_id, array_agg(m ORDER BY i) AS c FROM ("
+            f"  SELECT list_id, i, AVG(e[i]) AS m FROM a{it}"
+            f"  CROSS JOIN range(1, {dim + 1}) t(i) GROUP BY list_id, i"
+            f" ) GROUP BY list_id),"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"lists AS (SELECT vec_id, e, arg_min(list_id, list_distance(e, c)) AS list_id"
+        f" FROM v CROSS JOIN {prev} GROUP BY vec_id, e),"
+    )
+    parts.append(
+        f"probes AS (SELECT query_id, qe, list_id FROM ("
+        f"  SELECT q.vec_id AS query_id, q.e AS qe, c.list_id,"
+        f"   ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        f"    ORDER BY list_distance(q.e, c.c), c.list_id) AS pr"
+        f"  FROM v q CROSS JOIN {prev} c WHERE q.vec_id < 20) WHERE pr <= {nprobe}),"
+    )
+    parts.append(
+        "pairs AS (SELECT query_id, l.vec_id AS neighbor_id,"
+        " ROUND(list_cosine_similarity(qe, l.e), 6) AS cosine"
+        " FROM probes JOIN lists l USING (list_id) WHERE query_id <> l.vec_id)"
+    )
+    parts.append(
+        f"SELECT COUNT(*) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs) WHERE rank <= {k}"
+    )
+    return "\n".join(parts)
+
+
 def _wide_feature_matrix_sql(panel_sql: str) -> str:
     """Same 23-feature matrix as bench.py _wide_feature_matrix: lags 1..14,
     rolling mean 7/28 + std 7 + expanding mean + EWM(0.3) on lag 1, rolling
@@ -163,6 +209,7 @@ def main():
     extra = {
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "ann_ivf_probe": _ivf_sql(),
         "wide_feature_matrix": _wide_feature_matrix_sql(entry.PANEL_SQL),
     }
 
