@@ -592,7 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         embs = _embs(spark, sf)
         queries_df = embs.filter(F.col("vec_id") < 20)
-        return lsh_topk(embs, queries_df, k=10)
+        return lsh_topk(embs, queries_df, k=10, dim=64)
 
     q["ann_lsh_topk"] = ann_lsh
 

@@ -331,14 +331,17 @@ class MLForecast:
             # fit_spark (sufficient statistics / distributed histograms —
             # see models.py, models_gbt.py) instead. Row-count guard so the
             # collect can't silently ship against a cluster-scale panel.
-            n_rows = feats.count()
+            # limit(N+1) bounds the guard's cost for uncached callers: we
+            # only need to know whether the count exceeds the cap, not the
+            # exact total.
+            n_rows = feats.limit(DRIVER_COLLECT_MAX_ROWS + 1).count()
             if n_rows > DRIVER_COLLECT_MAX_ROWS and not getattr(
                 model, "allow_driver_collect", False
             ):
                 raise ValueError(
                     f"{type(model).__name__} has no fit_spark and the feature "
-                    f"matrix holds {n_rows:,} rows (> "
-                    f"{DRIVER_COLLECT_MAX_ROWS:,}): refusing to collect it to "
+                    f"matrix holds more than "
+                    f"{DRIVER_COLLECT_MAX_ROWS:,} rows: refusing to collect it to "
                     "the driver. Implement fit_spark for a distributed fit, "
                     "or set `model.allow_driver_collect = True` to accept "
                     "the driver-side collect."

@@ -100,10 +100,21 @@ def lsh_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: vectors meet only when they share an LSH bucket in
-    at least one of ``num_tables`` hyperplane tables."""
-    dim = len(vectors.select(vec_col).first()[0])
+    at least one of ``num_tables`` hyperplane tables.
+
+    ``dim`` (embedding dimensionality) sizes the hyperplane matrices. Pass
+    it explicitly when known; otherwise it is read from the DataFrame
+    metadata if present, and only as a last resort probed with a
+    ``LIMIT 1`` job (a driver action during plan construction — avoid on
+    hot paths)."""
+    if dim is None:
+        meta = vectors.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        dim = len(vectors.select(vec_col).limit(1).first()[0])
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def bucketize(df, out_id):
