@@ -982,15 +982,23 @@ class MLForecast:
     def _inverse_transforms_fitted(self, out: DataFrame, cols) -> DataFrame:
         """Reverse transform chain for in-sample rows: Differences add back
         the ACTUAL lagged values of their fitted input series (one window
-        pass + broadcastable join), everything else uses its normal
-        inverse."""
-        from .target_transforms import Differences
+        pass + broadcastable join); the Auto* family does the same with its
+        per-series (d, sl) choice (their tails-based ``inverse_transform``
+        continues from the END of training and would be wrong for in-sample
+        rows); everything else uses its normal inverse."""
+        from .target_transforms import Differences, _AutoPerSeriesTransform
 
         s = self.schema_
         inputs = getattr(self, "_tfm_inputs_", [])
         for i in range(len(self.target_transforms) - 1, -1, -1):
             tfm = self.target_transforms[i]
-            if isinstance(tfm, Differences):
+            if isinstance(tfm, _AutoPerSeriesTransform):
+                add = self._auto_actual_addback(tfm, inputs[i])
+                out = out.join(add, on=[s.id_col, s.time_col], how="left")
+                for c in cols:
+                    out = out.withColumn(c, qcol(c) + F.col("_addback"))
+                out = out.drop("_addback")
+            elif isinstance(tfm, Differences):
                 src = inputs[i]
                 w = Window.partitionBy(s.id_col).orderBy(s.time_col)
                 cur = src.select(
@@ -1015,6 +1023,48 @@ class MLForecast:
                 out = tfm.inverse_transform(out, cols)
         return out
 
+    def _auto_actual_addback(self, tfm, src: DataFrame) -> DataFrame:
+        """(id, ds, _addback) for one Auto* transform: the sum over its
+        difference levels of the ACTUAL level value ``sl`` steps before each
+        in-sample row — ``level_k[t] = level_{k+1}[t] + level_k[t-sl]``
+        telescopes, so adding ``Σ_k level_k[t-sl]`` to a transformed-scale
+        in-sample prediction restores the original scale. Per-series (d, sl)
+        comes from the transform's fitted meta; the per-series recursion is
+        the sanctioned Arrow-batched Python path for the Auto family."""
+        import json
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        s = self.schema_
+        id_col, time_col, target_col = s.id_col, s.time_col, s.target_col
+        src2 = src.select(id_col, time_col, target_col).join(
+            tfm.stats_, on=id_col, how="left"
+        )
+        out_schema = T.StructType(
+            [src.schema[id_col], src.schema[time_col], T.StructField("_addback", T.DoubleType())]
+        )
+
+        def add(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col).reset_index(drop=True)
+            raw = pdf["_meta"].iloc[0]
+            meta = json.loads(raw) if raw else {}
+            d = int(meta.get("d", 0) or 0)
+            sl = int(meta.get("sl", 1) or 1)
+            cur = pdf[target_col].to_numpy(dtype="float64")
+            ab = np.zeros(len(cur))
+            for _ in range(d):
+                lag = np.full_like(cur, np.nan)
+                lag[sl:] = cur[:-sl]
+                ab = ab + lag
+                cur = cur - lag
+            return pd.DataFrame(
+                {id_col: pdf[id_col], time_col: pdf[time_col], "_addback": ab}
+            )
+
+        return src2.groupBy(id_col).applyInPandas(add, schema=out_schema)
+
     def _fitted_recursive_h(self, h: int) -> DataFrame:
         """h-step-ahead in-sample predictions, fully distributed.
 
@@ -1031,17 +1081,17 @@ class MLForecast:
         chain the per-origin recursive inverse happens here (it needs every
         step of each origin's path, not just the last), so the caller must
         skip the shared actual-lag inverse."""
-        from .target_transforms import Differences
+        from .target_transforms import Differences, _AutoPerSeriesTransform
 
         if any(
-            t.refit_on_warmup and not isinstance(t, Differences)
+            t.refit_on_warmup
+            and not isinstance(t, (Differences, _AutoPerSeriesTransform))
             for t in self.target_transforms
         ):
             raise NotImplementedError(
-                "h>1 fitted values with Auto* transforms are not supported "
-                "yet (their per-series chosen differences need per-origin "
-                "tail state); plain Differences and scaler-type transforms "
-                "work."
+                "h>1 fitted values support Differences, the Auto* family and "
+                "scaler-type transforms; custom warm-up-refitting transforms "
+                "would need their own per-origin tail state."
             )
         bound = self.plan_.keep_last_n_bound()
         if bound is None:
@@ -1109,7 +1159,7 @@ class MLForecast:
         diff_idx = [
             i
             for i, t in enumerate(self.target_transforms)
-            if isinstance(t, Differences)
+            if isinstance(t, (Differences, _AutoPerSeriesTransform))
         ]
         if diff_idx:
             w_step = Window.partitionBy(s.id_col).orderBy(s.time_col)
@@ -1123,7 +1173,11 @@ class MLForecast:
             inputs = self._tfm_inputs_
             for i in range(len(self.target_transforms) - 1, -1, -1):
                 tfm = self.target_transforms[i]
-                if isinstance(tfm, Differences):
+                if isinstance(tfm, _AutoPerSeriesTransform):
+                    steps = self._invert_auto_per_origin(
+                        steps, tfm, inputs[i], model_cols
+                    )
+                elif isinstance(tfm, Differences):
                     steps = self._invert_differences_per_origin(
                         steps, tfm, inputs[i], model_cols, h
                     )
@@ -1201,6 +1255,76 @@ class MLForecast:
                     )
             steps = steps.drop("_act", *dcols.values())
         return steps
+
+    def _invert_auto_per_origin(
+        self, steps: DataFrame, tfm, src: DataFrame, model_cols
+    ) -> DataFrame:
+        """Per-origin recursive inverse of one Auto* transform for h-step
+        fitted values: same recursion as ``_invert_differences_per_origin``
+        but with the PER-SERIES (d, sl) chosen at fit — variable lags rule
+        out ``F.lag``, so each series runs its recursion in one Arrow batch
+        (the sanctioned Python path for the Auto family), cogrouped with its
+        actual transform-input levels. Reference rebuilds this origin-by-
+        origin on the driver (`/root/reference/mlforecast/forecast.py:978-1120`)."""
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        s = self.schema_
+        id_col, time_col, target_col = s.id_col, s.time_col, s.target_col
+        src2 = src.select(id_col, time_col, target_col).join(
+            tfm.stats_, on=id_col, how="left"
+        )
+        cols = list(model_cols)
+        out_schema = steps.schema
+
+        def rebuild(sp: pd.DataFrame, act: pd.DataFrame) -> pd.DataFrame:
+            if sp.empty:
+                return sp
+            sp = sp.sort_values(["_p", "_step"]).reset_index(drop=True)
+            if act.empty:
+                return sp
+            act = act.sort_values(time_col)
+            raw = act["_meta"].iloc[0]
+            meta = json.loads(raw) if raw else {}
+            d = int(meta.get("d", 0) or 0)
+            sl = int(meta.get("sl", 1) or 1)
+            if d == 0:
+                return sp
+            y = act[target_col].to_numpy(dtype="float64")
+            levels = [y]
+            for _ in range(d):
+                cur = levels[-1]
+                nxt = np.full_like(cur, np.nan)
+                nxt[sl:] = cur[sl:] - cur[:-sl]
+                levels.append(nxt)
+            p = sp["_p"].to_numpy(dtype="int64")
+            step = sp["_step"].to_numpy(dtype="int64")
+            n = len(sp)
+            # rows are (origin, step)-sorted with full 1..h blocks per
+            # origin, so "step i-sl of the same origin" is simply row r-sl
+            for c in cols:
+                vals = sp[c].to_numpy(dtype="float64")
+                for k in range(d - 1, -1, -1):
+                    lvl = levels[k]
+                    out = np.empty_like(vals)
+                    for r in range(n):
+                        if step[r] <= sl:
+                            idx = p[r] + step[r] - sl - 1
+                            prev = lvl[idx] if 0 <= idx < len(lvl) else np.nan
+                        else:
+                            prev = out[r - sl]
+                        out[r] = vals[r] + prev
+                    vals = out
+                sp[c] = vals
+            return sp
+
+        return (
+            steps.groupby(id_col)
+            .cogroup(src2.groupby(id_col))
+            .applyInPandas(rebuild, schema=out_schema)
+        )
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

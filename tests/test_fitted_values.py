@@ -270,7 +270,11 @@ def test_fitted_values_h2_differences_then_scaler(spark):
     np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
 
 
-def test_fitted_values_h2_rejects_auto_transforms(spark):
+def test_fitted_values_h1_autodifferences_uses_actual_lags(spark):
+    """h=1 with AutoDifferences (the trending panel makes every series pick
+    d=1): the inverse must add back the ACTUAL y[t-1], not rebuild from the
+    end-of-training tails — y round-trips exactly and the model column
+    matches the closed form a*d[t-1] + b + y[t-1]."""
     from mlforecast_spark.target_transforms import AutoDifferences
 
     panel = _int_panel(spark, 30)
@@ -281,5 +285,98 @@ def test_fitted_values_h2_rejects_auto_transforms(spark):
         target_transforms=[AutoDifferences(max_diffs=1)],
     )
     mf.fit(panel)
-    with pytest.raises(NotImplementedError, match="Auto"):
-        mf.forecast_fitted_values(h=2)
+    metas = {r[0]: r[1] for r in mf.target_transforms[0].stats_.collect()}
+    assert all('"d": 1' in m for m in metas.values())
+    fitted = mf.forecast_fitted_values().toPandas().sort_values(["unique_id", "ds"])
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    merged = fitted.merge(raw, on=["unique_id", "ds"], suffixes=("_f", ""))
+    np.testing.assert_allclose(merged["y_f"], merged["y"], rtol=1e-12)
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw["d"] = raw.groupby("unique_id")["y"].diff(1)
+    raw["d_l1"] = raw.groupby("unique_id")["d"].shift(1)
+    raw["y_l1"] = raw.groupby("unique_id")["y"].shift(1)
+    raw["exp"] = a * raw["d_l1"] + b + raw["y_l1"]
+    cmp = fitted.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(fitted) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_h3_autodifferences_matches_manual_rollout(spark):
+    """h=3 with AutoDifferences(1) (every series picks d=1): same closed form
+    as the Differences([1]) case — y[t-3] + dhat1 + dhat2 + dhat3 — but the
+    per-origin inverse must route through the per-series meta."""
+    from mlforecast_spark.target_transforms import AutoDifferences
+
+    panel = _int_panel(spark, 28)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[AutoDifferences(max_diffs=1)],
+    )
+    mf.fit(panel)
+    f3 = mf.forecast_fitted_values(h=3).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["d"] = raw.groupby("unique_id")["y"].diff(1)
+    raw["d_l3"] = raw.groupby("unique_id")["d"].shift(3)
+    d1 = a * raw["d_l3"] + b
+    d2 = a * d1 + b
+    d3 = a * d2 + b
+    raw["y_l3"] = raw.groupby("unique_id")["y"].shift(3)
+    raw["exp"] = raw["y_l3"] + d1 + d2 + d3
+    cmp = f3.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f3) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+    merged = f3.merge(raw[["unique_id", "ds", "y"]], on=["unique_id", "ds"],
+                      suffixes=("_f", ""))
+    np.testing.assert_allclose(merged["y_f"], merged["y"], rtol=1e-12)
+
+
+def test_fitted_values_h2_autoseasonal_uses_seasonal_lag(spark):
+    """h=2 with AutoSeasonalDifferences(season_length=7): steps 1 and 2 are
+    both within sl=7, so each adds back an ACTUAL seasonal level — closed
+    form y[p+i-7] + dhat_i per step."""
+    from mlforecast_spark.target_transforms import AutoSeasonalDifferences
+
+    rows = [
+        (i, t, float(10.0 * k + [5, 1, 2, 8, 3, 9, 4][t % 7] + 0.5 * t))
+        for k, i in enumerate(("a", "b"))
+        for t in range(42)
+    ]
+    panel = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        target_transforms=[AutoSeasonalDifferences(season_length=7, max_diffs=1)],
+    )
+    mf.fit(panel)
+    metas = {r[0]: r[1] for r in mf.target_transforms[0].stats_.collect()}
+    assert all('"d": 1' in m and '"sl": 7' in m for m in metas.values())
+    f2 = mf.forecast_fitted_values(h=2).toPandas().sort_values(["unique_id", "ds"])
+    model = mf.models_["LinearRegression"]
+    a = float(np.asarray(model.coef_, dtype=float)[0])
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    raw["d"] = raw.groupby("unique_id")["y"].diff(7)
+    # origin p = t-2: rollout dhat1 = a*d[p] + b, dhat2 = a*dhat1 + b;
+    # y_hat[p+2] = dhat2 + y[p+2-7] (actual: 2 <= sl)
+    raw["d_l2"] = raw.groupby("unique_id")["d"].shift(2)
+    d1 = a * raw["d_l2"] + b
+    d2 = a * d1 + b
+    raw["y_l7"] = raw.groupby("unique_id")["y"].shift(7)
+    raw["exp"] = d2 + raw["y_l7"]
+    cmp = f2.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
+        subset=["exp"]
+    )
+    assert len(cmp) == len(f2) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
