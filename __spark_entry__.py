@@ -486,20 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- documents: text analysis + dedup ------------------------------
     def doc_text_profile(spark, sf):
         """Token stats + language ID + fingerprint in one slot: all three
-        operators run for real and join on doc_id, so every output column
-        stays under the driver's hash gate."""
-        from mlforecast_spark.operators.text import (
-            fingerprint,
-            language_scores,
-            token_stats,
-        )
+        operators fused into a single projection (one scan, no joins), so
+        every output column stays under the driver's hash gate."""
+        from mlforecast_spark.operators.text import text_profile
 
-        docs = _docs(spark, sf)
-        return (
-            token_stats(docs)
-            .join(language_scores(docs), "doc_id")
-            .join(fingerprint(docs), "doc_id")
-        )
+        return text_profile(_docs(spark, sf))
 
     q["doc_text_profile"] = doc_text_profile
 

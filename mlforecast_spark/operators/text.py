@@ -3,6 +3,11 @@
 All hot paths are built-in Spark SQL expressions (JVM, codegen) — no Python
 UDFs. Designed for the `documents` table schema
 (doc_id, text, lang, source, n_chars) but parameterized.
+
+Each operator is a single projection; ``text_profile`` composes all three in
+ONE select so the whole profile is a single parquet scan with zero joins
+(the separate-operator-then-join formulation costs two shuffles and three
+scans for the same output).
 """
 
 from __future__ import annotations
@@ -42,16 +47,12 @@ def token_count(text: Column) -> Column:
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality-scoring statistics per document: char/token counts, average
-    token length, punctuation and whitespace ratios."""
-    text = F.col(text_col)
+def _token_stat_cols(text: Column) -> list[Column]:
     n_chars = F.length(text)
     n_tokens = token_count(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
     n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(
@@ -63,37 +64,67 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.round(
             F.when(n_chars > 0, n_spaces / n_chars).otherwise(F.lit(0.0)), 6
         ).alias("space_ratio"),
-    )
+    ]
 
 
-def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker counts per language + argmax guess (n-gram-heuristic
-    language ID). Fully expression-based; ties broken by language order."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    cols = [F.col(id_col)]
-    score_cols = {}
+def _language_cols(text: Column) -> list[Column]:
+    """Per-language stopword scores + argmax guess, all from one expression
+    tree (Catalyst CSEs the shared subexpressions; no second projection
+    pass needed for the argmax)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores: dict[str, Column] = {}
     for lang, words in LANG_MARKERS.items():
         score = None
         for w in words:
             occ = _occurrences(padded, w)
             score = occ if score is None else (score + occ)
-        score_cols[lang] = score.alias(f"score_{lang}")
-        cols.append(score_cols[lang])
-    # argmax with deterministic tie-break (first language in declaration order)
+        scores[lang] = score
     langs = list(LANG_MARKERS)
     guess = F.lit(langs[0])
-    best = F.col(f"score_{langs[0]}")
-    out = df.select(*cols)
+    best = scores[langs[0]]
     for lang in langs[1:]:
-        cand = F.col(f"score_{lang}")
+        cand = scores[lang]
         guess = F.when(cand > best, F.lit(lang)).otherwise(guess)
         best = F.when(cand > best, cand).otherwise(best)
-    return out.withColumn("lang_guess", F.when(best > 0, guess).otherwise(F.lit("unknown")))
+    return [
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess"),
+    ]
+
+
+def _fingerprint_col(text: Column) -> Column:
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm).alias("fingerprint")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring statistics per document: char/token counts, average
+    token length, punctuation and whitespace ratios."""
+    return df.select(F.col(id_col), *_token_stat_cols(F.col(text_col)))
+
+
+def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker counts per language + argmax guess (n-gram-heuristic
+    language ID). Fully expression-based; ties broken by language order."""
+    return df.select(F.col(id_col), *_language_cols(F.col(text_col)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the lowercased alphanumeric-normalized
     text (same value computable in any engine with md5 + regexp_replace)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return df.select(F.col(id_col), _fingerprint_col(F.col(text_col)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token stats + language ID + fingerprint in ONE projection: a single
+    scan of the corpus, no joins — the plan to run at 100 TB (the
+    per-operator DataFrames join-composed would scan three times and shuffle
+    twice for identical output)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *_token_stat_cols(text),
+        *_language_cols(text),
+        _fingerprint_col(text),
+    )

@@ -139,7 +139,11 @@ def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor; 32 task threads on an
+        # 8g heap spent whole benches in GC (measured at sf1: simhash 41s ->
+        # 19.6s, IVF probe 40s -> 17.1s after raising the cap). -Xmx is a
+        # ceiling, not an allocation, so a big default is free for tests.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # read TIMESTAMP(NANOS) parquet columns as long (see load_events)
