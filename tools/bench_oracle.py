@@ -213,13 +213,33 @@ def main():
         "wide_feature_matrix": _wide_feature_matrix_sql(entry.PANEL_SQL),
     }
 
-    timings: dict[str, float | None] = {}
+    sqls: dict[str, str | None] = {}
     for name in BENCH_NAMES:
         if name in oracles:
-            sql = f"SELECT COUNT(*) FROM ({oracles[name]})"
+            # COUNT(*) alone lets DuckDB prune every computed column (a
+            # doc-profile full of regex ran in 1 ms without touching `text`);
+            # SUM(hash(row)) forces materialization of the whole row — the
+            # exact mirror of bench.py's xxhash64-over-all-columns _force.
+            sqls[name] = (
+                f"SELECT COUNT(*), SUM(hash(_t)) FROM ({oracles[name]}) _t"
+            )
         elif name in extra:
-            sql = extra[name]
+            sqls[name] = extra[name]
         else:
+            sqls[name] = None
+
+    # Warm pass, symmetric with bench.py's Spark warm-up: one untimed run of
+    # every query so the parquet pages are in the OS cache and DuckDB's
+    # buffer manager is primed before the timed pass (bench.py warms Spark's
+    # JIT the same way; timing one engine cold and the other warm skews the
+    # exact ratio the gate tracks).
+    for sql in sqls.values():
+        if sql is not None:
+            con.execute(sql).fetchall()
+
+    timings: dict[str, float | None] = {}
+    for name, sql in sqls.items():
+        if sql is None:
             timings[name] = None
             continue
         t0 = time.perf_counter()
@@ -235,6 +255,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "threads": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "warm": True,
     }
     with open(f"ORACLE_BENCH_sf{sf}.json", "w") as f:
         json.dump(out, f, indent=2)
