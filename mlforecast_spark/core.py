@@ -261,6 +261,7 @@ class FeaturePlan:
             time_col=s.time_col,
             partition_cols=(s.id_col,),
         )
+        multipass: dict[str, tuple[int, _BaseLagTransform]] = {}
         for name, (lag, tfm) in self.registry.items():
             if tfm.is_pooled:
                 pooled.setdefault(tfm.mode_key, {})[name] = (lag, tfm)
@@ -268,6 +269,11 @@ class FeaturePlan:
             col = tfm.expr(ctx, lag)
             if col is not None:
                 local_exprs[name] = col
+            elif getattr(tfm, "use_multipass", False):
+                # order-dependent recurrences (EWM engine='scan') that
+                # compile to a chain of window passes instead of one
+                # expression or a Python fallback
+                multipass[name] = (lag, tfm)
             elif isinstance(tfm, Combine):
                 self._plan_mixed_combine(name, lag, tfm, ctx, local_exprs, python_local)
             else:
@@ -275,6 +281,8 @@ class FeaturePlan:
 
         if local_exprs:
             df = df.select("*", *[c.alias(n) for n, c in local_exprs.items()])
+        for name, (lag, tfm) in multipass.items():
+            df = tfm.multipass_apply(df, s, lag, name)
         if python_local:
             df = self._apply_python_local(df, python_local)
         for mode_key, feats in pooled.items():

@@ -37,3 +37,70 @@ def test_carried_matches_recompute(spark, panel, lag, monkeypatch):
         slow["LinearRegression"].to_numpy(),
         rtol=1e-9,
     )
+
+
+def test_scan_engine_matches_pandas_path(spark):
+    """engine='scan' (log-depth window scan, no Python) must agree with the
+    pandas recurrence to float-reassociation tolerance, including NaN gaps
+    (ignore_na carry-forward) and leading NaNs from the lag shift."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for uid, n in (("a", 257), ("b", 31), ("c", 1)):
+        vals = rng.randn(n).cumsum() + 50
+        mask = rng.rand(n) < 0.15  # inject NaN gaps
+        for t in range(n):
+            rows.append((uid, t, None if mask[t] else float(vals[t])))
+    panel = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+
+    def run(engine):
+        registry = _parse_transforms(
+            [], {2: [ExponentiallyWeightedMean(alpha=0.3, engine=engine)]}
+        )
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        name = next(iter(registry))
+        return (
+            plan.apply(panel)
+            .select("unique_id", "ds", F.col(f"`{name}`").alias("ewm"))
+            .toPandas()
+            .sort_values(["unique_id", "ds"])
+            .reset_index(drop=True)
+        )
+
+    scan = run("scan")
+    ref = run("pandas")
+    assert scan[["unique_id", "ds"]].equals(ref[["unique_id", "ds"]])
+    np.testing.assert_allclose(scan["ewm"], ref["ewm"], rtol=1e-9, equal_nan=True)
+    # the hand recurrence, independently of both engines
+    pdf = panel.toPandas().sort_values(["unique_id", "ds"])
+    exp = pdf.groupby("unique_id")["y"].apply(
+        lambda s: s.shift(2).ewm(alpha=0.3, adjust=False, ignore_na=True).mean()
+    ).reset_index(drop=True)
+    np.testing.assert_allclose(scan["ewm"], exp, rtol=1e-9, equal_nan=True)
+
+
+def test_scan_engine_explicit_rounds_plans_without_action(spark):
+    """scan_rounds given -> plan construction triggers no Spark job."""
+    from pyspark.sql import functions as F
+
+    from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
+
+    panel = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(20)], "unique_id string, ds long, y double"
+    )
+    registry = _parse_transforms(
+        [], {1: [ExponentiallyWeightedMean(alpha=0.5, engine="scan", scan_rounds=6)]}
+    )
+    plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = plan.apply(panel)  # lazy - no job may run here
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    name = next(iter(registry))
+    got = out.select(F.col(f"`{name}`")).toPandas()
+    assert got.notna().sum().iloc[0] == 19
