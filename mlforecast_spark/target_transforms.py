@@ -486,18 +486,35 @@ class AutoSeasonalityAndDifferences(AutoSeasonalDifferences):
     (`/root/reference/mlforecast/target_transforms.py:329-375`; detection
     delegated there to coreforecast's STL-style period finder).
 
-    Detection here: autocorrelation of the DETRENDED (first-differenced)
-    series; candidate periods are significant LOCAL MAXIMA of the ACF
-    (|acf| > 1.96/sqrt(n), the standard white-noise band), strongest wins.
-    Detrending first stops trends masquerading as long periods — the main
-    failure mode of a plain ACF argmax on multi-seasonal/trending series.
-    ``n_seasons`` caps the sample used for the differencing test to the last
-    ``max_season_length * n_seasons`` points, matching the reference."""
+    Detection (``detection='acf'``, default): autocorrelation of the
+    DETRENDED (first-differenced) series; candidate periods are significant
+    LOCAL MAXIMA of the ACF (|acf| > 1.96/sqrt(n), the standard white-noise
+    band), strongest wins. Detrending first stops trends masquerading as
+    long periods — the main failure mode of a plain ACF argmax on
+    multi-seasonal/trending series.
 
-    def __init__(self, max_season_length: int, max_diffs: int, n_seasons: Optional[int] = 10):
+    ``detection='periodogram'``: classical periodogram of the detrended
+    series with Fisher's g-test for peak significance — the same family of
+    method as the reference's coreforecast period finder (which is not
+    installable here; `tests/test_seasonality_detection.py` bounds the
+    divergence between the two detectors on a multi-seasonal fixture
+    suite). ``n_seasons`` caps the sample used for the differencing test to
+    the last ``max_season_length * n_seasons`` points, matching the
+    reference."""
+
+    def __init__(
+        self,
+        max_season_length: int,
+        max_diffs: int,
+        n_seasons: Optional[int] = 10,
+        detection: str = "acf",
+    ):
+        if detection not in ("acf", "periodogram"):
+            raise ValueError("detection must be 'acf' or 'periodogram'")
         self.max_season_length = max_season_length
         self.max_diffs = max_diffs
         self.n_seasons = n_seasons
+        self.detection = detection
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         # the reference validates series length driver-side before the
@@ -519,9 +536,62 @@ class AutoSeasonalityAndDifferences(AutoSeasonalDifferences):
             )
         return super().fit_transform(df)
 
+    def _detect_season_periodogram(self, y) -> int:
+        """Periodogram with harmonic aggregation: linearly detrend (a first
+        difference would tilt the spectrum toward period 2), score each
+        candidate integer period by the power at its fundamental plus second
+        harmonic (non-sinusoidal seasonality — square-ish weekly patterns —
+        spreads power across harmonics, so a raw peak-pick lands on a
+        harmonic instead of the period), and require the fundamental bin to
+        be individually elevated (kills superharmonic aliases: period 2p
+        'owns' period p's power only through its harmonics, never its
+        fundamental). Significance: combined harmonic power must exceed 10×
+        its white-noise expectation — ~2% family-wise false-positive rate
+        over ≤40 candidates for an exponential periodogram."""
+        import numpy as np
+
+        y = y[~np.isnan(y)]
+        n = len(y)
+        if n < 6:
+            return 1
+        t = np.arange(n, dtype="float64")
+        coef = np.polyfit(t, y, 1)
+        d = y - np.polyval(coef, t)
+        # degenerate guard: residual variance at float-rounding scale (pure
+        # trend / constant series) is noise, not signal
+        scale = max(1.0, float(np.max(np.abs(y))))
+        if float(d @ d) <= n * (1e-9 * scale) ** 2:
+            return 1
+        spec = np.abs(np.fft.rfft(d)) ** 2
+        spec[0] = 0.0
+        m = len(spec)
+        if m < 4:
+            return 1
+        mean_p = spec[1:].sum() / (m - 1)
+        if mean_p == 0:
+            return 1
+        max_sl = min(self.max_season_length, n // 3)
+        best_sl, best_score = 1, 0.0
+        for k in range(1, m):
+            p = int(round(n / k))
+            if p < 2 or p > max_sl:
+                continue
+            fund = float(spec[k])
+            if fund < 3.0 * mean_p:  # fundamental must be real, not aliased
+                continue
+            score, j = 0.0, k
+            while j < m:
+                score += float(spec[j])
+                j += k
+            if score > best_score:
+                best_score, best_sl = score, p
+        return best_sl if best_score >= 10.0 * mean_p else 1
+
     def _detect_season(self, y) -> int:
         import numpy as np
 
+        if getattr(self, "detection", "acf") == "periodogram":
+            return self._detect_season_periodogram(y)
         y = y[~np.isnan(y)]
         if len(y) < 4:
             return 1
@@ -529,13 +599,21 @@ class AutoSeasonalityAndDifferences(AutoSeasonalDifferences):
         n = len(d)
         dc = d - d.mean()
         denom = float(dc @ dc)
-        if denom == 0 or n < 6:
+        # same degenerate guard as the periodogram path: rounding-noise
+        # variance on a pure trend is not signal
+        scale = max(1.0, float(np.max(np.abs(y))))
+        if denom <= n * (1e-9 * scale) ** 2 or n < 6:
             return 1
         max_sl = min(self.max_season_length, n // 3)
         acf = np.array(
             [float(dc[sl:] @ dc[:-sl]) / denom for sl in range(1, max_sl + 2)]
         )
-        sig = 1.96 / np.sqrt(n)
+        # white-noise band with a multiple-comparison correction: the probe
+        # scans up to max_sl candidate lags, and the plain 1.96/sqrt(n) band
+        # false-positives on ~1 of 40 lags of pure noise (observed on a
+        # white-noise fixture). sqrt(2*log(2*m)) is the universal-threshold
+        # analogue (≈2.96 at m=40 vs 1.96).
+        sig = np.sqrt(2.0 * np.log(2.0 * max(max_sl, 2))) / np.sqrt(n)
         best_sl, best_ac = 1, 0.0
         for sl in range(2, max_sl + 1):
             a = acf[sl - 1]
