@@ -901,7 +901,9 @@ class MLForecast:
             )
 
     # ------------------------------------------------------------------
-    def forecast_fitted_values(self, h: int = 1) -> DataFrame:
+    def forecast_fitted_values(
+        self, h: int = 1, allow_unbounded_history: bool = False
+    ) -> DataFrame:
         """In-sample predictions (`/root/reference/mlforecast/forecast.py:1318-1423`):
         (id, ds, y, h, one column per model), original scale.
 
@@ -911,6 +913,12 @@ class MLForecast:
         - recursive h>1: distributed origin-replication (see
           ``_fitted_recursive_h``) — the Spark-native replacement for the
           reference's per-origin driver loop (`forecast.py:978-1120`).
+
+        ``allow_unbounded_history``: with expanding/EWM features each
+        origin's synthetic series must carry its FULL history, so the
+        replicated frame is quadratic in series length (Σ_p p rows per
+        series). Refused by default as a scale guard; opt in for
+        small/medium panels where in-sample diagnostics justify it.
 
         Differences are inverted with the ACTUAL lagged targets (available
         in-sample), not the recursive tail rebuild."""
@@ -962,7 +970,9 @@ class MLForecast:
                 ],
             )
         else:
-            out, already_inverted = self._fitted_recursive_h(h)
+            out, already_inverted = self._fitted_recursive_h(
+                h, allow_unbounded_history=allow_unbounded_history
+            )
             if already_inverted:
                 out = out.select(
                     s.id_col,
@@ -1065,7 +1075,9 @@ class MLForecast:
 
         return src2.groupBy(id_col).applyInPandas(add, schema=out_schema)
 
-    def _fitted_recursive_h(self, h: int) -> DataFrame:
+    def _fitted_recursive_h(
+        self, h: int, allow_unbounded_history: bool = False
+    ) -> DataFrame:
         """h-step-ahead in-sample predictions, fully distributed.
 
         The reference walks origins one at a time on the driver
@@ -1094,12 +1106,14 @@ class MLForecast:
                 "would need their own per-origin tail state."
             )
         bound = self.plan_.keep_last_n_bound()
-        if bound is None:
+        if bound is None and not allow_unbounded_history:
             raise NotImplementedError(
-                "h>1 fitted values need finite-history transforms "
-                "(expanding/EWM would make the per-origin state unbounded); "
-                "the reference has the matching restriction for pooled "
-                "transforms (forecast.py:1391-1399)"
+                "h>1 fitted values with unbounded-history transforms "
+                "(expanding/EWM) replicate each origin's FULL history — "
+                "quadratic in series length. Pass "
+                "allow_unbounded_history=True to accept that plan on "
+                "small/medium panels; the reference has the matching "
+                "restriction for pooled transforms (forecast.py:1391-1399)"
             )
         s = self.schema_
         tp = self.transformed_panel_
@@ -1126,12 +1140,16 @@ class MLForecast:
             s.id_col, "_p", cid.alias("_cid")
         ).localCheckpoint(eager=True)
         # history membership: row at position j serves origin p iff
-        # p-bound < j <= p
+        # p-bound < j <= p; with
+        # unbounded history (bound None, opted in) it serves every origin
+        # from its own position on — the quadratic plan the guard above
+        # makes explicit
+        hist_end = (
+            F.col("_n") if bound is None else F.col("_rn") + F.lit(bound - 1)
+        )
         hist = base.select(
             s.id_col, s.time_col, s.target_col, *state_cols,
-            F.explode(
-                F.sequence(F.col("_rn"), F.col("_rn") + F.lit(bound - 1))
-            ).alias("_p"),
+            F.explode(F.sequence(F.col("_rn"), hist_end)).alias("_p"),
         ).join(origins, on=[s.id_col, "_p"], how="inner")
         expanded = hist.select(
             cid.alias("_cid"), s.time_col, s.target_col, *state_cols

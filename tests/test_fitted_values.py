@@ -126,7 +126,7 @@ def test_fitted_values_h2_rejects_unbounded_transforms(spark, panel):
         models=[LinearRegression()], freq="D", lag_transforms={1: [ExpandingMean()]}
     )
     mf.fit(panel)
-    with pytest.raises(NotImplementedError, match="finite-history"):
+    with pytest.raises(NotImplementedError, match="allow_unbounded_history"):
         mf.forecast_fitted_values(h=2)
 
 
@@ -266,6 +266,49 @@ def test_fitted_values_h2_differences_then_scaler(spark):
     cmp = f2.merge(raw[["unique_id", "ds", "exp"]], on=["unique_id", "ds"]).dropna(
         subset=["exp"]
     )
+    assert len(cmp) == len(f2) > 0
+    np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
+
+
+def test_fitted_values_h2_unbounded_history_opt_in(spark):
+    """ExpandingMean is refused at h=2 by default (quadratic origin
+    replication); with allow_unbounded_history=True the rollout must match a
+    manual pandas re-computation per origin."""
+    import pandas as pd
+    from mlforecast_spark.lag_transforms import ExpandingMean
+
+    panel = _int_panel(spark, 18)
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1],
+        lag_transforms={1: [ExpandingMean()]},
+    )
+    mf.fit(panel)
+    with pytest.raises(NotImplementedError, match="allow_unbounded_history"):
+        mf.forecast_fitted_values(h=2)
+    f2 = (
+        mf.forecast_fitted_values(h=2, allow_unbounded_history=True)
+        .toPandas()
+        .sort_values(["unique_id", "ds"])
+    )
+    model = mf.models_["LinearRegression"]
+    a = np.asarray(model.coef_, dtype=float)
+    b = float(model.intercept_)
+    raw = panel.toPandas().sort_values(["unique_id", "ds"])
+    exp_rows = []
+    for uid, g in raw.groupby("unique_id"):
+        y = g["y"].to_numpy()
+        for p in range(1, len(y) - 1):  # origin position (1-based p = index p)
+            hist = list(y[:p])
+            # step 1: features from actual history
+            yh1 = a[0] * hist[-1] + a[1] * np.mean(hist) + b
+            # step 2: history extended by the step-1 prediction
+            hist2 = hist + [yh1]
+            yh2 = a[0] * hist2[-1] + a[1] * np.mean(hist2) + b
+            exp_rows.append((uid, int(g["ds"].iloc[p + 1]), yh2))
+    exp = pd.DataFrame(exp_rows, columns=["unique_id", "ds", "exp"])
+    cmp = f2.merge(exp, on=["unique_id", "ds"]).dropna(subset=["exp"])
     assert len(cmp) == len(f2) > 0
     np.testing.assert_allclose(cmp["LinearRegression"], cmp["exp"], rtol=1e-9)
 
