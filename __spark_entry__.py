@@ -610,7 +610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         embs = _embs(spark, sf)
         queries_df = embs.filter(F.col("vec_id") < 20)
-        return ivf_topk(embs, queries_df, k=10, n_lists=16, nprobe=4, max_iter=3)
+        return ivf_topk(
+            embs, queries_df, k=10, n_lists=16, nprobe=4, max_iter=3,
+            train_fraction=0.2,
+        )
 
     q["ann_ivf_probe"] = ann_ivf_probe
 

@@ -164,6 +164,7 @@ def ivf_topk(
     seed: int = 7,
     max_iter: int = 10,
     round_to: int = 6,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     (Spark MLlib, distributed) partitions vectors into ``n_lists`` inverted
@@ -171,6 +172,14 @@ def ivf_topk(
     those lists' vectors exactly. The candidate join is an equi-join on the
     list id — per query it touches ~``nprobe/n_lists`` of the corpus, the
     standard FAISS-style scale path for clusterable embeddings.
+
+    ``train_fraction``: train the k-means on a seeded Bernoulli sample of
+    the corpus (assignment still covers everything) — FAISS practice:
+    centroids only need a representative sample (its defaults train on ≤256
+    points per list). At 100 TB this is the difference between iterating
+    k-means over the corpus and over a sliver of it. A fraction (not a row
+    cap) so plan construction stays action-free. None = train on
+    everything.
 
     ``nprobe == n_lists`` degrades exactly to brute force (every list
     probed), which is the oracle-checkable configuration; recall at small
@@ -184,8 +193,11 @@ def ivf_topk(
         F.col(vec_col).alias("_nv"),
         array_to_vector(vd).alias("_feat"),
     )
+    train = feats
+    if train_fraction is not None and train_fraction < 1.0:
+        train = feats.sample(fraction=train_fraction, seed=seed)
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
-    model = km.fit(feats)
+    model = km.fit(train)
     assigned = model.transform(feats).select(
         "neighbor_id", "_nv", F.col("prediction").alias("_list")
     )
