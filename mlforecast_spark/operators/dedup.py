@@ -346,21 +346,39 @@ def simhash_candidates(
     )
     chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket_size)
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    joined = a.join(
+        b,
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("fp_a"),
+        F.col("b.simhash").alias("fp_b"),
+        F.col("a.chunk_idx").alias("_band"),
     )
+    if max_bucket_size is None:
+        # first-matching-band dedup: both fingerprints ride the join row, so
+        # "is this the FIRST band where the pair's chunks agree" is a plain
+        # expression — each pair survives from exactly one band and the
+        # dropDuplicates shuffle of the whole candidate set disappears (at
+        # sf1: 27.7M banded rows shuffled -> 0). With bucket caps the band
+        # that would claim a pair may have been pruned, so the shuffle-dedup
+        # fallback below keeps capped semantics unchanged.
+        mask = F.lit(0xFFFF).cast("long")
+        xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+        no_earlier = F.lit(True)
+        for j in range(3):
+            band_j_differs = (
+                F.shiftright(xor, 16 * j).bitwiseAND(mask) != 0
+            )
+            no_earlier = no_earlier & F.when(
+                F.col("_band") > j, band_j_differs
+            ).otherwise(F.lit(True))
+        pairs = joined.filter(no_earlier).drop("_band")
+    else:
+        pairs = joined.drop("_band").dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
