@@ -92,13 +92,21 @@ SELECT COUNT(*) FROM (
 
 def _simhash_sql() -> str:
     """Same workload as operators/dedup.py simhash path: 64 signed bit sums
-    per doc, 4x16-bit chunk banding, hamming<=3 verify."""
+    per doc, 4x16-bit chunk banding, hamming<=3 verify. Cross-band dedup
+    uses the same first-matching-band predicate the Spark side uses (a pair
+    survives only from the first band whose chunks agree) instead of
+    DISTINCT over the raw banded pairs — both engines get the shuffle-free
+    formulation."""
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (hash(tok) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(64)
     )
     fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(63))
     chunk_rows = ", ".join(f"({i}, (fp >> {16 * i}) & 65535)" for i in range(4))
+    first_match = " AND ".join(
+        f"(c.chunk_idx <= {j} OR ((xor(a.fp, b.fp) >> {16 * j}) & 65535) <> 0)"
+        for j in range(3)
+    ).replace("c.chunk_idx", "a.chunk_idx")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -112,10 +120,11 @@ WITH toks AS (
   FROM fps, LATERAL (VALUES {chunk_rows}) AS c(chunk_idx, chunk)
 )
 SELECT COUNT(*) FROM (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.fp, b.fp)) AS hamming
   FROM chunks a JOIN chunks b
     ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE {first_match}
 ) WHERE hamming <= 3
 """
 
