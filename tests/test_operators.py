@@ -70,6 +70,21 @@ def test_simhash_near_dups(spark, docs):
     assert ((cands.id_a == 1) & (cands.id_b == 2)).any()
 
 
+def test_simhash_band_dedup_equivalent_to_shuffle_dedup(spark, docs):
+    """The first-matching-band predicate (uncapped path, no shuffle) must
+    produce exactly the pairs the dropDuplicates fallback (capped path)
+    produces when the cap is too large to prune anything."""
+    from mlforecast_spark.operators.dedup import simhash, simhash_candidates
+
+    fps = simhash(docs)
+    fast = simhash_candidates(fps, max_hamming=10).toPandas()
+    slow = simhash_candidates(fps, max_hamming=10, max_bucket_size=10**9).toPandas()
+    key = ["id_a", "id_b", "hamming"]
+    assert sorted(map(tuple, fast[key].values.tolist())) == sorted(
+        map(tuple, slow[key].values.tolist())
+    )
+
+
 def test_simhash_long_doc(spark):
     """ANSI-overflow regression: a 70k-token doc puts >32,767 occurrences on
     individual hash bits — the 4x16-bit packed formulation threw
