@@ -1,15 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode step is STUBBED (image/audio libraries are not in this container):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, which
-produces a deterministic fake decode so the Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested.
+Decode is REAL for formats that need no external library — PPM (P6) and
+uncompressed 24-bit BMP images, PCM WAV audio — implemented in pure
+numpy/stdlib inside Arrow-batched ``mapInPandas``. Compressed formats
+(JPEG/PNG/video) genuinely need PIL/ffmpeg, which this container lacks:
+those raise ``NotImplementedError`` naming the supported set, and
+``fake=True`` keeps the deterministic pseudo-decode so the distributed
+plumbing stays testable for any payload.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +28,163 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
+# feature vector layouts (fixed-length so the Arrow schema is stable)
+IMAGE_FEATURE_LEN = 3 + 3 + 3 + 16  # dims + channel means + channel stds + gray hist
+AUDIO_FEATURE_LEN = 4 + 8  # rate/duration/rms/zcr + spectral band energies
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy decoders (no external libraries)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(raw: bytes):
+    """P6 (binary) PPM → uint8 array (h, w, 3). Pure numpy."""
+    import numpy as np
+
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(raw: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → uint8 array (h, w, 3) in RGB order.
+    Pure numpy: header parse, 4-byte row padding strip, bottom-up flip."""
+    import numpy as np
+
+    if not raw.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    header_size = struct.unpack_from("<I", raw, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+def decode_wav(raw: bytes) -> Tuple["object", int]:
+    """PCM WAV → (float64 array (n, channels) in [-1, 1], sample_rate).
+    stdlib ``wave`` + numpy; 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        arr = np.frombuffer(frames, dtype=np.uint8).astype("float64")
+        arr = (arr - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype("float64") / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype("float64") / 2147483648.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return arr.reshape(-1, n_ch), rate
+
+
+def decode_image(raw: bytes):
+    """Dispatch on magic bytes: P6 PPM and 24-bit BMP decode for real;
+    everything else names the gap."""
+    if raw[:2] == b"P6":
+        return decode_ppm(raw)
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    raise NotImplementedError(
+        "real decode supports P6 PPM and uncompressed 24-bit BMP "
+        "(pure numpy); JPEG/PNG need PIL which is not installed"
+    )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize, pure numpy indexing (the resize operator for
+    decoded frames; at scale it runs inside the same Arrow batch as decode)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = np.clip((np.arange(out_h) * (h / out_h)).astype(int), 0, h - 1)
+    cols = np.clip((np.arange(out_w) * (w / out_w)).astype(int), 0, w - 1)
+    return img[rows][:, cols]
+
+
+def image_features(img) -> list:
+    """Fixed-length feature vector: (h, w, c) dims, per-channel mean/std,
+    16-bin grayscale histogram (normalized)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h * w, c).astype("float64")
+    means = flat.mean(axis=0)
+    stds = flat.std(axis=0)
+    means = np.pad(means, (0, 3 - len(means[:3])))[:3]
+    stds = np.pad(stds, (0, 3 - len(stds[:3])))[:3]
+    gray = flat.mean(axis=1)
+    hist = np.bincount((gray / 16).astype(int).clip(0, 15), minlength=16)
+    hist = hist / hist.sum() if hist.sum() else hist
+    return [float(h), float(w), float(c), *means, *stds, *hist]
+
+
+def audio_features(arr, rate: int) -> list:
+    """Fixed-length feature vector: sample rate, duration, RMS,
+    zero-crossing rate, 8 normalized spectral band energies (rfft)."""
+    import numpy as np
+
+    mono = arr.mean(axis=1)
+    n = len(mono)
+    rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    bands = [0.0] * 8
+    if n > 16:
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        chunks = np.array_split(spec[1:], 8)
+        energies = np.array([c.sum() for c in chunks])
+        total = energies.sum()
+        if total > 0:
+            bands = (energies / total).tolist()
+    return [float(rate), n / rate if rate else 0.0, rms, zcr, *bands]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
 
 def attach_fake_payload(df: DataFrame, id_col: str, size: int = 64) -> DataFrame:
     """Deterministic binary payload per row (stand-in for real image bytes)."""
@@ -46,24 +207,21 @@ def decode_and_featurize(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake: bool = False,
+    resize_to: Tuple[int, int] | None = None,
     batch_hint: int = 512,
 ) -> DataFrame:
     """Decode binary payloads and emit fixed-size feature vectors via
     ``mapInPandas`` (Arrow batches; payload bytes never pass through Python
     row-at-a-time).
 
-    Real decode requires PIL/ffmpeg — not in this container. With
-    ``fake=True`` a deterministic pseudo-decode (bytes → histogram) keeps the
-    distributed plumbing testable end-to-end.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "Image/audio decode needs PIL/ffmpeg which are not installed; "
-            "pass fake=True for the deterministic test path."
-        )
+    Real path: P6 PPM / 24-bit BMP images (optionally nearest-neighbor
+    resized first) and PCM WAV audio, all pure numpy/stdlib; other formats
+    raise per-row with the supported set named. ``fake=True`` keeps the
+    deterministic pseudo-decode (bytes → histogram) for arbitrary payloads."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("kind", T.StringType()),
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
@@ -73,13 +231,28 @@ def decode_and_featurize(
         import pandas as pd
 
         for pdf in batches:
-            feats = []
+            kinds, feats = [], []
             for raw in pdf[payload_col]:
-                arr = np.frombuffer(raw or b"", dtype=np.uint8)
-                hist = np.bincount(arr % 16, minlength=16).astype("float64")
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+                raw = bytes(raw or b"")
+                if fake:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    hist = np.bincount(arr % 16, minlength=16).astype("float64")
+                    total = hist.sum()
+                    kinds.append("fake")
+                    feats.append((hist / total if total else hist).tolist())
+                elif raw[:4] == b"RIFF":
+                    samples, rate = decode_wav(raw)
+                    kinds.append("audio")
+                    feats.append(audio_features(samples, rate))
+                else:
+                    img = decode_image(raw)
+                    if resize_to is not None:
+                        img = resize_nearest(img, *resize_to)
+                    kinds.append("image")
+                    feats.append(image_features(img))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "kind": kinds, "features": feats}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
@@ -88,8 +261,8 @@ def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
-    The actual frame extraction is part of the stubbed decode; the row
-    explosion (the Spark-side cost driver) is real."""
+    Frame extraction from real video containers needs ffmpeg (absent); the
+    row explosion (the Spark-side cost driver) is real."""
     n_frames = F.lit(100)  # stub: constant frame count per asset
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))

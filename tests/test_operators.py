@@ -190,10 +190,126 @@ def test_multimodal_plumbing(spark, docs):
     assert len(feats) == 6
     assert all(len(f) == 16 for f in feats["features"])
     np.testing.assert_allclose([sum(f) for f in feats["features"]], 1.0, rtol=1e-9)
-    with pytest.raises(NotImplementedError):
-        decode_and_featurize(with_payload, fake=False)
+    # real-decode path on non-decodable payloads: raises per row at action
+    # time, naming the supported formats
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="PPM"):
+        decode_and_featurize(with_payload, fake=False).collect()
     frames = frame_sample_plan(docs, every_n=10).toPandas()
     assert len(frames) == 6 * 10
+
+
+def _make_ppm(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _make_bmp(arr):
+    """Minimal bottom-up 24-bit BI_RGB BMP encoder for the round-trip test."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + dib + pixel_data
+
+
+def _make_wav(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_real_decoders_roundtrip():
+    from mlforecast_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(_make_ppm(img)), img)
+    np.testing.assert_array_equal(decode_bmp(_make_bmp(img)), img)
+    t = np.arange(800) / 8000.0
+    wave_in = 0.5 * np.sin(2 * np.pi * 440 * t)
+    out, rate = decode_wav(_make_wav(wave_in))
+    assert rate == 8000 and out.shape == (800, 1)
+    np.testing.assert_allclose(out[:, 0], wave_in, atol=1e-3)
+    small = resize_nearest(img, 3, 2)
+    assert small.shape == (3, 2, 3)
+    assert (small >= 0).all() and (small <= 255).all()
+
+
+def test_multimodal_real_decode_through_spark(spark):
+    """Mixed PPM/BMP/WAV payloads decode for real inside mapInPandas; image
+    features carry true dimensions, audio features the true sample rate, and
+    the dominant spectral band matches the injected tone."""
+    from mlforecast_spark.operators.multimodal import (
+        AUDIO_FEATURE_LEN,
+        IMAGE_FEATURE_LEN,
+        decode_and_featurize,
+    )
+
+    rng = np.random.RandomState(9)
+    img1 = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    img2 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    t = np.arange(1600) / 8000.0
+    tone = 0.7 * np.sin(2 * np.pi * 500 * t)
+    rows = [
+        (1, bytearray(_make_ppm(img1))),
+        (2, bytearray(_make_bmp(img2))),
+        (3, bytearray(_make_wav(tone))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        decode_and_featurize(df, fake=False)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "kind"] == "image" and out.loc[2, "kind"] == "image"
+    assert out.loc[3, "kind"] == "audio"
+    f1, f2, f3 = out.loc[1, "features"], out.loc[2, "features"], out.loc[3, "features"]
+    assert len(f1) == IMAGE_FEATURE_LEN and len(f2) == IMAGE_FEATURE_LEN
+    assert (f1[0], f1[1], f1[2]) == (8.0, 6.0, 3.0)
+    assert (f2[0], f2[1], f2[2]) == (4.0, 4.0, 3.0)
+    np.testing.assert_allclose(f2[3:6], [200.0] * 3)  # constant image means
+    np.testing.assert_allclose(f2[6:9], [0.0] * 3)  # ... and zero stds
+    assert len(f3) == AUDIO_FEATURE_LEN
+    assert f3[0] == 8000.0 and abs(f3[1] - 0.2) < 1e-9  # rate, duration
+    assert abs(f3[2] - 0.7 / np.sqrt(2)) < 0.01  # sine RMS
+    # 500 Hz on a 0-4000 Hz rfft span falls in the lowest of 8 bands
+    assert np.argmax(f3[4:]) == 0
+    # resize inside the batch
+    resized = (
+        decode_and_featurize(df.filter("doc_id < 3"), fake=False, resize_to=(4, 4))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert all(f[0] == 4.0 and f[1] == 4.0 for f in resized["features"])
 
 
 def test_ivf_topk_full_probe_equals_brute_force(spark):
