@@ -578,6 +578,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups"] = emb_near_dups
 
+    def dedup_clusters_q(spark, sf):
+        """Pairs -> clusters: near-dup candidate pairs resolved into
+        connected components, each doc labeled with its cluster's canonical
+        (min) id — the step that turns pairwise dedup output into an
+        actionable keep/drop decision."""
+        from mlforecast_spark.operators.dedup import connected_components
+
+        return connected_components(
+            emb_near_dups(spark, sf), src="query_id", dst="neighbor_id"
+        )
+
+    q["dedup_clusters"] = dedup_clusters_q
+
+    def stratified_sample_q(spark, sf):
+        """Deterministic per-language sample: exactly k docs per lang chosen
+        by md5 order — reproducible across engines, partitionings, reruns."""
+        from mlforecast_spark.operators.sampling import stratified_hash_sample
+
+        docs = _docs(spark, sf).select("doc_id", "lang")
+        out = stratified_hash_sample(docs, ["lang"], k=20)
+        return out.select(
+            "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+
+    q["stratified_sample_docs"] = stratified_sample_q
+
     def ann_lsh(spark, sf):
         from mlforecast_spark.operators.similarity import lsh_topk
 
@@ -1175,6 +1201,40 @@ def oracle_sql() -> dict[str, str]:
         "  ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)"
         " SELECT query_id, neighbor_id, cosine FROM ranked"
         " WHERE rank <= 3 AND cosine >= 0.35"
+    )
+
+    # connected components of the near-dup pair graph via recursive
+    # reachability (enumerates (src, reachable) pairs — fine at oracle scale,
+    # while the Spark side runs the O(log d)-round label-propagation plan)
+    o["dedup_clusters"] = (
+        "WITH RECURSIVE pairs AS ("
+        " SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "   CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+        "  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),"
+        " nd AS (SELECT query_id, neighbor_id FROM ("
+        "  SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
+        "  FROM pairs) WHERE rank <= 3 AND cosine >= 0.35),"
+        " e AS (SELECT query_id AS u, neighbor_id AS v FROM nd"
+        "  UNION SELECT neighbor_id, query_id FROM nd),"
+        " nodes AS (SELECT DISTINCT u AS id FROM e),"
+        " reach(src, node) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),"
+        " labels AS (SELECT src AS node_id, MIN(node) AS cluster_id"
+        "  FROM reach GROUP BY src)"
+        " SELECT node_id, cluster_id,"
+        "  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM labels"
+    )
+
+    o["stratified_sample_docs"] = (
+        "SELECT lang, doc_id, sample_rank FROM ("
+        " SELECT lang, doc_id, ROW_NUMBER() OVER ("
+        "  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))"
+        " ) AS sample_rank FROM documents)"
+        " WHERE sample_rank <= 20"
     )
 
     o["differences"] = (

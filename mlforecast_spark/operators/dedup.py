@@ -316,6 +316,88 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate near-duplicate PAIRS into duplicate CLUSTERS: each
+    node gets ``cluster_id`` = the minimum node id in its connected component
+    (+ ``cluster_size``). This is the last step of every dedup pipeline —
+    pairs alone can't answer "which docs do I keep": A~B and B~C must
+    collapse to one cluster {A,B,C} with one canonical survivor.
+
+    Algorithm: distributed min-label propagation with pointer jumping —
+    each round (a) pulls the min label across every edge (one shuffle-join +
+    groupBy-min, Spark's partial aggregation combines map-side) and (b)
+    short-circuits chains by label(x) <- label(label(x)) (one self-join), the
+    path-halving step that makes long chains converge in O(log diameter)
+    rounds instead of O(diameter) — the same contraction idea as the
+    large-star/small-star MapReduce algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Label frames are cached
+    and localCheckpoint()ed each round to truncate the growing lineage (an
+    unbounded iterative plan re-executes from the source every round and
+    eventually overwhelms the optimizer). The per-round convergence test is
+    one count() over the changed rows — an inherent driver action of any
+    fixpoint loop, not a collect of data.
+
+    At 100 TB: every round is two bounded shuffles on the label key space
+    (nodes, not edges, after round 1); dedup graphs have tiny diameters
+    (near-dup clusters are dense), so 2-4 rounds is typical.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .cache()  # re-joined every round; never recompute the pair generator
+    )
+    # init: label(x) = min(x, min over direct neighbors) — one round for free
+    labels = (
+        sym.groupBy("_u")
+        .agg(F.min("_v").alias("_m"))
+        .select(F.col("_u").alias("_id"), F.least("_u", "_m").alias("_lbl"))
+        .cache()
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # (a) pull min label across edges
+        nbr = (
+            sym.join(labels.withColumnRenamed("_id", "_v"), on="_v")
+            .groupBy("_u")
+            .agg(F.min("_lbl").alias("_nl"))
+        )
+        pulled = (
+            labels.join(nbr.withColumnRenamed("_u", "_id"), on="_id", how="left")
+            .select("_id", F.least("_lbl", "_nl").alias("_lbl"))
+        )
+        # (b) pointer jumping: label(x) <- label(label(x)) where defined
+        jump = labels.select(
+            F.col("_id").alias("_lbl"), F.col("_lbl").alias("_jl")
+        )
+        new_labels = (
+            pulled.join(jump, on="_lbl", how="left")
+            .select("_id", F.least("_lbl", "_jl").alias("_lbl"))
+            .cache()
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("_lbl", "_old"), on="_id")
+            .filter(F.col("_lbl") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()  # final labels are checkpointed; edge lineage not needed
+    w = Window.partitionBy("_lbl")
+    return labels.select(
+        F.col("_id").alias("node_id"),
+        F.col("_lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+
+
 def simhash_candidates(
     fps: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent: the
+same call on the same data returns different rows when the file splits
+change, which makes pipeline outputs unreproducible across cluster sizes.
+These operators instead derive the sampling decision from a content hash
+(md5 of the row key), so the selected set is a pure function of the data —
+identical on 1 executor or 1000, re-runnable, and auditable in any engine
+that has md5 (the DuckDB oracle computes the exact same set).
+
+- ``hash_sample``: Bernoulli-style p-fraction keep, decided per row by the
+  md5 hex prefix of the key. No shuffle at all — a pure filter that pushes
+  down to the scan.
+- ``stratified_hash_sample``: exactly ``k`` rows per group (e.g. per
+  language / per source), the rows whose key-md5 sorts first within the
+  group. One shuffle on the group key. At 100 TB, pre-filter with an
+  over-sampled ``hash_sample`` first (the top-k by hash within a group is
+  almost surely inside a generous hash-prefix slice), so the per-group sort
+  sees a sliver of the corpus; ``prefilter_factor`` automates this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^6 possible values of the first 6 md5 hex chars — the resolution of the
+# Bernoulli threshold (p quantizes to ~6e-8 steps)
+_HASH_SPACE = 16**6
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by md5(key) prefix — deterministic,
+    shuffle-free, engine-portable. ``salt`` derives independent samples from
+    the same keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # lowercase hex sorts like the integer it encodes, so the threshold is a
+    # plain string compare — no base conversion in the hot path
+    cutoff = format(int(round(fraction * _HASH_SPACE)), "06x")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6
+    )
+    return df.filter(prefix < F.lit(cutoff))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    group_cols: list,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group: the rows whose
+    ``md5(key || salt)`` sorts first within the group (md5 of a unique key is
+    collision-free in practice, so the selection is total-ordered and
+    deterministic). Adds ``sample_rank`` (1-based within group).
+
+    ``prefilter_fraction``: the 100 TB path. The winners are the k smallest
+    hashes per group, and hashes are uniform — so with a group of size n,
+    the k winners are inside the first ``p`` of hash space except with
+    probability Binom(n, p) < k, vanishing for ``p >> k/n``. Passing e.g.
+    ``p = 5 * k / min_group_size`` drops ~(1-p) of the corpus with a
+    shuffle-free scan filter BEFORE the per-group sort, leaving the window
+    over a sliver. The output is bit-identical to the unfiltered run
+    whenever each group keeps >= k rows in the slice (a group can only
+    return fewer rows — never different ones — if the slice under-covers
+    it). Left None, the sort sees every row of each group; the shuffle is on
+    ``group_cols`` either way."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    src = df
+    if prefilter_fraction is not None:
+        if not 0.0 < prefilter_fraction <= 1.0:
+            raise ValueError(
+                f"prefilter_fraction must be in (0, 1], got {prefilter_fraction}"
+            )
+        cutoff = format(int(round(prefilter_fraction * _HASH_SPACE)), "06x")
+        src = df.filter(F.substring(h, 1, 6) < F.lit(cutoff))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h"))
+    return (
+        src.select("*", h.alias("_h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_h")
+    )

@@ -415,3 +415,125 @@ def test_driver_collect_guard(spark):
         assert mf2.predict(2).count() == 4
     finally:
         fc.DRIVER_COLLECT_MAX_ROWS = old
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_basic(spark):
+    from mlforecast_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long"
+    )
+    out = connected_components(edges).toPandas().set_index("node_id")
+    assert out.loc[1, "cluster_id"] == 1 and out.loc[3, "cluster_id"] == 1
+    assert out.loc[2, "cluster_size"] == 3
+    assert out.loc[5, "cluster_id"] == 5 and out.loc[6, "cluster_size"] == 2
+    assert out.loc[9, "cluster_id"] == 9 and out.loc[9, "cluster_size"] == 1
+
+
+def test_connected_components_long_chain_and_strings(spark):
+    from mlforecast_spark.operators.dedup import connected_components
+
+    # a 40-node path exercises pointer jumping (pure propagation would need
+    # 40 rounds; the loop is capped at 25)
+    chain = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(40)]
+    edges = spark.createDataFrame(chain, "id_a string, id_b string")
+    out = connected_components(edges).toPandas()
+    assert set(out["cluster_id"]) == {"d000"}
+    assert (out["cluster_size"] == 41).all()
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from mlforecast_spark.operators.dedup import connected_components
+
+    rnd = random.Random(11)
+    nodes = list(range(120))
+    edges = [
+        (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(90)
+    ]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {n for e in edges for n in e}
+    expected = {}
+    for n in touched:
+        root = find(n)
+        expected.setdefault(root, set()).add(n)
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    out = (
+        connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        )
+        .toPandas()
+        .set_index("node_id")["cluster_id"]
+        .to_dict()
+    )
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_fraction_and_determinism(spark):
+    from mlforecast_spark.operators.sampling import hash_sample
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s1 = hash_sample(df, 0.25).toPandas()["doc_id"]
+    s2 = hash_sample(df, 0.25).toPandas()["doc_id"]
+    assert sorted(s1) == sorted(s2)
+    assert 0.20 < len(s1) / 4000 < 0.30
+    salted = hash_sample(df, 0.25, salt="v2").toPandas()["doc_id"]
+    # independent decision per salt: overlap ~ p^2, far below identity
+    assert len(set(s1) & set(salted)) < 0.5 * len(s1)
+    # pure filter: monotone in fraction (nested samples)
+    s_small = hash_sample(df, 0.1).toPandas()["doc_id"]
+    assert set(s_small) <= set(s1)
+
+
+def test_stratified_hash_sample_exact_k(spark):
+    import hashlib
+
+    from mlforecast_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(f"doc{i}", "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = stratified_hash_sample(df, ["lang"], k=5).toPandas()
+    assert (out.groupby("lang").size() == 5).all()
+    # matches a driver-side md5 ranking exactly
+    for lang in ("en", "de"):
+        members = [d for d, l in rows if l == lang]
+        want = sorted(members, key=lambda d: hashlib.md5(d.encode()).hexdigest())[:5]
+        got = out[out.lang == lang].sort_values("sample_rank")["doc_id"].tolist()
+        assert got == want
+    # small groups return the whole group, rank intact
+    tiny = spark.createDataFrame([("a", "x"), ("b", "x")], "doc_id string, lang string")
+    got_tiny = stratified_hash_sample(tiny, ["lang"], k=5).toPandas()
+    assert len(got_tiny) == 2 and set(got_tiny["sample_rank"]) == {1, 2}
+
+
+def test_stratified_hash_sample_prefilter_identical(spark):
+    from mlforecast_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(f"doc{i}", ["en", "de", "fr"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    full = stratified_hash_sample(df, ["lang"], k=10).toPandas()
+    # 300 rows/group, keep hash-slice ~ 20x the k/n winners' share
+    pre = stratified_hash_sample(
+        df, ["lang"], k=10, prefilter_fraction=10 * 20 / 300
+    ).toPandas()
+    key = ["lang", "sample_rank", "doc_id"]
+    assert full.sort_values(key)[key].values.tolist() == pre.sort_values(key)[key].values.tolist()
