@@ -153,9 +153,11 @@ def minhash_lsh_candidates(
 
     ``signatures`` is cached before the self-join: it is tiny (one row per
     document) and feeds both sides, so recomputing the shingle+hash pipeline
-    twice would dominate the cost. Only (id, band, bucket) flows through the
-    self-join — the signature arrays are joined back onto the deduplicated
-    pair set, keeping the wide payload out of the quadratic stage.
+    twice would dominate the cost. Only (id, bucket vector, band, bucket)
+    flows through the self-join — num_bands longs per row, enough for the
+    first-matching-band dedup filter — while the full signature arrays are
+    joined back onto the deduplicated pair set, keeping the wide payload out
+    of the quadratic stage.
 
     ``max_bucket_size`` is OFF by default so the banding guarantee holds
     exactly; at 100 TB scale, set it (e.g. 1000) to drop degenerate
@@ -163,33 +165,50 @@ def minhash_lsh_candidates(
     matching band lands in a capped bucket are lost (see ``_cap_buckets``)."""
     signatures = signatures.cache()
     rows_per_band = max(1, num_hashes // num_bands)
-    bands = signatures.select(
+    buckets_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+    # each band row carries the doc's full bucket vector (num_bands longs) so
+    # pair dedup can run as a filter on the join rows instead of a shuffle
+    bands = signatures.select(F.col(id_col), buckets_arr.alias("_bks")).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.col("_bks"),
+        F.posexplode(F.col("_bks")).alias("band", "bucket"),
     )
     bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size).cache()
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a._bks").alias("_bks_a"),
+        F.col("b._bks").alias("_bks_b"),
+        F.col("a.band").alias("_band"),
     )
+    if max_bucket_size is None:
+        # first-matching-band dedup (same trick as simhash_candidates): a
+        # pair joins once per agreeing band, and both bucket vectors ride the
+        # join row — so "is this the FIRST agreeing band" is a plain filter
+        # and the dropDuplicates shuffle of the whole candidate set
+        # disappears. With bucket caps the claiming band may have been
+        # pruned, so the shuffle-dedup fallback keeps capped semantics.
+        no_earlier = F.lit(True)
+        for j in range(num_bands - 1):
+            no_earlier = no_earlier & F.when(
+                F.col("_band") > j,
+                F.col("_bks_a")[j] != F.col("_bks_b")[j],
+            ).otherwise(F.lit(True))
+        pairs = joined.filter(no_earlier).select("id_a", "id_b")
+    else:
+        pairs = joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     sig_a = signatures.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
     )
