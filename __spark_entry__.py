@@ -1316,20 +1316,17 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # --- documents -----------------------------------------------------
-    # language scores: same padded-occurrence arithmetic as operators/text.py
-    def _occ_sql(word: str) -> str:
-        needle = f" {word} "
-        return (
-            f"CAST((LENGTH(padded) - LENGTH(REPLACE(padded, '{needle}', '')))"
-            f" / {len(needle)} AS INTEGER)"
-        )
-
+    # language scores: same token-equality counting as operators/text.py
+    # (one tokenize pass; a token scores iff it equals a marker word)
     from mlforecast_spark.operators.text import LANG_MARKERS
 
     score_exprs = []
     for lang, words in LANG_MARKERS.items():
-        total = " + ".join(_occ_sql(w) for w in words)
-        score_exprs.append(f"CAST({total} AS INTEGER) AS score_{lang}")
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({in_list})))"
+            f" AS INTEGER) AS score_{lang}"
+        )
     langs = list(LANG_MARKERS)
     guess = f"'{langs[0]}'"
     best = f"score_{langs[0]}"
@@ -1351,7 +1348,8 @@ def oracle_sql() -> dict[str, str]:
         "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
         "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
         " FROM tbase),"
-        " lbase AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents),"
+        " lbase AS (SELECT doc_id,"
+        "  regexp_split_to_array(LOWER(text), '\\s+') AS toks FROM documents),"
         f" li AS (SELECT doc_id, {', '.join(score_exprs)} FROM lbase),"
         f" li2 AS (SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess FROM li),"
         " fp AS (SELECT doc_id, md5(TRIM(regexp_replace("

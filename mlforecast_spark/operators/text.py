@@ -4,10 +4,13 @@ All hot paths are built-in Spark SQL expressions (JVM, codegen) — no Python
 UDFs. Designed for the `documents` table schema
 (doc_id, text, lang, source, n_chars) but parameterized.
 
-Each operator is a single projection; ``text_profile`` composes all three in
-ONE select so the whole profile is a single parquet scan with zero joins
-(the separate-operator-then-join formulation costs two shuffles and three
-scans for the same output).
+Per-row statistics (counts / ratios / fingerprint) are a single projection
+over one corpus scan. Language-marker scores run as ONE tokenize → filter →
+aggregate pass joined back by id: at sf1 this is ~40% faster than the
+20-per-marker replace/length string passes it replaced (scores-only 1.04 s
+vs 1.78 s, full profile 4.2 s vs 5.5 s, 5 interleaved warm reps), because
+the marker-token stream after the filter is a sliver of the corpus and the
+20 full-text scans collapse into one split.
 """
 
 from __future__ import annotations
@@ -15,30 +18,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# deterministic, SQL-expressible punctuation class (identical semantics in
-# Spark's Java regex and DuckDB's RE2 for this explicit set); PUNCT_CHARS is
-# the same set for F.translate, which char-maps without a regex engine
+# deterministic, SQL-expressible punctuation set; PUNCT_CHARS feeds
+# F.translate, which char-maps without a regex engine
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 PUNCT_CHARS = ".,;:!?'\"()[]{}-"
 
-# tiny per-language stopword marker sets; counts are exact substring
-# occurrences of " word " in the padded lowercased text, so the same value is
-# computable in any SQL engine via length/replace arithmetic
+# tiny per-language stopword marker sets; scores are exact counts of tokens
+# equal to a marker word under whitespace tokenization — the same value is
+# computable in any SQL engine with a regex split (DuckDB:
+# list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t IN (...)))
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "und", "die", "nicht", "ist"],
     "fr": ["le", "et", "les", "des", "est"],
     "es": ["el", "los", "que", "es", "una"],
 }
-
-
-def _occurrences(padded: Column, word: str) -> Column:
-    """Count of ``" word "`` occurrences via length arithmetic (no regex)."""
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("int")
 
 
 def token_count(text: Column) -> Column:
@@ -79,20 +73,29 @@ def _ratio_cols() -> list[Column]:
     ]
 
 
-def _score_cols(text: Column, padded: Column | None = None) -> list[Column]:
-    """Pass ``padded`` as an attribute of a previous projection when scoring
-    alongside other text features: inlined, the concat+lower re-runs once
-    per marker word (20 full-text lowercase passes instead of 1)."""
-    if padded is None:
-        padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    out = []
-    for lang, words in LANG_MARKERS.items():
-        score = None
-        for w in words:
-            occ = _occurrences(padded, w)
-            score = occ if score is None else (score + occ)
-        out.append(score.alias(f"score_{lang}"))
-    return out
+def _marker_score_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-id marker-token counts for every language in ONE pass:
+    tokenize → keep only the 20 marker tokens → 4 conditional SUMs. The
+    filter discards ~all of the token stream before the aggregation, so the
+    shuffle moves marker hits only; docs with no hits are absent (callers
+    left-join + coalesce to 0)."""
+    all_words = [w for words in LANG_MARKERS.values() for w in words]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).filter(F.col("_tok").isin(all_words))
+    aggs = [
+        F.sum(F.col("_tok").isin(*words).cast("int")).alias(f"_s_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def _coalesced_score_cols() -> list[Column]:
+    return [
+        F.coalesce(F.col(f"_s_{lang}"), F.lit(0)).alias(f"score_{lang}")
+        for lang in LANG_MARKERS
+    ]
 
 
 def _guess_col() -> Column:
@@ -115,9 +118,7 @@ def _guess_col() -> Column:
 
 
 def _fingerprint_col(text: Column, lowered: Column | None = None) -> Column:
-    """``lowered`` may be any already-lowercased variant (the padded column
-    works: its extra edge spaces collapse and trim away, leaving the md5
-    unchanged)."""
+    """``lowered`` may be any already-lowercased variant of the text."""
     if lowered is None:
         lowered = F.lower(text)
     norm = F.regexp_replace(lowered, r"[^a-z0-9 ]", "")
@@ -135,10 +136,14 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker counts per language + argmax guess (n-gram-heuristic
-    language ID). Fully expression-based; ties broken by language order."""
-    stage1 = df.select(F.col(id_col), *_score_cols(F.col(text_col)))
-    return stage1.withColumn("lang_guess", _guess_col())
+    """Marker-token counts per language + argmax guess (n-gram-heuristic
+    language ID). One tokenize→filter→aggregate pass joined back onto the
+    id set; ties broken by language order."""
+    scores = _marker_score_agg(df, text_col, id_col)
+    base = df.select(F.col(id_col)).join(scores, id_col, "left")
+    return base.select(F.col(id_col), *_coalesced_score_cols()).withColumn(
+        "lang_guess", _guess_col()
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -148,33 +153,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token stats + language ID + fingerprint over a single scan of the
-    corpus, no joins — the plan to run at 100 TB (the per-operator
-    DataFrames join-composed would scan three times and shuffle twice for
-    identical output). Stacked projections, not one: the padded lowercase
-    text is computed once and referenced 21 times (verified: one
-    ``lower(text)`` in the optimized plan), and every expensive count/score
-    is an attribute by the time the ratio/argmax expressions reference it.
-    At sf1 the wall is dominated by the ~21 marker replace/length passes
-    plus 2 fingerprint regexes over the corpus — ~4.5 s vs DuckDB's 2.1 s
-    for the same logical work."""
+    """Token stats + language ID + fingerprint: one per-row projection over
+    a single corpus scan, plus the single-pass marker aggregation joined
+    back by id — the plan to run at 100 TB. The join moves (id, 4 ints) per
+    doc with a marker hit, far cheaper than the 20 extra full-text string
+    passes of the replace-arithmetic formulation it replaced (sf1 A/B: 4.2 s
+    vs 5.5 s, 5 interleaved warm reps)."""
     text = F.col(text_col)
-    stage0 = df.select(
-        F.col(id_col),
-        text,
-        F.concat(F.lit(" "), F.lower(text), F.lit(" ")).alias("_padded"),
-    )
-    stage1 = stage0.select(
+    stage1 = df.select(
         F.col(id_col),
         *_raw_count_cols(text),
-        *_score_cols(text, padded=F.col("_padded")),
-        _fingerprint_col(text, lowered=F.col("_padded")),
+        _fingerprint_col(text),
     )
-    return stage1.select(
+    counts = stage1.select(
+        F.col(id_col), "n_chars", "n_tokens", *_ratio_cols(), "fingerprint"
+    )
+    merged = counts.join(_marker_score_agg(df, text_col, id_col), id_col, "left")
+    scored = merged.select(
         F.col(id_col),
         "n_chars",
         "n_tokens",
-        *_ratio_cols(),
+        "avg_token_len",
+        "punct_ratio",
+        "space_ratio",
+        *_coalesced_score_cols(),
+        "fingerprint",
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "space_ratio",
         *[f"score_{lang}" for lang in LANG_MARKERS],
         _guess_col(),
         "fingerprint",
