@@ -15,7 +15,7 @@ the marker-token stream after the filter is a sliver of the corpus and the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic, SQL-expressible punctuation set; PUNCT_CHARS feeds
@@ -189,4 +189,62 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         *[f"score_{lang}" for lang in LANG_MARKERS],
         _guess_col(),
         "fingerprint",
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals per document (the MassiveText /
+    Gopher-style filters: highly repetitive documents are boilerplate or
+    spam and get dropped before training):
+
+    - ``type_token_ratio``: distinct tokens / tokens (low = repetitive)
+    - ``top_token_frac``: share of the single most frequent token
+    - ``dup_bigram_frac``: fraction of 2-gram instances that are repeats of
+      an earlier 2-gram (0 = all distinct)
+
+    Shape: tokenize once, count per (id, token) — Spark's partial
+    aggregation collapses the explosion map-side, so the shuffle carries one
+    row per distinct (id, token), not per token instance; same for bigrams
+    (built with a per-doc lead window over token positions). Two small
+    aggregates joined back by id — no full-text string rescans."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
+    ).filter(F.length("_tok") > 0)
+    tok_counts = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_types"),
+        F.max("_c").alias("_top"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bigrams = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_tok"), F.lead("_tok").over(w)).alias("_bg"),
+        F.lead("_tok").over(w).alias("_nxt"),
+    ).filter(F.col("_nxt").isNotNull())
+    bg_counts = bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_nbg"), F.count(F.lit(1)).alias("_dbg")
+    )
+    merged = df.select(F.col(id_col)).join(tok_stats, id_col, "left").join(
+        bg_stats, id_col, "left"
+    )
+    return merged.select(
+        F.col(id_col),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_types") / F.col("_n")).otherwise(F.lit(0.0)), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_top") / F.col("_n")).otherwise(F.lit(0.0)), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(
+                F.col("_nbg") > 0, (F.col("_nbg") - F.col("_dbg")) / F.col("_nbg")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
     )

@@ -202,3 +202,32 @@ def session_aggregate(
             "y",
         )
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    dedup_cols: tuple = (),
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-dedup a document stream by content digest, first-seen wins.
+
+    Streaming: ``withWatermark`` + ``dropDuplicatesWithinWatermark`` — the
+    dedup state store holds only digests younger than the watermark, so
+    state is bounded by (arrival rate x watermark), not corpus size; a
+    duplicate arriving later than the watermark is re-emitted, the standard
+    correctness/state trade of streaming dedup. Batch: plain
+    ``dropDuplicates`` on the digest (global, unbounded — one shuffle).
+
+    ``dedup_cols`` overrides the digest key (e.g. a precomputed fingerprint
+    column); by default the key is ``md5(text_col)``.
+    """
+    keys = list(dedup_cols)
+    out = docs
+    if not keys:
+        out = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        keys = ["content_hash"]
+    if out.isStreaming:
+        return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)

@@ -537,3 +537,57 @@ def test_stratified_hash_sample_prefilter_identical(spark):
     ).toPandas()
     key = ["lang", "sample_rank", "doc_id"]
     assert full.sort_values(key)[key].values.tolist() == pre.sort_values(key)[key].values.tolist()
+
+
+def test_repetition_stats(spark):
+    from mlforecast_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a a b a"),          # 4 toks, 2 types, top 3; bigrams a-a,a-b,b-a all distinct
+        (2, "x x x x"),          # bigrams x-x ×3 -> dup frac 2/3
+        (3, "w"),                # no bigrams
+        (4, ""),                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "type_token_ratio"] == 0.5
+    assert out.loc[1, "top_token_frac"] == 0.75
+    assert out.loc[1, "dup_bigram_frac"] == 0.0
+    assert abs(out.loc[2, "dup_bigram_frac"] - 2 / 3) < 1e-6
+    assert out.loc[3, "n_tokens"] == 1 and out.loc[3, "dup_bigram_frac"] == 0.0
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "type_token_ratio"] == 0.0
+
+
+def test_stream_dedup_batch_and_stream(spark, tmp_path):
+    import os
+
+    from mlforecast_spark.streaming import stream_dedup
+
+    rows = [
+        ("2024-01-01 00:00:00", 1, "same text"),
+        ("2024-01-01 00:10:00", 2, "same text"),
+        ("2024-01-01 00:20:00", 3, "other text"),
+    ]
+    batch = spark.createDataFrame(rows, "ts string, doc_id long, text string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = stream_dedup(batch).toPandas()
+    assert len(out) == 2 and set(out["text"]) == {"same text", "other text"}
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    deduped = stream_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == 2 and set(got["text"]) == {"same text", "other text"}
