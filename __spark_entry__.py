@@ -851,7 +851,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() entries, so every oracle-backed query must precede the
     # rows-only family (trained-model outputs / LSH candidate sets that have
     # no deterministic SQL oracle). Keep this list in sync with oracle_sql().
+    def repetition_q(spark, sf):
+        """Rows-only tail entry (outside the 50-query oracle window):
+        repetition quality signals; exact values pinned by
+        tests/test_operators.py::test_repetition_stats."""
+        from mlforecast_spark.operators.text import repetition_stats
+
+        return repetition_stats(_docs(spark, sf))
+
+    q["doc_repetition_stats"] = repetition_q
+
     rows_only = [
+        "doc_repetition_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
