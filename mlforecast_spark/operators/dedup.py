@@ -304,24 +304,30 @@ def simhash(
     default-ANSI ``SUM`` throws ARITHMETIC_OVERFLOW on plausible long docs
     (regression-tested in ``test_dedup.py::test_simhash_long_doc``).
 
-    Fingerprint-aggregation A/B at sf1 (5 interleaved warm reps, local[32],
-    2026-08-13, median sec): packed-3×21 **3.72** / packed-4×16 3.90 (and
-    3.07 in a second session — noise-level vs 3×21, but overflow-unsafe) /
-    64-CASE ±1 4.33 (3.59 second session — consistently slowest). Identical
-    fingerprints verified across all variants at sf0.01 and on a 40k-token
-    doc; full-pipeline candidates identical (231,096 rows at sf1)."""
+    Per-lane bit spreading is one multiply+mask instead of per-bit
+    shift/and/shift/add: ``((h >> 3j) & 7) * (1 + 2^20 + 2^40)`` copies the
+    3-bit group to offsets 0/20/40, and masking ``1 | 1<<21 | 1<<42`` keeps
+    exactly bit 0 at 0, bit 1 at 21, bit 2 at 42 (the multiply's largest
+    product is 7·(1+2^20+2^40) < 2^43 — ANSI-safe). 4 expression ops per
+    lane per row instead of 7.
+
+    Fingerprint-aggregation A/B history at sf1 (interleaved warm reps,
+    local[32], median sec): 64-CASE ±1 (round 3) 4.33 / packed-4×16
+    (round 4) 3.90 but overflow-unsafe / packed-3×21 shift-add 3.72, and on
+    the 2026-08-14 session multiply-spread **2.30** vs shift-add 2.43 (9
+    reps; 2.47 vs 2.55 in a 5-rep run). Identical fingerprints verified
+    across all variants (exceptAll empty both directions at sf1)."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     h = F.xxhash64(F.col("tok"))
     one = F.lit(1).cast("long")
+    spread_mul = F.lit((1) | (1 << 20) | (1 << 40)).cast("long")
+    spread_mask = F.lit((1) | (1 << 21) | (1 << 42)).cast("long")
     lane_sums = []
     for j in range(21):
-        contrib = F.shiftrightunsigned(h, 3 * j).bitwiseAND(one)
-        for k in range(1, 3):
-            contrib = contrib + F.shiftleft(
-                F.shiftrightunsigned(h, 3 * j + k).bitwiseAND(one), 21 * k
-            )
+        group = F.shiftrightunsigned(h, 3 * j).bitwiseAND(F.lit(7).cast("long"))
+        contrib = (group * spread_mul).bitwiseAND(spread_mask)
         lane_sums.append(F.sum(contrib).alias(f"l{j}"))
     agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
     fp = F.lit(0).cast("long")
