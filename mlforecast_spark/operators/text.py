@@ -248,3 +248,33 @@ def repetition_stats(
             6,
         ).alias("dup_bigram_frac"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) — Java regex with Unicode categories; counts
+# approximate a BPE tokenizer's pre-split sequence length without a vocab
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: the number of GPT-2 pre-tokenizer pieces
+    (each piece maps to >=1 BPE tokens, so this is a vocabulary-free lower
+    bound that tracks real tokenizer counts closely on natural text). One
+    JVM ``regexp_count`` pass — no Python, no vocab broadcast."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document — the two sizing
+    numbers a training-data pipeline budgets by (corpus tokens, per-doc
+    length cutoffs)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(text).cast("long").alias("n_bpe_tokens"),
+    )

@@ -591,3 +591,19 @@ def test_stream_dedup_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(sink).toPandas()
     assert len(got) == 2 and set(got["text"]) == {"same text", "other text"}
+
+
+def test_bpe_token_count(spark):
+    from mlforecast_spark.operators.text import token_counts
+
+    rows = [
+        (1, "Hello world, it's 2024!"),  # Hello/ world/,/ it/'s/ 2024/! = 7
+        (2, "a b"),                       # a/ b = 2
+        (3, ""),                          # 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_counts(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_bpe_tokens"] == 7
+    assert out.loc[1, "n_ws_tokens"] == 4
+    assert out.loc[2, "n_bpe_tokens"] == 2
+    assert out.loc[3, "n_bpe_tokens"] == 0
