@@ -490,3 +490,67 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end corpus deduplication: the composition a training-data
+    pipeline actually runs. Returns the SURVIVING documents (all original
+    columns): one canonical doc per exact-duplicate group and per near-dup
+    cluster (cluster canonical = min id).
+
+    Stages, cheapest first so each pass shrinks the next one's input:
+    1. exact dedup — one shuffle on md5(text); keeps each group's min id.
+    2. near-dup candidate pairs over the survivors — ``method='minhash'``
+       (banded LSH, pairs kept at ``est_jaccard >= jaccard_threshold``) or
+       ``'simhash'`` (chunk-banded fingerprints, ``hamming <= max_hamming``).
+    3. :func:`connected_components` resolves pairs into clusters; every
+       non-canonical member is dropped with one left-anti join.
+
+    100 TB notes: every stage is banded/bounded (see the candidate
+    generators); the drop set is (cluster members − clusters), typically a
+    small fraction of the corpus, and the final anti-join shuffles on the id
+    only. Set ``max_bucket_size`` to cap degenerate boilerplate buckets."""
+    ex = exact_duplicates(docs, text_col=text_col, id_col=id_col)
+    survivors = docs.join(
+        ex.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+        on=id_col,
+        how="inner",
+    )
+    if method == "minhash":
+        sig = minhash_signatures(
+            shingle_df(survivors, text_col=text_col, id_col=id_col, n=shingle_n,
+                       distinct=False),
+            id_col=id_col,
+            num_hashes=num_hashes,
+        )
+        pairs = minhash_lsh_candidates(
+            sig,
+            id_col=id_col,
+            num_bands=num_bands,
+            num_hashes=num_hashes,
+            max_bucket_size=max_bucket_size,
+        ).filter(F.col("est_jaccard") >= jaccard_threshold)
+    elif method == "simhash":
+        fps = simhash(survivors, text_col=text_col, id_col=id_col)
+        pairs = simhash_candidates(
+            fps, id_col=id_col, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+    else:
+        raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    drop = comps.filter(F.col("node_id") != F.col("cluster_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return survivors.join(drop, on=id_col, how="left_anti")

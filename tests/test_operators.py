@@ -607,3 +607,29 @@ def test_bpe_token_count(spark):
     assert out.loc[1, "n_ws_tokens"] == 4
     assert out.loc[2, "n_bpe_tokens"] == 2
     assert out.loc[3, "n_bpe_tokens"] == 0
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from mlforecast_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs", "walks")
+    rows = [
+        (1, base, "en", "a"),
+        (2, base, "en", "a"),            # exact dup of 1 -> dropped
+        (3, near, "en", "a"),            # near dup of 1 -> same cluster, dropped
+        (4, "completely unrelated text about spark engines and data pipelines", "en", "b"),
+        (5, "another standalone document with its own distinct content here", "en", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    kept = dedup_corpus(docs, jaccard_threshold=0.5).toPandas()
+    assert sorted(kept["doc_id"]) == [1, 4, 5]
+    assert set(kept.columns) == {"doc_id", "text", "lang", "source"}
+
+    kept_sh = dedup_corpus(docs, method="simhash", max_hamming=10).toPandas()
+    assert 2 not in set(kept_sh["doc_id"]) and 1 in set(kept_sh["doc_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        dedup_corpus(docs, method="bogus")
