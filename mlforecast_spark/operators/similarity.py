@@ -184,13 +184,69 @@ def ivf_topk(
     ``nprobe == n_lists`` degrades exactly to brute force (every list
     probed), which is the oracle-checkable configuration; recall at small
     ``nprobe`` depends on how clusterable the corpus is."""
+    index = build_ivf_index(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
+    )
+    return ivf_search(
+        index, queries, k=k, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+        round_to=round_to,
+    )
+
+
+class IVFIndex:
+    """A built IVF index: the coarse-quantizer centroids (tiny,
+    broadcast-joined at query time) and the corpus assigned to inverted
+    lists. Both are plain DataFrames, so the index persists as two parquet
+    tables — at 100 TB you build it once (the k-means pass) and reuse it
+    for every query batch with :func:`ivf_search`; ``assigned`` written
+    partitioned by ``list_id`` makes each probe a partition-pruned scan."""
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame):
+        self.centroids = centroids  # list_id int, center array<double>
+        self.assigned = assigned  # vec_id, embedding, list_id
+
+    def save(self, path: str) -> None:
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        (
+            self.assigned.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{path}/assigned")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        return cls(
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/assigned"),
+        )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+    train_fraction: float | None = None,
+) -> IVFIndex:
+    """Train the coarse quantizer (Spark MLlib k-means, optionally on a
+    seeded sample — see :func:`ivf_topk`) and assign every vector to its
+    inverted list."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     feats = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
+        F.col(id_col).alias("vec_id_"),
+        F.col(vec_col).alias("embedding_"),
         array_to_vector(vd).alias("_feat"),
     )
     train = feats
@@ -199,15 +255,39 @@ def ivf_topk(
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
     model = km.fit(train)
     assigned = model.transform(feats).select(
-        "neighbor_id", "_nv", F.col("prediction").alias("_list")
+        F.col("vec_id_").alias("vec_id"),
+        F.col("embedding_").alias("embedding"),
+        F.col("prediction").alias("list_id"),
     )
-
-    # probe: nprobe nearest centroids per query via a broadcast centroid join
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    spark = vectors.sparkSession
-    cdf = spark.createDataFrame(centers, "_list int, _center array<double>")
+    cdf = vectors.sparkSession.createDataFrame(
+        centers, "list_id int, center array<double>"
+    )
+    return IVFIndex(cdf, assigned)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a built (or loaded) :class:`IVFIndex`: nprobe nearest centroids
+    per query via a broadcast centroid join, exact cosine rank within the
+    probed lists only."""
+    assigned = index.assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+        F.col("list_id").alias("_list"),
+    )
+    cdf = index.centroids.select(
+        F.col("list_id").alias("_list"), F.col("center").alias("_center")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
     diff = F.zip_with(qv, F.col("_center"), lambda a, b: (a - b) * (a - b))

@@ -633,3 +633,45 @@ def test_dedup_corpus_end_to_end(spark):
 
     with pytest.raises(ValueError, match="method"):
         dedup_corpus(docs, method="bogus")
+
+
+def test_ivf_index_build_save_load_search(spark, tmp_path):
+    import numpy as np
+
+    from mlforecast_spark.operators.similarity import (
+        IVFIndex,
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 5
+    rows = []
+    for i in range(80):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(8) * 0.1).astype(float).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 8)
+
+    index = build_ivf_index(vecs, n_lists=4, seed=7)
+    direct = ivf_search(index, queries, k=5, nprobe=4).toPandas()
+    oneshot = ivf_topk(vecs, queries, k=5, n_lists=4, nprobe=4, seed=7).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        direct.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+        == oneshot.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+    )
+
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    loaded = IVFIndex.load(spark, path)
+    again = ivf_search(loaded, queries, k=5, nprobe=4).toPandas()
+    assert (
+        again.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+        == direct.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+    )
+    # partition-pruned probes: the assigned table is laid out by list_id
+    import os
+
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/assigned"))
