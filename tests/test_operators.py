@@ -675,3 +675,31 @@ def test_ivf_index_build_save_load_search(spark, tmp_path):
     import os
 
     assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/assigned"))
+
+
+def test_embedding_quantization_roundtrip(spark):
+    import numpy as np
+
+    from mlforecast_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(16).tolist()) for i in range(40)] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    out = q.toPandas().set_index("vec_id")
+    assert out.loc[99, "scale"] == 0.0 and all(v == 0 for v in out.loc[99, "qvec"])
+    # int8 range respected
+    assert all(-127 <= v <= 127 for qv in out["qvec"] for v in qv)
+
+    deq = dequantize_embeddings(q).toPandas().set_index("vec_id")
+    orig = {i: np.array(v) for i, v in rows}
+    for i in (0, 7, 23):
+        x = orig[i]
+        x_hat = np.array(deq.loc[i, "embedding"])
+        scale = out.loc[i, "scale"]
+        assert np.abs(x - x_hat).max() <= scale / 2 + 1e-12
+        cos = x @ x_hat / (np.linalg.norm(x) * np.linalg.norm(x_hat))
+        assert cos > 0.999
