@@ -278,3 +278,78 @@ def token_counts(
         token_count(text).cast("long").alias("n_ws_tokens"),
         bpe_token_count(text).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Lines that appear in >= ``min_docs`` distinct documents (C4-style
+    boilerplate detection: cookie banners, nav text, license footers repeat
+    across pages; real content doesn't). Returns (line_hash, line, n_docs).
+
+    Counted per md5 of the trimmed lowercased line; the groupBy shuffles one
+    row per distinct (line_hash, doc) after map-side collapse."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("_line"),
+    ).filter(F.length(F.trim("_line")) > 0)
+    normed = lines.select(
+        F.col(id_col),
+        F.col("_line"),
+        F.md5(F.trim(F.lower(F.col("_line")))).alias("line_hash"),
+    )
+    return (
+        normed.groupBy("line_hash")
+        .agg(
+            F.first("_line").alias("line"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Strip boilerplate lines (per :func:`boilerplate_lines`) from every
+    document and reassemble the text in original line order. Documents that
+    become empty are kept with empty text (filter downstream if desired).
+
+    Shape: explode lines with position → left-anti join against the
+    boilerplate line-hash set (small: distinct repeated lines only — at
+    100 TB broadcast it or leave it to AQE) → per-doc ordered reassembly via
+    ``sort_array(collect_list(struct(pos, line)))`` — one groupBy, no window.
+    All original non-text columns are preserved via the join back by id."""
+    bp = boilerplate_lines(
+        df, text_col=text_col, id_col=id_col, min_docs=min_docs, line_sep=line_sep
+    ).select("line_hash")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).filter(F.length(F.trim("_line")) > 0)
+    kept = lines.withColumn(
+        "line_hash", F.md5(F.trim(F.lower(F.col("_line"))))
+    ).join(bp, on="line_hash", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_clean_text")
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, on=id_col, how="left")
+        .withColumn(text_col, F.coalesce(F.col("_clean_text"), F.lit("")))
+        .drop("_clean_text")
+    )

@@ -703,3 +703,25 @@ def test_embedding_quantization_roundtrip(spark):
         assert np.abs(x - x_hat).max() <= scale / 2 + 1e-12
         cos = x @ x_hat / (np.linalg.norm(x) * np.linalg.norm(x_hat))
         assert cos > 0.999
+
+
+def test_boilerplate_removal(spark):
+    from mlforecast_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+    footer = "Copyright 2024 Example Corp"
+    rows = [
+        (1, f"real content one\n{footer}", "en"),
+        (2, f"other real stuff\n{footer}\nmore body", "en"),
+        (3, f"{footer}\nunique article text", "en"),
+        (4, "totally clean document", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bp = boilerplate_lines(df, min_docs=3).toPandas()
+    assert len(bp) == 1 and bp["line"].iloc[0] == footer and bp["n_docs"].iloc[0] == 3
+
+    clean = remove_boilerplate(df, min_docs=3).toPandas().set_index("doc_id")
+    assert clean.loc[1, "text"] == "real content one"
+    assert clean.loc[2, "text"] == "other real stuff\nmore body"
+    assert clean.loc[3, "text"] == "unique article text"
+    assert clean.loc[4, "text"] == "totally clean document"
+    assert clean.loc[1, "lang"] == "en"  # non-text columns preserved
