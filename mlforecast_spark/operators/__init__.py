@@ -1,3 +1,3 @@
-from . import dedup, similarity, text, multimodal
+from . import dedup, multimodal, sampling, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]

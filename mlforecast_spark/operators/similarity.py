@@ -8,7 +8,11 @@
   join into a bucket-local one. Recall tunable via num_planes/num_tables.
 - ``ivf_topk``: k-means inverted lists (FAISS-style) — the data-adaptive
   scale path; probes the ``nprobe`` nearest lists per query and degrades
-  exactly to brute force at ``nprobe == n_lists``.
+  exactly to brute force at ``nprobe == n_lists``. Split as
+  ``build_ivf_index`` / ``ivf_search`` with a parquet-persistable
+  :class:`IVFIndex` (build once, search per query batch).
+- ``quantize_embeddings``: int8 scalar quantization (SQ8) for 4-8x smaller
+  embedding storage/shuffles.
 """
 
 from __future__ import annotations
