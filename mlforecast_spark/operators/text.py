@@ -353,3 +353,43 @@ def remove_boilerplate(
         .withColumn(text_col, F.coalesce(F.col("_clean_text"), F.lit("")))
         .drop("_clean_text")
     )
+
+
+# conservative, engine-portable PII patterns (Java regex); each is a single
+# regexp pass over the text
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?<![\d-])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}(?![\d-])",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts (emails / IPv4s / phone-like numbers) —
+    one ``regexp_count`` pass per pattern, used to route documents to
+    scrubbing or exclusion."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict | None = None,
+) -> DataFrame:
+    """Replace PII matches with ``<NAME>`` placeholders in-place (email →
+    ``<EMAIL>`` etc.), keeping every other column. Chained
+    ``regexp_replace`` — one projection, no shuffle, safe to push before
+    any dedup/fingerprint stage (placeholders are deterministic, so
+    scrubbed duplicates still collide)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = F.col(text_col)
+    for name, pat in pats.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.withColumn(text_col, out)

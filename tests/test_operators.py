@@ -725,3 +725,23 @@ def test_boilerplate_removal(spark):
     assert clean.loc[3, "text"] == "unique article text"
     assert clean.loc[4, "text"] == "totally clean document"
     assert clean.loc[1, "lang"] == "en"  # non-text columns preserved
+
+
+def test_pii_counts_and_scrub(spark):
+    from mlforecast_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "contact me at john.doe@example.com or jane@test.org thanks"),
+        (2, "server at 192.168.1.10 answered; call 555-123-4567 today"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(df).toPandas().set_index("doc_id")
+    assert counts.loc[1, "n_email"] == 2 and counts.loc[1, "n_ipv4"] == 0
+    assert counts.loc[2, "n_ipv4"] == 1 and counts.loc[2, "n_phone"] == 1
+    assert counts.loc[3].sum() == 0
+
+    scrubbed = scrub_pii(df).toPandas().set_index("doc_id")
+    assert scrubbed.loc[1, "text"] == "contact me at <EMAIL> or <EMAIL> thanks"
+    assert "<IPV4>" in scrubbed.loc[2, "text"] and "<PHONE>" in scrubbed.loc[2, "text"]
+    assert scrubbed.loc[3, "text"] == "no pii here at all"
