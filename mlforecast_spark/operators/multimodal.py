@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-Decode is REAL for formats that need no external library — PPM (P6) and
-uncompressed 24-bit BMP images, PCM WAV audio — implemented in pure
-numpy/stdlib inside Arrow-batched ``mapInPandas``. Compressed formats
-(JPEG/PNG/video) genuinely need PIL/ffmpeg, which this container lacks:
-those raise ``NotImplementedError`` naming the supported set, and
-``fake=True`` keeps the deterministic pseudo-decode so the distributed
-plumbing stays testable for any payload.
+Decode is REAL for formats that need no external library — PPM (P6) / PGM
+(P5) / uncompressed 24-bit BMP / 8-bit non-interlaced PNG images (stdlib
+``zlib`` inflate + full five-filter unfiltering), PCM WAV audio — all pure
+numpy/stdlib inside Arrow-batched ``mapInPandas``. JPEG and video decode
+genuinely need PIL/ffmpeg, which this container lacks: those raise
+``NotImplementedError`` naming the supported set, and ``fake=True`` keeps
+the deterministic pseudo-decode so the distributed plumbing stays testable
+for any payload.
 """
 
 from __future__ import annotations
@@ -120,16 +121,127 @@ def decode_wav(raw: bytes) -> Tuple["object", int]:
     return arr.reshape(-1, n_ch), rate
 
 
+def decode_pgm(raw: bytes):
+    """P5 (binary) PGM → uint8 array (h, w). Same header grammar as P6."""
+    import numpy as np
+
+    if not raw.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    return np.frombuffer(raw, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w).copy()
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(raw: bytes):
+    """Real PNG decode with stdlib only: chunk walk → ``zlib`` inflate →
+    scanline unfilter (all five filter types: None/Sub/Up/Average/Paeth) →
+    uint8 (h, w[, c]). Supports 8-bit depth, gray / gray+alpha / RGB / RGBA,
+    non-interlaced — the overwhelmingly common PNG shape. Palette and Adam7
+    raise with the gap named. Filters Sub/Average/Paeth are sequential per
+    scanline byte (the format's data dependency, not an implementation
+    shortcut); fine for feature extraction, not a PIL replacement for bulk
+    transcodes."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = None
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported")
+    stride = w * channels
+    flat = zlib.decompress(b"".join(idat))
+    if len(flat) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    o = 0
+    for y in range(h):
+        f = flat[o]
+        line = np.frombuffer(flat, np.uint8, stride, o + 1).astype(np.int32)
+        o += stride + 1
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorized
+            rec = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry an in-row dependency
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                elif f == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                rec[i] = (line[i] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0].copy() if channels == 1 else img.copy()
+
+
 def decode_image(raw: bytes):
-    """Dispatch on magic bytes: P6 PPM and 24-bit BMP decode for real;
-    everything else names the gap."""
+    """Dispatch on magic bytes: P6 PPM, P5 PGM, 24-bit BMP and 8-bit PNG
+    decode for real (pure numpy/stdlib); everything else names the gap."""
     if raw[:2] == b"P6":
         return decode_ppm(raw)
+    if raw[:2] == b"P5":
+        return decode_pgm(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    if raw[:8] == _PNG_MAGIC:
+        return decode_png(raw)
     raise NotImplementedError(
-        "real decode supports P6 PPM and uncompressed 24-bit BMP "
-        "(pure numpy); JPEG/PNG need PIL which is not installed"
+        "real decode supports P6 PPM, P5 PGM, uncompressed 24-bit BMP and "
+        "8-bit non-interlaced PNG (pure numpy/stdlib); JPEG needs PIL which "
+        "is not installed"
     )
 
 

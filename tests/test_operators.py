@@ -745,3 +745,92 @@ def test_pii_counts_and_scrub(spark):
     assert scrubbed.loc[1, "text"] == "contact me at <EMAIL> or <EMAIL> thanks"
     assert "<IPV4>" in scrubbed.loc[2, "text"] and "<PHONE>" in scrubbed.loc[2, "text"]
     assert scrubbed.loc[3, "text"] == "no pii here at all"
+
+
+def _encode_png(img, filters):
+    """Minimal PNG writer for tests: per-row filter types from ``filters``
+    (cycled), so every unfilter branch is exercised against a known image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    out = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        if f == 0:
+            enc = line.copy()
+        elif f == 1:
+            enc = np.array([(line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(w * c)])
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            enc = np.array([(line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF for i in range(w * c)])
+        else:  # paeth
+            enc = np.zeros(w * c, np.int32)
+            for i in range(w * c):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (line[i] - pred) & 0xFF
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    import numpy as np
+    import pytest
+
+    from mlforecast_spark.operators.multimodal import decode_image, decode_png
+
+    rng = np.random.RandomState(9)
+    for channels in (1, 2, 3, 4):
+        shape = (7, 5) if channels == 1 else (7, 5, channels)
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        raw = _encode_png(img, filters=[0, 1, 2, 3, 4])
+        got = decode_png(raw)
+        assert got.shape == img.shape and (got == img).all(), f"channels={channels}"
+    # dispatch by magic
+    img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert (decode_image(_encode_png(img, [4])) == img).all()
+    # named gaps
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        bad = bytearray(_encode_png(img, [0]))
+        bad[8 + 8 + 12] = 1  # IHDR interlace byte
+        decode_png(bytes(bad))
+
+
+def test_pgm_decode():
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import decode_image
+
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    raw = b"P5\n# comment\n6 4\n255\n" + img.tobytes()
+    got = decode_image(raw)
+    assert got.shape == (4, 6) and (got == img).all()
