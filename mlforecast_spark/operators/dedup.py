@@ -554,3 +554,86 @@ def dedup_corpus(
         F.col("node_id").alias(id_col)
     )
     return survivors.join(drop, on=id_col, how="left_anti")
+
+
+def minhash_probe_candidates(
+    probe_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    num_hashes: int = 32,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup: candidate near-dup pairs between a PROBE
+    set (a fresh batch) and an INDEXED corpus signature table — the
+    continuous-pipeline shape where the corpus signature table persists (one
+    row per doc, parquet) and each new batch only band-joins against it
+    instead of re-running the corpus self-join. Returns (probe_id, index_id,
+    est_jaccard); probe-internal duplicates are ``minhash_lsh_candidates``
+    on the batch alone.
+
+    Cost per batch: |batch| × num_bands band rows joined against the index's
+    banded table on (band, bucket) — at 100 TB the join is driven by the
+    tiny probe side (broadcast it when the batch is small), and the corpus
+    is touched only at matching buckets. ``max_bucket_size`` caps degenerate
+    index buckets (measured on the index side only, since the probe side is
+    assumed small)."""
+    rows_per_band = max(1, num_hashes // num_bands)
+    buckets_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+    def banded(sigs, out_id):
+        return sigs.select(F.col(id_col).alias(out_id), buckets_arr.alias(f"_bks_{out_id}")).select(
+            F.col(out_id),
+            F.col(f"_bks_{out_id}"),
+            F.posexplode(F.col(f"_bks_{out_id}")).alias("band", "bucket"),
+        )
+
+    probe_b = banded(probe_sigs, "probe_id")
+    index_b = banded(index_sigs, "index_id")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        index_b = (
+            index_b.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    joined = probe_b.join(
+        index_b,
+        on=["band", "bucket"],
+    ).filter(F.col("probe_id") != F.col("index_id"))
+    if max_bucket_size is None:
+        # first-matching-band dedup, as in minhash_lsh_candidates
+        no_earlier = F.lit(True)
+        for j in range(num_bands - 1):
+            no_earlier = no_earlier & F.when(
+                F.col("band") > j,
+                F.col("_bks_probe_id")[j] != F.col("_bks_index_id")[j],
+            ).otherwise(F.lit(True))
+        pairs = joined.filter(no_earlier).select("probe_id", "index_id")
+    else:
+        pairs = joined.select("probe_id", "index_id").dropDuplicates(
+            ["probe_id", "index_id"]
+        )
+    sig_p = probe_sigs.select(
+        F.col(id_col).alias("probe_id"), F.col("signature").alias("sig_p")
+    )
+    sig_i = index_sigs.select(
+        F.col(id_col).alias("index_id"), F.col("signature").alias("sig_i")
+    )
+    pairs = pairs.join(sig_p, "probe_id").join(sig_i, "index_id")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_p", "sig_i", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "probe_id",
+        "index_id",
+        F.round(agree / F.size("sig_p"), 6).alias("est_jaccard"),
+    )

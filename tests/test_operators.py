@@ -834,3 +834,32 @@ def test_pgm_decode():
     raw = b"P5\n# comment\n6 4\n255\n" + img.tobytes()
     got = decode_image(raw)
     assert got.shape == (4, 6) and (got == img).all()
+
+
+def test_minhash_probe_candidates_matches_self_join(spark, docs):
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_probe_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    sigs = minhash_signatures(shingle_df(docs, n=3, distinct=False)).cache()
+    probe = sigs.filter(F.col("doc_id") <= 2)
+    index = sigs.filter(F.col("doc_id") > 2)
+    inc = minhash_probe_candidates(probe, index).toPandas()
+    full = minhash_lsh_candidates(sigs).toPandas()
+    cross_full = {
+        (min(a, b), max(a, b), j)
+        for a, b, j in full.itertuples(index=False)
+        if (a <= 2) != (b <= 2)
+    }
+    cross_inc = {
+        (min(a, b), max(a, b), j) for a, b, j in inc.itertuples(index=False)
+    }
+    assert cross_inc == cross_full
+    # capped mode still returns the same candidates here (no degenerate buckets)
+    capped = minhash_probe_candidates(probe, index, max_bucket_size=10).toPandas()
+    assert {
+        (min(a, b), max(a, b), j) for a, b, j in capped.itertuples(index=False)
+    } == cross_full
