@@ -131,7 +131,12 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"_{out_id}_v"),
-            F.posexplode(buckets).alias("table", f"_{out_id}_bucket"),
+            buckets.alias(f"_{out_id}_bks"),
+        ).select(
+            F.col(out_id),
+            F.col(f"_{out_id}_v"),
+            F.col(f"_{out_id}_bks"),
+            F.posexplode(F.col(f"_{out_id}_bks")).alias("table", f"_{out_id}_bucket"),
         )
 
     qb = bucketize(queries, "query_id")
@@ -139,6 +144,16 @@ def lsh_topk(
     qv = F.transform(F.col("_query_id_v"), lambda x: x.cast("double"))
     nv = F.transform(F.col("_neighbor_id_v"), lambda x: x.cast("double"))
     cos = _dot(qv, nv) / (_norm(qv) * _norm(nv))
+    # first-matching-table dedup (same trick as the minhash/simhash band
+    # dedup): both bucket vectors ride the join row, so each (query,
+    # neighbor) pair survives from exactly one table and the candidate-set
+    # dropDuplicates shuffle disappears
+    no_earlier = F.lit(True)
+    for t in range(num_tables - 1):
+        no_earlier = no_earlier & F.when(
+            qb["table"] > t,
+            F.col("_query_id_bks")[t] != F.col("_neighbor_id_bks")[t],
+        ).otherwise(F.lit(True))
     pairs = (
         qb.join(
             vb,
@@ -146,8 +161,8 @@ def lsh_topk(
             & (qb["_query_id_bucket"] == vb["_neighbor_id_bucket"])
             & (F.col("query_id") != F.col("neighbor_id")),
         )
+        .filter(no_earlier)
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
