@@ -322,11 +322,13 @@ def ivf_search(
     nv = F.transform(F.col("_nv"), lambda x: x.cast("double"))
     qv2 = F.transform(F.col("_qv"), lambda x: x.cast("double"))
     cos = _dot(qv2, nv) / (_norm(qv2) * _norm(nv))
+    # no pair dedup needed: every vector is assigned to exactly one list and
+    # probes are distinct (query, list) rows, so each (query, neighbor) pair
+    # joins at most once — a dropDuplicates here would be a wasted shuffle
     pairs = (
         probes.join(assigned, on="_list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
