@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
 from mlforecast_spark.utils import qcol
@@ -123,3 +124,89 @@ def test_lag_property(spark, data):
     gv = got["feat"].to_numpy(dtype="float64")
     ok = np.isclose(gv, exp, rtol=1e-12, equal_nan=True) | (np.isnan(gv) & np.isnan(exp))
     assert ok.all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_connected_components_property(spark, data):
+    """Random graphs vs a driver-side union-find."""
+    from mlforecast_spark.operators.dedup import connected_components
+
+    n_nodes = data.draw(st.integers(2, 30))
+    n_edges = data.draw(st.integers(1, 40))
+    edges = [
+        (
+            data.draw(st.integers(0, n_nodes - 1)),
+            data.draw(st.integers(0, n_nodes - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = sorted({n for e in edges for n in e})
+    want = {}
+    roots = {}
+    for n in touched:
+        roots.setdefault(find(n), []).append(n)
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    got = (
+        connected_components(spark.createDataFrame(edges, "id_a long, id_b long"))
+        .toPandas()
+        .set_index("node_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_stratified_sample_partitioning_invariance(spark, data):
+    """The sampled set is a pure function of the data: repartitioning and
+    row order must not change it (the property df.sample lacks)."""
+    import hashlib
+
+    from mlforecast_spark.operators.sampling import stratified_hash_sample
+
+    n = data.draw(st.integers(5, 60))
+    k = data.draw(st.integers(1, 6))
+    n_groups = data.draw(st.integers(1, 3))
+    n_parts = data.draw(st.integers(1, 6))
+    rows = [(f"d{i}", f"g{i % n_groups}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string")
+    out1 = stratified_hash_sample(df, ["grp"], k=k).toPandas()
+    out2 = stratified_hash_sample(
+        df.repartition(n_parts).sortWithinPartitions(F.desc("doc_id")), ["grp"], k=k
+    ).toPandas()
+    key = ["grp", "sample_rank", "doc_id"]
+    assert (
+        out1.sort_values(key)[key].values.tolist()
+        == out2.sort_values(key)[key].values.tolist()
+    )
+    # matches the driver-side md5 ranking
+    for g in {r[1] for r in rows}:
+        members = [d for d, gg in rows if gg == g]
+        want = sorted(members, key=lambda d: hashlib.md5(d.encode()).hexdigest())[:k]
+        got = (
+            out1[out1.grp == g].sort_values("sample_rank")["doc_id"].tolist()
+        )
+        assert got == want
