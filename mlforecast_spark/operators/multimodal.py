@@ -2,13 +2,15 @@
 with typed metadata.
 
 Decode is REAL for formats that need no external library — PPM (P6) / PGM
-(P5) / uncompressed 24-bit BMP / 8-bit non-interlaced PNG images (stdlib
-``zlib`` inflate + full five-filter unfiltering), PCM WAV audio — all pure
-numpy/stdlib inside Arrow-batched ``mapInPandas``. JPEG and video decode
-genuinely need PIL/ffmpeg, which this container lacks: those raise
-``NotImplementedError`` naming the supported set, and ``fake=True`` keeps
-the deterministic pseudo-decode so the distributed plumbing stays testable
-for any payload.
+(P5) / uncompressed 24-bit BMP / 8-bit non-interlaced PNG (stdlib ``zlib``
+inflate + full five-filter unfiltering) / GIF87a+89a incl. animations
+(pure-python LZW, palettes, interlacing, transparency compositing), PCM
+WAV audio — all pure numpy/stdlib inside Arrow-batched ``mapInPandas``;
+``sample_gif_frames`` is a real multi-frame sampling path. JPEG and real
+video containers genuinely need PIL/ffmpeg, which this container lacks:
+those raise ``NotImplementedError`` naming the supported set, and
+``fake=True`` keeps the deterministic pseudo-decode so the distributed
+plumbing stays testable for any payload.
 """
 
 from __future__ import annotations
@@ -238,10 +240,12 @@ def decode_image(raw: bytes):
         return decode_bmp(raw)
     if raw[:8] == _PNG_MAGIC:
         return decode_png(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(raw, max_frames=1)[0]
     raise NotImplementedError(
-        "real decode supports P6 PPM, P5 PGM, uncompressed 24-bit BMP and "
-        "8-bit non-interlaced PNG (pure numpy/stdlib); JPEG needs PIL which "
-        "is not installed"
+        "real decode supports P6 PPM, P5 PGM, uncompressed 24-bit BMP, "
+        "8-bit non-interlaced PNG and GIF (pure numpy/stdlib); JPEG needs "
+        "PIL which is not installed"
     )
 
 
@@ -378,3 +382,168 @@ def frame_sample_plan(
     n_frames = F.lit(100)  # stub: constant frame count per asset
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — pure-python/numpy, no external libraries
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width from min_code_size+1 to 12 bits,
+    CLEAR resets the dictionary, EOI terminates. Returns palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        byte = bitpos >> 3
+        val = int.from_bytes(data[byte : byte + 3], "little")
+        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, width = reset()
+    prev = None
+    while True:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(raw: bytes, max_frames: int | None = None):
+    """GIF87a/89a → list of uint8 (h, w, 3) full-canvas frames, stdlib-only
+    (pure-python LZW + numpy compositing). Handles global/local palettes,
+    interlacing, transparency and disposal none/keep/restore-background;
+    restore-previous is treated as keep (rare, and only affects animation
+    deltas, not frame content)."""
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    W, H = struct.unpack_from("<HH", raw, 6)
+    packed = raw[10]
+    bg_idx = raw[11]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if global_pal is not None and bg_idx < len(global_pal):
+        canvas = np.tile(global_pal[bg_idx], (H, W, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((H, W, 3), np.uint8)
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = raw[pos + 1]
+            pos += 2
+            subs = []
+            while raw[pos]:
+                ln = raw[pos]
+                subs.append(raw[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:  # graphic control
+                gc = subs[0]
+                disposal = (gc[0] >> 2) & 0x7
+                transparent = gc[3] if gc[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", raw, pos + 1)
+        ipacked = raw[pos + 9]
+        pos += 10
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = raw[pos]
+        pos += 1
+        comp = bytearray()
+        while raw[pos]:
+            ln = raw[pos]
+            comp.extend(raw[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(comp), min_code), np.uint8, w * h
+        ).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = np.zeros_like(idx)
+            order = [r for step, off in ((8, 0), (8, 4), (4, 2), (2, 1))
+                     for r in range(off, h, step)]
+            deinter[order] = idx
+            idx = deinter
+        before = canvas.copy()
+        region = canvas[top : top + h, left : left + w]
+        colors = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            region[:] = np.where(mask, colors, region)
+        else:
+            region[:] = colors
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if disposal == 2:  # restore to background
+            bg = (
+                global_pal[bg_idx]
+                if global_pal is not None and bg_idx < len(global_pal)
+                else np.zeros(3, np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3:  # restore previous — approximated as full restore
+            canvas = before
+        transparent = None
+        disposal = 0
+    return frames
+
+
+def sample_gif_frames(raw: bytes, k: int):
+    """Evenly spaced frame sample from an animated GIF (real frame-sample
+    path: the container formats that need no ffmpeg). Returns <= k frames."""
+    frames = decode_gif(raw)
+    if not frames:
+        return []
+    if k >= len(frames):
+        return frames
+    import numpy as np
+
+    picks = np.linspace(0, len(frames) - 1, k).round().astype(int)
+    return [frames[i] for i in dict.fromkeys(picks.tolist())]

@@ -863,3 +863,156 @@ def test_minhash_probe_candidates_matches_self_join(spark, docs):
     assert {
         (min(a, b), max(a, b), j) for a, b, j in capped.itertuples(index=False)
     } == cross_full
+
+
+def _gif_lzw_encode(indices, min_code_size, uncompressed=False):
+    """GIF LZW encoder for tests. ``uncompressed=True`` emits only literal
+    codes with frequent CLEARs (trivially correct by construction, so it
+    validates the decoder independently of the full encoder)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    emit(clear, width)
+    if uncompressed:
+        count = 0
+        for i in indices:
+            emit(int(i), width)
+            count += 1
+            if count == (1 << min_code_size) - 2:
+                emit(clear, width)
+                count = 0
+        emit(eoi, width)
+    else:
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = clear + 2
+        w = b""
+        for i in indices:
+            wk = w + bytes([int(i)])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = clear + 2
+                width = min_code_size + 1
+            w = bytes([int(i)])
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_gif(frames_spec, W, H, palette, min_code_size=2, uncompressed=False):
+    """Assemble a GIF89a from (indices(h,w), left, top, transparent|None,
+    disposal) frame specs with a single global palette."""
+    import math
+    import struct as st_
+
+    n = len(palette)
+    size_field = max(1, int(math.ceil(math.log2(n))) ) - 1 if n > 2 else 0
+    table_n = 2 << size_field
+    out = bytearray(b"GIF89a")
+    out += st_.pack("<HH", W, H)
+    out.append(0x80 | size_field)  # global table flag + size
+    out += b"\x00\x00"  # bg index 0, aspect
+    for i in range(table_n):
+        out += bytes(palette[i] if i < n else (0, 0, 0))
+    for idx, left, top, transparent, disposal in frames_spec:
+        out += b"\x21\xf9\x04"  # graphic control ext
+        packed = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([packed, 0, 0, transparent if transparent is not None else 0])
+        out.append(0)
+        h, w = idx.shape
+        out += b"\x2c" + st_.pack("<HHHH", left, top, w, h) + b"\x00"
+        out.append(min_code_size)
+        data = _gif_lzw_encode(idx.flatten(), min_code_size, uncompressed)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_frame_sampling():
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        sample_gif_frames,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rng = np.random.RandomState(4)
+    idx1 = rng.randint(0, 4, size=(6, 8)).astype(np.uint8)
+    # both encoders must decode to the same pixels
+    for unc in (True, False):
+        gif = _build_gif([(idx1, 0, 0, None, 0)], 8, 6, palette, uncompressed=unc)
+        frames = decode_gif(gif)
+        assert len(frames) == 1
+        want = np.array(palette, np.uint8)[idx1]
+        assert (frames[0] == want).all(), f"uncompressed={unc}"
+    # dict growth beyond one width bump: a long repetitive sequence
+    long_idx = np.tile(np.arange(4, dtype=np.uint8), 400).reshape(40, 40)
+    gif = _build_gif([(long_idx, 0, 0, None, 0)], 40, 40, palette)
+    assert (decode_gif(gif)[0] == np.array(palette, np.uint8)[long_idx]).all()
+    # animation: second frame patches a region with transparency compositing
+    patch = np.full((2, 3), 2, np.uint8)
+    patch[0, 1] = 3
+    gif2 = _build_gif(
+        [(idx1, 0, 0, None, 0), (patch, 2, 1, 3, 0)], 8, 6, palette
+    )
+    f = decode_gif(gif2)
+    assert len(f) == 2
+    want2 = np.array(palette, np.uint8)[idx1].copy()
+    want2[1:3, 2:5] = palette[2]
+    want2[1, 3] = want2[1, 3]  # transparent pixel keeps frame-1 value
+    exp = np.array(palette, np.uint8)[idx1].copy()
+    exp[1:3, 2:5] = np.where(
+        (patch != 3)[..., None], np.array(palette, np.uint8)[patch], exp[1:3, 2:5]
+    )
+    assert (f[1] == exp).all()
+    # frame sampling + dispatch
+    assert len(sample_gif_frames(gif2, 1)) == 1
+    assert (decode_image(gif2) == f[0]).all()
+
+
+def test_gif_interlaced():
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import decode_gif
+
+    palette = [(0, 0, 0), (255, 255, 255), (128, 0, 128), (0, 128, 128)]
+    idx = (np.arange(16 * 4, dtype=np.uint8) % 4).reshape(16, 4)
+    # interlace: store rows in pass order, set the interlace bit by hand
+    order = [r for step, off in ((8, 0), (8, 4), (4, 2), (2, 1)) for r in range(off, 16, step)]
+    stored = idx[order]
+    gif = bytearray(_build_gif([(stored, 0, 0, None, 0)], 4, 16, palette))
+    # image descriptor packed byte sits right after the 9-byte descriptor:
+    # header(6)+lsd(7)+palette(12)+gce(8)+sep(1)+desc(8) -> offset of packed
+    ofs = 6 + 7 + 4 * 3 + 8 + 1 + 8
+    assert gif[ofs] == 0x00
+    gif[ofs] = 0x40
+    frames = decode_gif(bytes(gif))
+    assert (frames[0] == np.array(palette, np.uint8)[idx]).all()
