@@ -378,10 +378,72 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
     Frame extraction from real video containers needs ffmpeg (absent); the
-    row explosion (the Spark-side cost driver) is real."""
+    row explosion (the Spark-side cost driver) is real. For animated GIF
+    payloads use :func:`sample_frames_and_featurize`, which decodes for
+    real."""
     n_frames = F.lit(100)  # stub: constant frame count per asset
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+
+
+def sample_frames_and_featurize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    k: int = 4,
+    resize_to: Tuple[int, int] | None = None,
+) -> DataFrame:
+    """REAL multi-frame sampling: decode animated GIF payloads
+    (:func:`decode_gif`), pick ``k`` evenly spaced full-canvas frames, and
+    emit one feature row per sampled frame — the video-pipeline shape
+    (decode → frame-sample → featurize) running inside one Arrow batch with
+    no intermediate materialization of the frame tensor. Single-image
+    payloads (PPM/PGM/BMP/PNG) yield one row; formats needing ffmpeg raise
+    per-row with the gap named."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, nfr, feats = [], [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw or b"")
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif(raw)
+                else:
+                    frames = [decode_image(raw)]
+                n = len(frames)
+                picks = (
+                    range(n)
+                    if k >= n
+                    else sorted(
+                        {int(round(i * (n - 1) / (k - 1))) for i in range(k)}
+                        if k > 1
+                        else {0}
+                    )
+                )
+                for i in picks:
+                    img = frames[i]
+                    if resize_to is not None:
+                        img = resize_nearest(img, *resize_to)
+                    ids.append(rid)
+                    fidx.append(i)
+                    nfr.append(n)
+                    feats.append(image_features(img))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "n_frames": nfr, "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

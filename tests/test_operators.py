@@ -1016,3 +1016,26 @@ def test_gif_interlaced():
     gif[ofs] = 0x40
     frames = decode_gif(bytes(gif))
     assert (frames[0] == np.array(palette, np.uint8)[idx]).all()
+
+
+def test_sample_frames_through_spark(spark):
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import sample_frames_and_featurize
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.RandomState(2)
+    specs = [
+        (rng.randint(0, 4, size=(5, 5)).astype(np.uint8), 0, 0, None, 0)
+        for _ in range(6)
+    ]
+    gif = _build_gif(specs, 5, 5, palette)
+    rows = [(1, bytearray(gif))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames_and_featurize(df, k=3).toPandas()
+    assert len(out) == 3
+    assert set(out["n_frames"]) == {6}
+    assert sorted(out["frame_idx"]) == [0, 2, 5]  # evenly spaced with endpoints
+    from mlforecast_spark.operators.multimodal import IMAGE_FEATURE_LEN
+
+    assert all(len(f) == IMAGE_FEATURE_LEN for f in out["features"])
