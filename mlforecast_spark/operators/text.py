@@ -393,3 +393,59 @@ def scrub_pii(
     for name, pat in pats.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return df.withColumn(text_col, out)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 200_000,
+    max_punct_ratio: float = 0.25,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_type_token_ratio: float = 0.15,
+    max_dup_bigram_frac: float = 0.4,
+) -> DataFrame:
+    """Gopher-style document quality gate in one call: joins the per-row
+    stats (:func:`token_stats`) with the repetition signals
+    (:func:`repetition_stats`) and emits ``keep`` plus a ``drop_reasons``
+    array naming every failed rule — auditability is the point (corpus
+    curation reviews WHY documents were dropped, not just how many).
+
+    Two passes over the corpus total (the per-row projection and the
+    repetition aggregation), joined by id; thresholds follow the Gopher
+    paper's shape with permissive defaults — tune per corpus."""
+    stats = token_stats(df, text_col=text_col, id_col=id_col)
+    reps = repetition_stats(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        "type_token_ratio",
+        "top_token_frac",
+        "dup_bigram_frac",
+    )
+    j = stats.join(reps, id_col, "left")
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        ("punct_heavy", F.col("punct_ratio") > max_punct_ratio),
+        ("tokens_too_short", F.col("avg_token_len") < min_avg_token_len),
+        ("tokens_too_long", F.col("avg_token_len") > max_avg_token_len),
+        ("repetitive_vocab", F.col("type_token_ratio") < min_type_token_ratio),
+        ("repetitive_bigrams", F.col("dup_bigram_frac") > max_dup_bigram_frac),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        F.col(id_col),
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "type_token_ratio",
+        "top_token_frac",
+        "dup_bigram_frac",
+        reasons.alias("drop_reasons"),
+    ).withColumn("keep", F.size("drop_reasons") == 0)

@@ -1039,3 +1039,22 @@ def test_sample_frames_through_spark(spark):
     from mlforecast_spark.operators.multimodal import IMAGE_FEATURE_LEN
 
     assert all(len(f) == IMAGE_FEATURE_LEN for f in out["features"])
+
+
+def test_quality_filter(spark):
+    from mlforecast_spark.operators.text import quality_filter
+
+    good = " ".join(f"word{i} text{i * 7 % 13} more{i % 11}" for i in range(20))
+    rows = [
+        (1, good),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "tiny doc"),
+        (4, good.replace(" ", "!!!!!!!! ")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_filter(df, min_tokens=10).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"]) is True and list(out.loc[1, "drop_reasons"]) == []
+    r2 = set(out.loc[2, "drop_reasons"])
+    assert "repetitive_vocab" in r2 and "repetitive_bigrams" in r2
+    assert "too_few_tokens" in set(out.loc[3, "drop_reasons"])
+    assert "punct_heavy" in set(out.loc[4, "drop_reasons"])
