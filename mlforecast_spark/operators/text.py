@@ -449,3 +449,57 @@ def quality_filter(
         "dup_bigram_frac",
         reasons.alias("drop_reasons"),
     ).withColumn("keep", F.size("drop_reasons") == 0)
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k n-grams with occurrence and document counts —
+    the corpus-analysis staple (boilerplate discovery, contamination
+    screening, tokenizer-vocab sanity checks). Reuses the dedup shingle
+    machinery; the heavy aggregation is one groupBy(ngram) with map-side
+    partial counts, then a single ``k``-row ordered take."""
+    from .dedup import _exploded_shingles
+
+    sh = _exploded_shingles(df, text_col, id_col, n, distinct=False)
+    counts = sh.groupBy(F.col("shingle").alias("ngram")).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram")
+    ).limit(k)
+
+
+URL_PATTERN = r"https?://[^\s/$.?#][^\s]*"
+
+
+def url_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Top-k domains referenced across the corpus: extract URLs
+    (``regexp_extract_all``), parse the host with ``parse_url`` (JVM), count
+    occurrences and distinct documents per domain. Web-corpus curation uses
+    this to spot over-represented link farms before training."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias(
+            "url"
+        ),
+    )
+    hosts = urls.select(
+        F.col(id_col), F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("domain")
+    ).filter(F.col("domain").isNotNull())
+    return (
+        hosts.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_urls").desc(), F.col("domain"))
+        .limit(k)
+    )

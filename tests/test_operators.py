@@ -1058,3 +1058,29 @@ def test_quality_filter(spark):
     assert "repetitive_vocab" in r2 and "repetitive_bigrams" in r2
     assert "too_few_tokens" in set(out.loc[3, "drop_reasons"])
     assert "punct_heavy" in set(out.loc[4, "drop_reasons"])
+
+
+def test_top_ngrams(spark, docs):
+    from mlforecast_spark.operators.text import top_ngrams
+
+    out = top_ngrams(docs, n=2, k=5).toPandas()
+    assert len(out) == 5
+    # "the quick"/"quick brown" appear in docs 1,2,3 -> 3 occurrences, 3 docs
+    top = out.iloc[0]
+    assert top["n_occurrences"] == 3 and top["n_docs"] == 3
+    assert out["n_occurrences"].is_monotonic_decreasing
+
+
+def test_url_stats(spark):
+    from mlforecast_spark.operators.text import url_stats
+
+    rows = [
+        (1, "see https://example.com/a and https://example.com/b ok"),
+        (2, "also http://example.com/c plus https://other.org/x"),
+        (3, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = url_stats(df).toPandas().set_index("domain")
+    assert out.loc["example.com", "n_urls"] == 3
+    assert out.loc["example.com", "n_docs"] == 2
+    assert out.loc["other.org", "n_urls"] == 1
