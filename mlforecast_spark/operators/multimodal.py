@@ -357,7 +357,7 @@ def decode_and_featurize(
                     kinds.append("fake")
                     feats.append((hist / total if total else hist).tolist())
                 elif raw[:4] == b"RIFF":
-                    samples, rate = decode_wav(raw)
+                    samples, rate = decode_wav_any(raw)
                     kinds.append("audio")
                     feats.append(audio_features(samples, rate))
                 else:
@@ -609,3 +609,64 @@ def sample_gif_frames(raw: bytes, k: int):
 
     picks = np.linspace(0, len(frames) - 1, k).round().astype(int)
     return [frames[i] for i in dict.fromkeys(picks.tolist())]
+
+
+def _g711_ulaw_table():
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    u = (~codes).astype(np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    mag = t - 0x84
+    return np.where(u & 0x80, -mag, mag).astype("float64") / 32768.0
+
+
+def _g711_alaw_table():
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    a = codes.astype(np.int64) ^ 0x55
+    mant = a & 0x0F
+    exp = (a & 0x70) >> 4
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(a & 0x80, mag, -mag).astype("float64") / 32768.0
+
+
+def decode_wav_any(raw: bytes) -> Tuple["object", int]:
+    """WAV decode covering integer PCM (via :func:`decode_wav`) plus G.711
+    A-law (fmt 6) and µ-law (fmt 7) telephony encodings, which the stdlib
+    ``wave`` module rejects — decoded with 256-entry lookup tables in pure
+    numpy (the G.711 expansion formulas)."""
+    import numpy as np
+
+    try:
+        return decode_wav(raw)
+    except Exception:
+        pass
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    audio_format, n_ch, rate = fmt[0], fmt[1], fmt[2]
+    if audio_format == 7:
+        table = _g711_ulaw_table()
+    elif audio_format == 6:
+        table = _g711_alaw_table()
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} not supported (PCM, A-law, µ-law)"
+        )
+    arr = table[np.frombuffer(data, np.uint8)]
+    return arr.reshape(-1, n_ch), rate

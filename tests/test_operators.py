@@ -1084,3 +1084,38 @@ def test_url_stats(spark):
     assert out.loc["example.com", "n_urls"] == 3
     assert out.loc["example.com", "n_docs"] == 2
     assert out.loc["other.org", "n_urls"] == 1
+
+
+def test_g711_wav_decode_vs_audioop():
+    import struct as st_
+
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from mlforecast_spark.operators.multimodal import decode_wav_any
+
+    def wav_bytes(fmt_tag, payload, n_ch=1, rate=8000):
+        fmt = st_.pack("<HHIIHH", fmt_tag, n_ch, rate, rate * n_ch, n_ch, 8)
+        chunks = b"fmt " + st_.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + st_.pack("<I", len(payload)) + payload
+        return b"RIFF" + st_.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    codes = bytes(range(256))
+    for tag, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        arr, rate = decode_wav_any(wav_bytes(tag, codes))
+        want = np.frombuffer(expand(codes, 2), "<i2").astype("float64") / 32768.0
+        assert rate == 8000 and arr.shape == (256, 1)
+        assert np.allclose(arr[:, 0], want, atol=1e-9), f"fmt {tag}"
+    # PCM passthrough still works through the same entry point
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(st_.pack("<4h", 0, 1000, -1000, 32767))
+    arr, rate = decode_wav_any(buf.getvalue())
+    assert rate == 16000 and arr.shape == (4, 1)
