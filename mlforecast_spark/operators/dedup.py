@@ -141,6 +141,44 @@ def _cap_buckets(
     return bands.drop("_bn")
 
 
+def _band_buckets_expr(num_bands: int, num_hashes: int) -> Column:
+    """array<long> of per-band bucket hashes over the ``signature`` column."""
+    rows_per_band = max(1, num_hashes // num_bands)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+
+def _first_matching_band(band_col: Column, bks_a: Column, bks_b: Column, num_bands: int) -> Column:
+    """True iff ``band_col`` is the FIRST band where the two bucket vectors
+    agree — the filter that makes banded self/probe joins emit each pair
+    exactly once without a dedup shuffle."""
+    cond = F.lit(True)
+    for j in range(num_bands - 1):
+        cond = cond & F.when(band_col > j, bks_a[j] != bks_b[j]).otherwise(F.lit(True))
+    return cond
+
+
+def _attach_est_jaccard(
+    pairs: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Join both signature arrays onto the (deduplicated) pair set and score
+    signature agreement — the wide payload stays out of the banded join."""
+    pairs = pairs.join(sigs_a, a_col).join(sigs_b, b_col)
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        a_col, b_col, F.round(agree / F.size("sig_a"), 6).alias("est_jaccard")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -166,16 +204,11 @@ def minhash_lsh_candidates(
     boilerplate buckets — the recall caveat is that pairs whose *every*
     matching band lands in a capped bucket are lost (see ``_cap_buckets``)."""
     signatures = signatures.cache()
-    rows_per_band = max(1, num_hashes // num_bands)
-    buckets_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.xxhash64(
-            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-        ),
-    )
     # each band row carries the doc's full bucket vector (num_bands longs) so
     # pair dedup can run as a filter on the join rows instead of a shuffle
-    bands = signatures.select(F.col(id_col), buckets_arr.alias("_bks")).select(
+    bands = signatures.select(
+        F.col(id_col), _band_buckets_expr(num_bands, num_hashes).alias("_bks")
+    ).select(
         F.col(id_col),
         F.col("_bks"),
         F.posexplode(F.col("_bks")).alias("band", "bucket"),
@@ -202,13 +235,11 @@ def minhash_lsh_candidates(
         # and the dropDuplicates shuffle of the whole candidate set
         # disappears. With bucket caps the claiming band may have been
         # pruned, so the shuffle-dedup fallback keeps capped semantics.
-        no_earlier = F.lit(True)
-        for j in range(num_bands - 1):
-            no_earlier = no_earlier & F.when(
-                F.col("_band") > j,
-                F.col("_bks_a")[j] != F.col("_bks_b")[j],
-            ).otherwise(F.lit(True))
-        pairs = joined.filter(no_earlier).select("id_a", "id_b")
+        pairs = joined.filter(
+            _first_matching_band(
+                F.col("_band"), F.col("_bks_a"), F.col("_bks_b"), num_bands
+            )
+        ).select("id_a", "id_b")
     else:
         pairs = joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     sig_a = signatures.select(
@@ -217,18 +248,7 @@ def minhash_lsh_candidates(
     sig_b = signatures.select(
         F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
     )
-    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.size("sig_a"), 6).alias("est_jaccard"),
-    )
+    return _attach_est_jaccard(pairs, sig_a, sig_b, "id_a", "id_b")
 
 
 def ngram_jaccard_pairs(
@@ -580,16 +600,11 @@ def minhash_probe_candidates(
     is touched only at matching buckets. ``max_bucket_size`` caps degenerate
     index buckets (measured on the index side only, since the probe side is
     assumed small)."""
-    rows_per_band = max(1, num_hashes // num_bands)
-    buckets_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.xxhash64(
-            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-        ),
-    )
-
     def banded(sigs, out_id):
-        return sigs.select(F.col(id_col).alias(out_id), buckets_arr.alias(f"_bks_{out_id}")).select(
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            _band_buckets_expr(num_bands, num_hashes).alias(f"_bks_{out_id}"),
+        ).select(
             F.col(out_id),
             F.col(f"_bks_{out_id}"),
             F.posexplode(F.col(f"_bks_{out_id}")).alias("band", "bucket"),
@@ -609,33 +624,22 @@ def minhash_probe_candidates(
         on=["band", "bucket"],
     ).filter(F.col("probe_id") != F.col("index_id"))
     if max_bucket_size is None:
-        # first-matching-band dedup, as in minhash_lsh_candidates
-        no_earlier = F.lit(True)
-        for j in range(num_bands - 1):
-            no_earlier = no_earlier & F.when(
-                F.col("band") > j,
-                F.col("_bks_probe_id")[j] != F.col("_bks_index_id")[j],
-            ).otherwise(F.lit(True))
-        pairs = joined.filter(no_earlier).select("probe_id", "index_id")
+        pairs = joined.filter(
+            _first_matching_band(
+                F.col("band"),
+                F.col("_bks_probe_id"),
+                F.col("_bks_index_id"),
+                num_bands,
+            )
+        ).select("probe_id", "index_id")
     else:
         pairs = joined.select("probe_id", "index_id").dropDuplicates(
             ["probe_id", "index_id"]
         )
     sig_p = probe_sigs.select(
-        F.col(id_col).alias("probe_id"), F.col("signature").alias("sig_p")
+        F.col(id_col).alias("probe_id"), F.col("signature").alias("sig_a")
     )
     sig_i = index_sigs.select(
-        F.col(id_col).alias("index_id"), F.col("signature").alias("sig_i")
+        F.col(id_col).alias("index_id"), F.col("signature").alias("sig_b")
     )
-    pairs = pairs.join(sig_p, "probe_id").join(sig_i, "index_id")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_p", "sig_i", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return pairs.select(
-        "probe_id",
-        "index_id",
-        F.round(agree / F.size("sig_p"), 6).alias("est_jaccard"),
-    )
+    return _attach_est_jaccard(pairs, sig_p, sig_i, "probe_id", "index_id")

@@ -400,6 +400,8 @@ def sample_frames_and_featurize(
     no intermediate materialization of the frame tensor. Single-image
     payloads (PPM/PGM/BMP/PNG) yield one row; formats needing ffmpeg raise
     per-row with the gap named."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -502,9 +504,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
 def decode_gif(raw: bytes, max_frames: int | None = None):
     """GIF87a/89a → list of uint8 (h, w, 3) full-canvas frames, stdlib-only
     (pure-python LZW + numpy compositing). Handles global/local palettes,
-    interlacing, transparency and disposal none/keep/restore-background;
-    restore-previous is treated as keep (rare, and only affects animation
-    deltas, not frame content)."""
+    interlacing, transparency and all disposal methods (none/keep,
+    restore-to-background, restore-previous via a saved pre-frame canvas)."""
     import numpy as np
 
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
@@ -590,7 +591,7 @@ def decode_gif(raw: bytes, max_frames: int | None = None):
                 else np.zeros(3, np.uint8)
             )
             canvas[top : top + h, left : left + w] = bg
-        elif disposal == 3:  # restore previous — approximated as full restore
+        elif disposal == 3:  # restore previous: revert to the pre-frame canvas
             canvas = before
         transparent = None
         disposal = 0
@@ -641,8 +642,8 @@ def decode_wav_any(raw: bytes) -> Tuple["object", int]:
 
     try:
         return decode_wav(raw)
-    except Exception:
-        pass
+    except Exception as pcm_err:
+        wave_error = pcm_err
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -664,9 +665,13 @@ def decode_wav_any(raw: bytes) -> Tuple["object", int]:
         table = _g711_ulaw_table()
     elif audio_format == 6:
         table = _g711_alaw_table()
+    elif audio_format == 1:
+        # PCM that the wave module rejected: the payload is corrupt, not an
+        # unsupported format — surface the real error, don't mask it
+        raise wave_error
     else:
         raise NotImplementedError(
             f"WAV audio format {audio_format} not supported (PCM, A-law, µ-law)"
-        )
+        ) from wave_error
     arr = table[np.frombuffer(data, np.uint8)]
     return arr.reshape(-1, n_ch), rate

@@ -16,7 +16,7 @@ that has md5 (the DuckDB oracle computes the exact same set).
   group. One shuffle on the group key. At 100 TB, pre-filter with an
   over-sampled ``hash_sample`` first (the top-k by hash within a group is
   almost surely inside a generous hash-prefix slice), so the per-group sort
-  sees a sliver of the corpus; ``prefilter_factor`` automates this.
+  sees a sliver of the corpus; ``prefilter_fraction`` automates this.
 """
 
 from __future__ import annotations
@@ -37,9 +37,15 @@ def hash_sample(
     the same keys."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff_int = int(round(fraction * _HASH_SPACE))
+    if cutoff_int >= _HASH_SPACE:
+        # full keep: 16**6 formats to SEVEN hex chars, and a 6-char prefix
+        # only sorts below it when it starts with '0' — so filtering would
+        # silently keep ~1/16 of rows. No filter is the correct plan.
+        return df
     # lowercase hex sorts like the integer it encodes, so the threshold is a
     # plain string compare — no base conversion in the hot path
-    cutoff = format(int(round(fraction * _HASH_SPACE)), "06x")
+    cutoff = format(cutoff_int, "06x")
     prefix = F.substring(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6
     )
@@ -77,8 +83,10 @@ def stratified_hash_sample(
             raise ValueError(
                 f"prefilter_fraction must be in (0, 1], got {prefilter_fraction}"
             )
-        cutoff = format(int(round(prefilter_fraction * _HASH_SPACE)), "06x")
-        src = df.filter(F.substring(h, 1, 6) < F.lit(cutoff))
+        cutoff_int = int(round(prefilter_fraction * _HASH_SPACE))
+        if cutoff_int < _HASH_SPACE:  # >= space = keep everything (see hash_sample)
+            cutoff = format(cutoff_int, "06x")
+            src = df.filter(F.substring(h, 1, 6) < F.lit(cutoff))
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h"))
     return (
         src.select("*", h.alias("_h"))

@@ -354,15 +354,21 @@ def quantize_embeddings(
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
     )
-    scale = (amax / F.lit(127.0)).alias("scale")
-    return df.select(
+    # stage the O(dim) max-abs scan as an attribute: higher-order functions
+    # run interpreted, where re-evaluating the aggregate per reference (it
+    # appears in scale, the guard and the divisor) is not CSE'd away
+    staged = df.select(F.col(id_col), v.alias("_v"), amax.alias("_amax"))
+    return staged.select(
         F.col(id_col),
-        scale,
+        (F.col("_amax") / F.lit(127.0)).alias("scale"),
         F.when(
-            amax > 0,
-            F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("byte")),
+            F.col("_amax") > 0,
+            F.transform(
+                F.col("_v"),
+                lambda x: F.round(x / (F.col("_amax") / 127.0)).cast("byte"),
+            ),
         )
-        .otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+        .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("byte")))
         .alias("qvec"),
     )
 

@@ -320,8 +320,10 @@ def remove_boilerplate(
     line_sep: str = "\n",
 ) -> DataFrame:
     """Strip boilerplate lines (per :func:`boilerplate_lines`) from every
-    document and reassemble the text in original line order. Documents that
-    become empty are kept with empty text (filter downstream if desired).
+    document and reassemble the text in original line order — blank /
+    whitespace-only lines (paragraph separators) are preserved, never
+    treated as boilerplate. Documents that become empty are kept with empty
+    text (filter downstream if desired).
 
     Shape: explode lines with position → left-anti join against the
     boilerplate line-hash set (small: distinct repeated lines only — at
@@ -334,9 +336,14 @@ def remove_boilerplate(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
-    ).filter(F.length(F.trim("_line")) > 0)
+    )
+    # blank lines get a null hash: an equi-anti-join never matches null, so
+    # paragraph separators always survive
     kept = lines.withColumn(
-        "line_hash", F.md5(F.trim(F.lower(F.col("_line"))))
+        "line_hash",
+        F.when(
+            F.length(F.trim("_line")) > 0, F.md5(F.trim(F.lower(F.col("_line"))))
+        ),
     ).join(bp, on="line_hash", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -1119,3 +1119,40 @@ def test_g711_wav_decode_vs_audioop():
         wf.writeframes(st_.pack("<4h", 0, 1000, -1000, 32767))
     arr, rate = decode_wav_any(buf.getvalue())
     assert rate == 16000 and arr.shape == (4, 1)
+
+
+def test_hash_sample_full_fraction(spark):
+    """fraction=1.0 regression: the hex cutoff overflows 6 chars; the fix
+    returns the frame unfiltered instead of silently keeping ~1/16."""
+    from mlforecast_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, 1.0).count() == 500
+    strat = spark.createDataFrame(
+        [(f"d{i}", "g") for i in range(30)], "doc_id string, grp string"
+    )
+    full = stratified_hash_sample(strat, ["grp"], k=5).toPandas()
+    pre = stratified_hash_sample(
+        strat, ["grp"], k=5, prefilter_fraction=1.0
+    ).toPandas()
+    key = ["grp", "sample_rank", "doc_id"]
+    assert full.sort_values(key)[key].values.tolist() == pre.sort_values(key)[key].values.tolist()
+
+
+def test_remove_boilerplate_preserves_blank_lines(spark):
+    """Paragraph separators must survive boilerplate stripping."""
+    from mlforecast_spark.operators.text import remove_boilerplate
+
+    footer = "Copyright 2024 Example Corp"
+    rows = [
+        (1, f"para one\n\npara two\n{footer}"),
+        (2, f"{footer}\nbody a\n\nbody b"),
+        (3, f"{footer}\nx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate(df, min_docs=3).toPandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "para one\n\npara two"
+    assert out.loc[2, "text"] == "body a\n\nbody b"
