@@ -643,3 +643,49 @@ def minhash_probe_candidates(
         F.col(id_col).alias("index_id"), F.col("signature").alias("sig_b")
     )
     return _attach_est_jaccard(pairs, sig_p, sig_i, "probe_id", "index_id")
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination screening: which corpus documents contain
+    n-gram overlap with a (small) probe set — eval questions, test answers,
+    held-out documents. Returns (doc_id, probe_id, n_matching_ngrams,
+    probe_ngrams, overlap_frac) for pairs with >= ``min_matches`` shared
+    ``n``-grams.
+
+    Shape: both sides shingle with the dedup machinery; the join runs on
+    ``xxhash64(shingle)`` so only 8-byte keys shuffle, and the probe side is
+    tiny (eval suites are thousands of items, not billions) — broadcast it
+    or let AQE pick. Long n (8 by default) makes incidental overlap
+    vanishingly unlikely, the standard contamination heuristic."""
+    doc_sh = _exploded_shingles(docs, text_col, id_col, n, distinct=True).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_sh")
+    )
+    probe_sh = _exploded_shingles(
+        probes, text_col, probe_id_col, n, distinct=True
+    ).select(F.col(probe_id_col), F.xxhash64("shingle").alias("_sh"))
+    probe_sizes = probe_sh.groupBy(probe_id_col).agg(
+        F.count(F.lit(1)).alias("probe_ngrams")
+    )
+    hits = (
+        doc_sh.join(probe_sh, on="_sh")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count(F.lit(1)).alias("n_matching_ngrams"))
+        .filter(F.col("n_matching_ngrams") >= min_matches)
+    )
+    return hits.join(probe_sizes, probe_id_col).select(
+        F.col(id_col),
+        F.col(probe_id_col),
+        "n_matching_ngrams",
+        "probe_ngrams",
+        F.round(F.col("n_matching_ngrams") / F.col("probe_ngrams"), 6).alias(
+            "overlap_frac"
+        ),
+    )

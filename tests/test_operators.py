@@ -1156,3 +1156,25 @@ def test_remove_boilerplate_preserves_blank_lines(spark):
     out = remove_boilerplate(df, min_docs=3).toPandas().set_index("doc_id")
     assert out.loc[1, "text"] == "para one\n\npara two"
     assert out.loc[2, "text"] == "body a\n\nbody b"
+
+
+def test_contamination_check(spark):
+    from mlforecast_spark.operators.dedup import contamination_check
+
+    eval_q = "what is the airspeed velocity of an unladen swallow in miles per hour"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text {eval_q} and some trailing words"),  # contains probe
+            (2, "a completely unrelated document about spark physical plans"),
+            (3, "what is the airspeed velocity of an unladen bird maybe"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, eval_q)], "probe_id long, text string")
+    out = contamination_check(docs, probes, n=8).toPandas().set_index("doc_id")
+    assert 1 in out.index and out.loc[1, "overlap_frac"] == 1.0
+    assert 2 not in out.index
+    # doc 3 shares < all 8-grams; with n=8 the partial match may or may not
+    # surface — if it does, overlap must be partial
+    if 3 in out.index:
+        assert out.loc[3, "overlap_frac"] < 1.0
