@@ -4,8 +4,9 @@ with typed metadata.
 Decode is REAL for formats that need no external library — PPM (P6) / PGM
 (P5) / uncompressed 24-bit BMP / 8-bit non-interlaced PNG (stdlib ``zlib``
 inflate + full five-filter unfiltering) / GIF87a+89a incl. animations
-(pure-python LZW, palettes, interlacing, transparency compositing), PCM
-WAV audio — all pure numpy/stdlib inside Arrow-batched ``mapInPandas``;
+(pure-python LZW, palettes, interlacing, transparency compositing) /
+baseline strip TIFF (both endians, none+PackBits compression), PCM and
+G.711 WAV audio — all pure numpy/stdlib inside Arrow-batched ``mapInPandas``;
 ``sample_gif_frames`` is a real multi-frame sampling path. JPEG and real
 video containers genuinely need PIL/ffmpeg, which this container lacks:
 those raise ``NotImplementedError`` naming the supported set, and
@@ -242,10 +243,12 @@ def decode_image(raw: bytes):
         return decode_png(raw)
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(raw, max_frames=1)[0]
+    if raw[:2] in (b"II", b"MM"):
+        return decode_tiff(raw)
     raise NotImplementedError(
         "real decode supports P6 PPM, P5 PGM, uncompressed 24-bit BMP, "
-        "8-bit non-interlaced PNG and GIF (pure numpy/stdlib); JPEG needs "
-        "PIL which is not installed"
+        "8-bit non-interlaced PNG, GIF, and baseline TIFF (pure "
+        "numpy/stdlib); JPEG needs PIL which is not installed"
     )
 
 
@@ -675,3 +678,86 @@ def decode_wav_any(raw: bytes) -> Tuple["object", int]:
         ) from wave_error
     arr = table[np.frombuffer(data, np.uint8)]
     return arr.reshape(-1, n_ch), rate
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits RLE: n in [0,127] → copy n+1 literal bytes; n in
+    [-127,-1] → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            out.extend(data[i : i + 1] * (257 - n))
+            i += 1
+    return bytes(out[:expected])
+
+
+def decode_tiff(raw: bytes):
+    """Baseline TIFF → uint8 array (h, w[, c]), stdlib+numpy only:
+    II/MM byte order, first IFD, strip layout, 8-bit grayscale/RGB(A),
+    compression none (1) or PackBits (32773). Tiled, LZW/deflate/JPEG-in-
+    TIFF, palette and non-8-bit depths raise with the gap named."""
+    import numpy as np
+
+    if raw[:2] == b"II":
+        endian = "<"
+    elif raw[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if struct.unpack_from(endian + "H", raw, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(endian + "I", raw, 4)
+    (n_entries,) = struct.unpack_from(endian + "H", raw, ifd_off)
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(endian + "HHI", raw, off)
+        if typ not in TYPE_SIZE:
+            continue
+        nbytes = TYPE_SIZE[typ] * count
+        val_off = off + 8 if nbytes <= 4 else struct.unpack_from(endian + "I", raw, off + 8)[0]
+        if typ in TYPE_FMT:
+            tags[tag] = list(
+                struct.unpack_from(endian + TYPE_FMT[typ] * count, raw, val_off)
+            )
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF supported (got bits={bits})")
+    if photometric == 3:
+        raise NotImplementedError("palette TIFF not supported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (none/PackBits only)"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = tags.get(278, [height])[0]
+    out = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = raw[so : so + sc]
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = n_rows * width * spp
+        if compression == 32773:
+            strip = _packbits_decode(strip, expected)
+        out.extend(strip[:expected])
+    img = np.frombuffer(bytes(out), np.uint8, height * width * spp).reshape(
+        height, width, spp
+    )
+    if photometric == 0:  # WhiteIsZero grayscale: invert to the usual sense
+        img = 255 - img
+    return img[:, :, 0].copy() if spp == 1 else img.copy()

@@ -1178,3 +1178,115 @@ def test_contamination_check(spark):
     # surface — if it does, overlap must be partial
     if 3 in out.index:
         assert out.loc[3, "overlap_frac"] < 1.0
+
+
+def _build_tiff(img, endian="<", compression=1, rows_per_strip=None, photometric=None):
+    """Minimal strip-based TIFF writer for tests (8-bit gray or RGB)."""
+    import struct as st_
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    spp = img.shape[2] if img.ndim == 3 else 1
+    rows_per_strip = rows_per_strip or h
+    photometric = photometric if photometric is not None else (2 if spp == 3 else 1)
+
+    def packbits(row_bytes):
+        # literal-only encoding: runs of <=128 literal bytes
+        out = bytearray()
+        for i in range(0, len(row_bytes), 128):
+            chunk = row_bytes[i : i + 128]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+        return bytes(out)
+
+    strips = []
+    flat = img.reshape(h, w * spp) if img.ndim == 3 else img
+    for r0 in range(0, h, rows_per_strip):
+        data = flat[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(packbits(data) if compression == 32773 else data)
+
+    n_tags = 9
+    header = st_.pack(endian + "2sHI", b"II" if endian == "<" else b"MM", 42, 8)
+    ifd_size = 2 + 12 * n_tags + 4
+    data_start = 8 + ifd_size
+    extra = bytearray()
+
+    def tag(tid, typ, count, value_or_offset, is_offset=False):
+        # TIFF left-justifies inline values: a count-1 SHORT sits in the
+        # first two bytes of the value field, which differs from a 4-byte
+        # int under big-endian
+        if typ == 3 and count == 1 and not is_offset:
+            val = st_.pack(endian + "HH", value_or_offset, 0)
+        else:
+            val = st_.pack(endian + "I", value_or_offset)
+        return st_.pack(endian + "HHI", tid, typ, count) + val
+
+    # bits per sample array (goes to extra area when spp==3)
+    if spp == 3:
+        bits_off = data_start + len(extra)
+        extra += st_.pack(endian + "HHH", 8, 8, 8) + b"\x00\x00"
+        bits_entry = tag(258, 3, 3, bits_off, is_offset=True)
+    else:
+        bits_entry = st_.pack(endian + "HHI", 258, 3, 1) + st_.pack(endian + "HH", 8, 0)
+    n_strips = len(strips)
+    strip_offsets = []
+    pos = data_start + len(extra) + (8 * n_strips if n_strips > 1 else 0) * 0
+    # reserve arrays for offsets/counts when multiple strips
+    if n_strips > 1:
+        off_arr_pos = data_start + len(extra)
+        extra += b"\x00" * (4 * n_strips)
+        cnt_arr_pos = data_start + len(extra)
+        extra += b"\x00" * (4 * n_strips)
+    strip_data_pos = data_start + len(extra)
+    cursor = strip_data_pos
+    counts = []
+    for s in strips:
+        strip_offsets.append(cursor)
+        counts.append(len(s))
+        cursor += len(s)
+    if n_strips > 1:
+        for i, (o, c) in enumerate(zip(strip_offsets, counts)):
+            extra[off_arr_pos - data_start + 4 * i : off_arr_pos - data_start + 4 * i + 4] = st_.pack(endian + "I", o)
+            extra[cnt_arr_pos - data_start + 4 * i : cnt_arr_pos - data_start + 4 * i + 4] = st_.pack(endian + "I", c)
+        t273 = tag(273, 4, n_strips, off_arr_pos)
+        t279 = tag(279, 4, n_strips, cnt_arr_pos)
+    else:
+        t273 = tag(273, 4, 1, strip_offsets[0])
+        t279 = tag(279, 4, 1, counts[0])
+    entries = (
+        tag(256, 4, 1, w)
+        + tag(257, 4, 1, h)
+        + bits_entry
+        + tag(259, 3, 1, compression)
+        + tag(262, 3, 1, photometric)
+        + t273
+        + tag(277, 3, 1, spp)
+        + tag(278, 4, 1, rows_per_strip)
+        + t279
+    )
+    ifd = st_.pack(endian + "H", n_tags) + entries + st_.pack(endian + "I", 0)
+    return header + ifd + bytes(extra) + b"".join(strips)
+
+
+def test_tiff_decode():
+    import numpy as np
+    import pytest
+
+    from mlforecast_spark.operators.multimodal import decode_image, decode_tiff
+
+    rng = np.random.RandomState(6)
+    rgb = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+    for endian in ("<", ">"):
+        assert (decode_tiff(_build_tiff(rgb, endian)) == rgb).all(), endian
+        assert (decode_tiff(_build_tiff(gray, endian)) == gray).all(), endian
+    # multi-strip + PackBits
+    assert (decode_tiff(_build_tiff(rgb, rows_per_strip=3)) == rgb).all()
+    assert (decode_tiff(_build_tiff(rgb, compression=32773, rows_per_strip=2)) == rgb).all()
+    # WhiteIsZero inversion
+    assert (decode_tiff(_build_tiff(gray, photometric=0)) == 255 - gray).all()
+    # dispatch + named gap
+    assert (decode_image(_build_tiff(rgb)) == rgb).all()
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(_build_tiff(rgb, compression=5))
