@@ -333,10 +333,11 @@ def decode_and_featurize(
     ``mapInPandas`` (Arrow batches; payload bytes never pass through Python
     row-at-a-time).
 
-    Real path: P6 PPM / 24-bit BMP images (optionally nearest-neighbor
-    resized first) and PCM WAV audio, all pure numpy/stdlib; other formats
-    raise per-row with the supported set named. ``fake=True`` keeps the
-    deterministic pseudo-decode (bytes → histogram) for arbitrary payloads."""
+    Real path: every :func:`decode_image` format (PPM/PGM/BMP/PNG/GIF/TIFF,
+    optionally nearest-neighbor resized first) and PCM/G.711 WAV audio, all
+    pure numpy/stdlib; other formats raise per-row with the supported set
+    named. ``fake=True`` keeps the deterministic pseudo-decode (bytes →
+    histogram) for arbitrary payloads."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
