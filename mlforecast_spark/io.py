@@ -78,3 +78,32 @@ def repartition_by_series(
     if partitions:
         return df.repartition(partitions, F.col(id_col))
     return df.repartition(F.col(id_col))
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Rewrite a parquet dataset with right-sized files — the small-files
+    fix: streaming ingests and fine-grained partitioning leave thousands of
+    KB-scale files whose open/footer cost dominates scans at 100 TB.
+    Sizes the shuffle from the ACTUAL byte size of the source (via the
+    Hadoop FileSystem, so any scheme works), not a row-count guess, and
+    writes to ``dest_path`` (never in place — reading and overwriting the
+    same location is a data-loss foot-gun Spark only sometimes catches).
+    Returns the number of output files."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df.repartition(n).write.mode("error").parquet(dest_path)
+    return n

@@ -139,3 +139,20 @@ def test_generate_prices_for_series(spark):
 
     with _pytest.raises(ValueError, match="equal ends"):
         generate_prices_for_series(generate_daily_series(spark, 3, 20, 30, seed=2))
+
+
+def test_compact_parquet(spark, tmp_path):
+    import os
+
+    from mlforecast_spark.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    spark.range(10000).repartition(32).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 32
+    n_out = compact_parquet(spark, src, dest, target_file_mb=512)
+    assert n_out == 1
+    n_dest = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_dest == 1
+    assert spark.read.parquet(dest).count() == 10000
