@@ -210,3 +210,38 @@ def test_stratified_sample_partitioning_invariance(spark, data):
             out1[out1.grp == g].sort_values("sample_rank")["doc_id"].tolist()
         )
         assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_quantization_error_bound_property(spark, data):
+    """|x - dequant(quant(x))| <= scale/2 elementwise for arbitrary finite
+    vectors, including extreme magnitudes and all-zero vectors."""
+    from mlforecast_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    dim = data.draw(st.integers(1, 24))
+    n = data.draw(st.integers(1, 12))
+    rows = []
+    for i in range(n):
+        vec = data.draw(
+            st.lists(
+                st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+                min_size=dim,
+                max_size=dim,
+            )
+        )
+        rows.append((i, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    scales = q.toPandas().set_index("vec_id")["scale"]
+    deq = dequantize_embeddings(q).toPandas().set_index("vec_id")["embedding"]
+    for i, vec in rows:
+        err = np.abs(np.array(vec) - np.array(deq.loc[i]))
+        assert (err <= scales.loc[i] / 2 + 1e-9 * max(1.0, scales.loc[i])).all()
