@@ -17,6 +17,10 @@ that has md5 (the DuckDB oracle computes the exact same set).
   over-sampled ``hash_sample`` first (the top-k by hash within a group is
   almost surely inside a generous hash-prefix slice), so the per-group sort
   sees a sliver of the corpus; ``prefilter_fraction`` automates this.
+- ``mixture_sample``: domain-composition resampling — downsample (never
+  upsample) each domain so the corpus matches a target mixture, decided by
+  the same per-row hash rule (one tiny count agg + a broadcast-joined
+  cutoff filter).
 """
 
 from __future__ import annotations
@@ -93,4 +97,75 @@ def stratified_hash_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .drop("_h")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict,
+    key_col: str = "doc_id",
+    salt: str = "",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Downsample a corpus so its domain composition matches
+    ``target_weights`` (e.g. ``{"web": 0.6, "code": 0.25, "books": 0.15}``)
+    — the data-mixing step of a pretraining pipeline (The Pile / DoReMi
+    style domain reweighting, by deletion only — no row is ever duplicated).
+
+    The largest total size T consistent with the targets without upsampling
+    is ``T = min_d n_d / w_d`` (the binding domain keeps all its rows);
+    every other domain keeps fraction ``w_d * T / n_d``, decided per row by
+    the md5 hash of the key — the same deterministic, partitioning-immune
+    rule as :func:`hash_sample`, so the output is reproducible on any
+    cluster shape. ``scale`` shrinks T (e.g. 0.5 = half-size corpus at the
+    same mixture). Domains absent from ``target_weights`` are dropped;
+    weights need not sum to 1 (they are normalized).
+
+    Cost: one tiny count aggregation (rows = #domains, collected — the only
+    driver action, inherent to computing the global mixture), then a
+    broadcast join of per-domain cutoffs + scan-local filter. No data
+    shuffle of the corpus itself."""
+    if not target_weights:
+        raise ValueError("target_weights must be a non-empty dict")
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError("target weights must be non-negative")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    tot_w = float(sum(target_weights.values()))
+    if tot_w <= 0:
+        raise ValueError("target weights must sum to > 0")
+    w_norm = {d: w / tot_w for d, w in target_weights.items()}
+    counts = {
+        r["_d"]: r["_n"]
+        for r in df.filter(F.col(domain_col).isin(list(w_norm)))
+        .groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    missing = [d for d in w_norm if d not in counts and w_norm[d] > 0]
+    if missing:
+        raise ValueError(
+            f"domains in target_weights but absent from the data: {missing}"
+        )
+    t_max = min(counts[d] / w_norm[d] for d in counts if w_norm[d] > 0)
+    t = t_max * scale
+    cutoffs = []
+    for d, n in counts.items():
+        frac = min(1.0, (w_norm[d] * t) / n) if n else 0.0
+        cutoff_int = int(round(frac * _HASH_SPACE))
+        # full-keep sentinel: 'g' > every hex char, so the filter keeps all
+        cut = "g" if cutoff_int >= _HASH_SPACE else format(cutoff_int, "06x")
+        cutoffs.append((d, cut))
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(cutoffs, f"{domain_col} string, _cut string")
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6
+    )
+    return (
+        df.join(cdf, on=domain_col, how="inner")
+        .filter(prefix < F.col("_cut"))
+        .drop("_cut")
     )

@@ -13,6 +13,9 @@
   :class:`IVFIndex` (build once, search per query batch).
 - ``quantize_embeddings``: int8 scalar quantization (SQ8) for 4-8x smaller
   embedding storage/shuffles.
+- ``semantic_dedup``: SemDeDup-style semantic deduplication — k-means
+  clusters confine the quadratic pairwise pass, connected components pick
+  one survivor per duplicate group.
 """
 
 from __future__ import annotations
@@ -262,6 +265,27 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    if n_lists == 1:
+        # degenerate single-list index (== brute force at search time);
+        # MLlib KMeans rejects k=1, and no clustering is needed anyway
+        assigned = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.lit(0).alias("list_id"),
+        )
+        dim_expr = F.size(F.col(vec_col))
+        cdf = (
+            vectors.select(dim_expr.alias("_d"))
+            .limit(1)
+            .select(
+                F.lit(0).alias("list_id"),
+                F.array_repeat(F.lit(0.0), F.col("_d")).alias("center"),
+            )
+        )
+        return IVFIndex(cdf, assigned)
+
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     feats = vectors.select(
         F.col(id_col).alias("vec_id_"),
@@ -370,6 +394,116 @@ def quantize_embeddings(
         )
         .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("byte")))
         .alias("qvec"),
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+    train_fraction: float | None = None,
+    keep_policy: str = "min_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, call two documents
+    semantic duplicates when their cosine similarity within a cluster is
+    ``>= 1 - eps``, and keep one representative per duplicate group.
+
+    Returns ``(id_col, list_id, cluster_id, cluster_size, keep)`` — one row
+    per input vector. Singletons (no duplicate above the threshold) keep
+    ``cluster_id = id`` and ``keep = true``. ``keep_policy``:
+
+    - ``'min_id'``: the smallest id in each duplicate group survives
+      (deterministic, engine-portable).
+    - ``'central'``: the member closest to its k-means centroid survives —
+      the paper's "keep the most prototypical" variant (ties broken by id).
+
+    Scale shape: the quadratic term is confined within each inverted list
+    (equi-self-join on ``list_id``), exactly like the paper's per-cluster
+    pairwise pass — the 100 TB knob is ``n_lists`` ∝ corpus size so mean
+    list size stays bounded (the paper uses 11k clusters for 233M docs).
+    Pair edges collapse to clusters via distributed min-label propagation
+    (:func:`~mlforecast_spark.operators.dedup.connected_components`), so
+    transitive near-dups (A~B~C with cos(A,C) < 1-eps) still dedup to ONE
+    survivor, matching the paper's per-group extraction. ``train_fraction``
+    passes through to the k-means (sampled centroid training)."""
+    from .dedup import connected_components
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if keep_policy not in ("min_id", "central"):
+        raise ValueError("keep_policy must be 'min_id' or 'central'")
+    index = build_ivf_index(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
+    )
+    assigned = index.assigned.select(
+        F.col("vec_id").alias(id_col),
+        F.col("embedding").alias(vec_col),
+        "list_id",
+    )
+    # duplicate-pair edges: bucket-local exact cosine, id_a < id_b
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "list_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "list_id"
+    )
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    edges = (
+        a.join(b, on="list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 1.0 - eps)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges)  # node_id, cluster_id, cluster_size
+    labeled = assigned.join(
+        comps.withColumnRenamed("node_id", id_col), on=id_col, how="left"
+    ).select(
+        id_col,
+        vec_col,
+        "list_id",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+            "cluster_size"
+        ),
+    )
+    if keep_policy == "min_id":
+        keep = F.col("cluster_id") == F.col(id_col)
+        return labeled.select(
+            id_col, "list_id", "cluster_id", "cluster_size", keep.alias("keep")
+        )
+    # 'central': rank group members by distance to their list centroid
+    cdf = index.centroids.select("list_id", F.col("center").alias("_center"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("_center"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_d2").asc(), F.col(id_col))
+    return (
+        labeled.join(F.broadcast(cdf), on="list_id")
+        .withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "list_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("_rk") == 1).alias("keep"),
+        )
     )
 
 

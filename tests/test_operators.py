@@ -1290,3 +1290,119 @@ def test_tiff_decode():
     assert (decode_image(_build_tiff(rgb)) == rgb).all()
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(_build_tiff(rgb, compression=5))
+
+
+def test_semantic_dedup_min_id(spark):
+    """SemDeDup semantics with one list (all-pairs exact): near-identical
+    vectors collapse to one min-id survivor, transitive chains (A~B~C with
+    cos(A,C) below threshold) still dedup to ONE survivor, distinct vectors
+    all survive as singletons."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    # 30 random gaussians in d=32: pairwise |cos| ~ N(0, 1/32) — far below
+    # the 0.95 dup threshold with overwhelming margin
+    rows = [(int(i), rng.normal(size=32)) for i in range(30)]
+    # ids 100/101: exact copies of vector 0
+    rows.append((100, rows[0][1].copy()))
+    rows.append((101, rows[0][1].copy()))
+    # ids 200/201/202: transitive chain in a dedicated 2-plane — consecutive
+    # cos(0.25)=0.969 >= 0.95, endpoints cos(0.5)=0.878 < 0.95
+    e1, e2 = np.zeros(32), np.zeros(32)
+    e1[30], e2[31] = 1.0, 1.0
+    theta = 0.25
+    for j, t in enumerate([0.0, theta, 2 * theta]):
+        rows.append((200 + j, 10.0 * (np.cos(t) * e1 + np.sin(t) * e2)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, eps=0.05, n_lists=1, seed=1).toPandas().set_index("vec_id")
+    assert len(out) == 35 and out["keep"].dtype == bool
+    # exact-dup group {0, 100, 101}: only 0 survives
+    assert bool(out.loc[0, "keep"]) and not out.loc[100, "keep"] and not out.loc[101, "keep"]
+    assert out.loc[100, "cluster_id"] == 0 and out.loc[101, "cluster_id"] == 0
+    assert out.loc[0, "cluster_size"] == 3
+    # transitive chain {200, 201, 202}: one component, one survivor
+    assert out.loc[201, "cluster_id"] == 200 and out.loc[202, "cluster_id"] == 200
+    assert bool(out.loc[200, "keep"]) and not out.loc[201, "keep"] and not out.loc[202, "keep"]
+    # the 29 other random vectors are singletons that survive
+    singles = out.loc[list(range(1, 30))]
+    assert singles["keep"].all() and (singles["cluster_size"] == 1).all()
+
+
+def test_semantic_dedup_clustered_and_central(spark):
+    """With n_lists > 1: exact copies are always co-assigned, so they still
+    collapse; keep_policy='central' keeps exactly one per duplicate group
+    (the member nearest its centroid)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    rows = [(int(i), rng.normal(size=32)) for i in range(60)]
+    rows.append((500, rows[2][1].copy()))  # exact copy of 2
+    rows.append((501, rows[2][1].copy()))  # exact copy of 2
+    rows.append((502, rows[7][1].copy()))  # exact copy of 7
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, eps=0.02, n_lists=4, seed=2).toPandas().set_index("vec_id")
+    assert len(out) == 63
+    assert bool(out.loc[2, "keep"]) and not out.loc[500, "keep"] and not out.loc[501, "keep"]
+    assert bool(out.loc[7, "keep"]) and not out.loc[502, "keep"]
+    assert out["keep"].sum() == 60  # one survivor per distinct vector
+
+    cen = (
+        semantic_dedup(df, eps=0.02, n_lists=4, seed=2, keep_policy="central")
+        .toPandas()
+    )
+    per = cen.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all() and len(cen) == 63 and cen["keep"].sum() == 60
+
+    with pytest.raises(ValueError, match="keep_policy"):
+        semantic_dedup(df, eps=0.02, keep_policy="nope")
+    with pytest.raises(ValueError, match="eps"):
+        semantic_dedup(df, eps=1.5)
+
+
+def test_mixture_sample(spark):
+    """Domain mixture resampling: output composition tracks the target
+    weights, the binding domain keeps ~all rows, the rule is deterministic,
+    and no row is ever duplicated."""
+    from mlforecast_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web" if i < 6000 else ("code" if i < 7000 else "books"))
+            for i in range(7500)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # targets: books (500 rows) at 20% binds T at 2500 -> web ~1250, code ~750
+    out = mixture_sample(
+        df, "domain", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    pdf = out.toPandas()
+    by = pdf.groupby("domain").size()
+    assert by["books"] == 500  # binding domain keeps everything
+    assert abs(by["web"] - 1250) < 100 and abs(by["code"] - 750) < 80
+    # deterministic: same call returns the identical id set
+    pdf2 = mixture_sample(
+        df, "domain", {"web": 0.5, "code": 0.3, "books": 0.2}
+    ).toPandas()
+    assert set(pdf.doc_id) == set(pdf2.doc_id)
+    assert pdf.doc_id.is_unique
+    # subset of the keep set at full scale (hash-prefix rule is nested)
+    half = mixture_sample(
+        df, "domain", {"web": 0.5, "code": 0.3, "books": 0.2}, scale=0.5
+    ).toPandas()
+    assert set(half.doc_id) <= set(pdf.doc_id)
+    # domains not in the target mixture are dropped
+    assert set(pdf.domain) == {"web", "code", "books"}
+    out2 = mixture_sample(df, "domain", {"web": 1.0}).toPandas()
+    assert set(out2.domain) == {"web"} and len(out2) == 6000
+
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, "domain", {"web": 0.5, "nope": 0.5})
+    with pytest.raises(ValueError, match="scale"):
+        mixture_sample(df, "domain", {"web": 1.0}, scale=0.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "domain", {})
