@@ -1,3 +1,3 @@
-from . import dedup, multimodal, sampling, similarity, text
+from . import dedup, multimodal, packing, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "packing", "sampling", "similarity", "text"]

@@ -510,3 +510,101 @@ def url_stats(
         .orderBy(F.col("n_urls").desc(), F.col("domain"))
         .limit(k)
     )
+
+
+# feature set for the trainable quality classifier: the engineered signals
+# already computed by token_stats/repetition_stats, with log1p on the two
+# unbounded counts so the IRLS Gram matrix stays well-conditioned
+QUALITY_CLASSIFIER_FEATURES = [
+    "log_n_chars",
+    "log_n_tokens",
+    "avg_token_len",
+    "punct_ratio",
+    "space_ratio",
+    "type_token_ratio",
+    "top_token_frac",
+    "dup_bigram_frac",
+]
+
+
+def quality_feature_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc numeric feature vector for the quality classifier:
+    :func:`token_stats` + :func:`repetition_stats` joined by id (two corpus
+    scans total, both with map-side partial aggregation)."""
+    ts = token_stats(df, text_col, id_col)
+    rs = repetition_stats(df, text_col, id_col).drop("n_tokens")
+    return ts.join(rs, id_col).select(
+        F.col(id_col),
+        F.log1p(F.col("n_chars").cast("double")).alias("log_n_chars"),
+        F.log1p(F.col("n_tokens").cast("double")).alias("log_n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "space_ratio",
+        "type_token_ratio",
+        "top_token_frac",
+        "dup_bigram_frac",
+    )
+
+
+class QualityClassifier:
+    """Trainable document-quality classifier (fastText-classifier analog on
+    engineered signals): logistic regression over the
+    :data:`QUALITY_CLASSIFIER_FEATURES` vector, trained with the engine's
+    distributed IRLS (`models.LogisticRegression.fit_spark` — one JVM
+    aggregation per Newton step, no data collect).
+
+    The pretraining-pipeline pattern: label a small seed set (e.g. curated
+    reference pages = 1, random crawl = 0), ``fit`` on it, then ``score``
+    the full corpus — scoring is a pure Column expression over the feature
+    projection (the model is ~9 broadcast constants), so the 100 TB pass is
+    two scans + one join, no Python."""
+
+    def __init__(self, max_iter: int = 50, l2: float = 1e-4):
+        from ..models import LogisticRegression
+
+        self.lr = LogisticRegression(max_iter=max_iter, l2=l2)
+        self.feature_cols = list(QUALITY_CLASSIFIER_FEATURES)
+
+    def fit(
+        self,
+        labeled: DataFrame,
+        label_col: str = "label",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "QualityClassifier":
+        feats = quality_feature_frame(labeled, text_col, id_col)
+        train = feats.join(
+            labeled.select(F.col(id_col), F.col(label_col).cast("double")), id_col
+        )
+        self.lr.fit_spark(train, self.feature_cols, label_col)
+        return self
+
+    def score(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """``(id_col, quality_prob)`` — P(high quality) per document."""
+        if self.lr.coef_ is None:
+            raise RuntimeError("QualityClassifier.score before fit")
+        feats = quality_feature_frame(df, text_col, id_col)
+        return feats.select(
+            F.col(id_col),
+            F.round(self.lr.predict_proba_col(self.feature_cols), 6).alias(
+                "quality_prob"
+            ),
+        )
+
+    def filter(
+        self,
+        df: DataFrame,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Keep documents scoring at or above ``threshold`` (semi-join by id
+        — document payloads never enter the scoring shuffle)."""
+        keep = self.score(df, text_col, id_col).filter(
+            F.col("quality_prob") >= threshold
+        )
+        return df.join(keep.select(id_col), id_col, "left_semi")

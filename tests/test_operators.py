@@ -1406,3 +1406,128 @@ def test_mixture_sample(spark):
         mixture_sample(df, "domain", {"web": 1.0}, scale=0.0)
     with pytest.raises(ValueError, match="non-empty"):
         mixture_sample(df, "domain", {})
+
+
+def test_pack_sequences_concat(spark):
+    """Concat packing: every sequence except each shard's last is exactly
+    full, every token is assigned exactly once, straddling docs split with
+    consistent doc_start/slice_tokens spans."""
+    import numpy as np
+    from mlforecast_spark.operators.packing import pack_sequences, packing_stats
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), int(rng.integers(1, 900))) for i in range(300)]
+    rows.append((999, 0))  # zero-token doc: dropped
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_sequences(df, max_tokens=1024, num_shards=4).toPandas()
+    total = sum(n for _, n in rows)
+    assert out["slice_tokens"].sum() == total
+    # each doc's slices reassemble the doc exactly
+    per_doc = out.groupby("doc_id")["slice_tokens"].sum()
+    for i, n in rows:
+        if n > 0:
+            assert per_doc[i] == n
+        else:
+            assert i not in per_doc.index
+    # doc_start spans are contiguous from 0
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("doc_start")
+        assert g["doc_start"].iloc[0] == 0
+        assert (g["doc_start"] + g["slice_tokens"]).iloc[:-1].tolist() == g[
+            "doc_start"
+        ].iloc[1:].tolist()
+    # within each shard: all sequences but the last are exactly full
+    per_seq = out.groupby(["shard", "seq"])["slice_tokens"].sum().reset_index()
+    for sh, g in per_seq.groupby("shard"):
+        last = g["seq"].max()
+        assert (g[g.seq < last]["slice_tokens"] == 1024).all()
+        assert g[g.seq == last]["slice_tokens"].iloc[0] <= 1024
+    # offsets stay inside the budget
+    assert ((out["offset_in_seq"] + out["slice_tokens"]) <= 1024).all()
+    assert (out["offset_in_seq"] >= 0).all()
+    # seq_id globally unique per (shard, seq)
+    assert out.groupby("seq_id")[["shard", "seq"]].nunique().max().max() == 1
+    # deterministic
+    out2 = pack_sequences(df, max_tokens=1024, num_shards=4).toPandas()
+    assert out.sort_values(["doc_id", "seq_id"]).reset_index(drop=True).equals(
+        out2.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    )
+    stats = packing_stats(
+        pack_sequences(df, max_tokens=1024, num_shards=4), 1024
+    ).toPandas()
+    assert stats["total_tokens"].iloc[0] == total
+    assert 0.9 <= stats["mean_fill"].iloc[0] <= 1.0
+
+
+def test_pack_sequences_greedy(spark):
+    """Greedy packing: docs never split, sequences never exceed the budget,
+    oversized docs are isolated and flagged."""
+    import numpy as np
+    from mlforecast_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(9)
+    rows = [(int(i), int(rng.integers(50, 700))) for i in range(200)]
+    rows.append((900, 5000))  # oversized
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_sequences(df, max_tokens=1024, mode="greedy", num_shards=3).toPandas()
+    assert len(out) == 201  # one row per doc
+    assert (out["doc_start"] == 0).all()
+    big = out[out.doc_id == 900]
+    assert bool(big["overflow"].iloc[0]) and len(big) == 1
+    # oversized doc is alone in its sequence
+    assert (out["seq_id"] == big["seq_id"].iloc[0]).sum() == 1
+    # no non-overflow sequence exceeds the budget
+    norm = out[~out.overflow]
+    per_seq = norm.groupby("seq_id")["slice_tokens"].sum()
+    assert (per_seq <= 1024).all()
+    # offsets consistent with in-sequence layout
+    for sid, g in norm.groupby("seq_id"):
+        g = g.sort_values("offset_in_seq")
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["offset_in_seq"] == pos
+            pos += r["slice_tokens"]
+
+    with pytest.raises(ValueError, match="mode"):
+        pack_sequences(df, max_tokens=10, mode="bogus")
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, max_tokens=0)
+
+
+def test_quality_classifier(spark):
+    """Trainable quality gate: separates repetitive junk from normal prose
+    on held-out docs; filter() keeps payload rows by semi-join."""
+    from mlforecast_spark.operators.text import QualityClassifier
+
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "bridge", "cosmic", "delta", "ember", "forest",
+             "granite", "harbor", "island", "jungle", "kernel", "lantern"]
+    rows = []
+    # class 1: varied prose
+    for i in range(40):
+        n = int(rng.integers(30, 60))
+        rows.append((i, " ".join(rng.choice(words, size=n)) + ".", 1.0))
+    # class 0: highly repetitive spam
+    for i in range(40, 80):
+        w = words[i % len(words)]
+        n = int(rng.integers(30, 60))
+        rows.append((i, " ".join([w, w + "!!!"] * n), 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = df.filter("doc_id % 4 != 0")
+    test = df.filter("doc_id % 4 = 0")
+    clf = QualityClassifier().fit(train)
+    scored = clf.score(test).toPandas().set_index("doc_id")
+    labels = {i: l for i, _, l in rows}
+    acc = np.mean(
+        [(scored.loc[i, "quality_prob"] >= 0.5) == (labels[i] == 1.0)
+         for i in scored.index]
+    )
+    assert acc >= 0.9, acc
+    kept = clf.filter(test, threshold=0.5).toPandas()
+    assert set(kept.columns) == {"doc_id", "text", "label"}
+    assert 0 < len(kept) < test.count()
+
+    with pytest.raises(RuntimeError, match="before fit"):
+        QualityClassifier().score(df)
