@@ -276,16 +276,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7)), "rm"
     )
+    # merged variants: one queries() slot each covers 4 (resp. 2) rolling /
+    # expanding operators under the 50-row oracle window
     q["rolling_std_quantile"] = _multi_feature_query(
-        lambda: {1: [RollingStd(window_size=7), RollingQuantile(p=0.5, window_size=7)]},
-        ["rs", "rq"],
+        lambda: {
+            1: [
+                RollingStd(window_size=7),
+                RollingQuantile(p=0.5, window_size=7),
+                RollingMin(window_size=7),
+                RollingMax(window_size=7),
+            ]
+        },
+        ["rs", "rq", "rmin", "rmax"],
     )
-    q["rolling_min_max"] = _multi_feature_query(
-        lambda: {1: [RollingMin(window_size=7), RollingMax(window_size=7)]},
-        ["rmin", "rmax"],
+    q["expanding_mean"] = _multi_feature_query(
+        lambda: {1: [ExpandingMean(), ExpandingStd()]}, ["em", "es"], quantize=True
     )
-    q["expanding_mean"] = _feature_query(lambda: (1, ExpandingMean()), "em", quantize=True)
-    q["expanding_std"] = _feature_query(lambda: (1, ExpandingStd()), "es", quantize=True)
     q["expanding_min_max"] = _multi_feature_query(
         lambda: {1: [ExpandingMin(), ExpandingMax()]}, ["emin", "emax"]
     )
@@ -603,6 +609,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stratified_sample_docs"] = stratified_sample_q
+
+    def mixture_sample_q(spark, sf):
+        """Domain-mixture resampling: downsample so the corpus matches a
+        target lang composition. Weights are exact binary floats (0.5/0.25/
+        0.125) so the driver-side float math is bit-identical to the SQL
+        oracle's DOUBLE arithmetic."""
+        from mlforecast_spark.operators.sampling import mixture_sample
+
+        docs = _docs(spark, sf).select("doc_id", "lang")
+        out = mixture_sample(
+            docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 0.125}
+        )
+        return out.select("doc_id", "lang")
+
+    q["mixture_sample_docs"] = mixture_sample_q
+
+    def pack_concat_q(spark, sf):
+        """GPT-style concat-then-chunk sequence packing on the documents
+        table (budget counted in chars — a deterministic, engine-portable
+        token proxy). num_shards=1 so the DuckDB oracle needs no xxhash64;
+        the sharded plan differs only in the partitionBy key."""
+        from mlforecast_spark.operators.packing import pack_sequences
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
+        )
+        return pack_sequences(docs, max_tokens=1000, num_shards=1)
+
+    q["pack_concat_docs"] = pack_concat_q
 
     def ann_lsh(spark, sf):
         from mlforecast_spark.operators.similarity import lsh_topk
@@ -946,23 +981,15 @@ def oracle_sql() -> dict[str, str]:
     o["rolling_std_quantile"] = (
         f"WITH {PANEL_SQL}, aggs AS ("
         " SELECT unique_id, ds, SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq,"
-        "  COUNT(y) OVER w AS w_cnt, quantile_cont(y, 0.5) OVER w AS w_q FROM panel"
+        "  COUNT(y) OVER w AS w_cnt, quantile_cont(y, 0.5) OVER w AS w_q,"
+        "  MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max FROM panel"
         " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
         "  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
         " SELECT unique_id, ds,"
         "  ROUND(CASE WHEN w_cnt >= 7 AND w_cnt > 1 THEN"
         "   SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0))"
         "  END, 6) AS rs,"
-        "  ROUND(CASE WHEN w_cnt >= 7 THEN w_q END, 6) AS rq"
-        " FROM aggs"
-    )
-    o["rolling_min_max"] = (
-        f"WITH {PANEL_SQL}, aggs AS ("
-        " SELECT unique_id, ds, MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max,"
-        "  COUNT(y) OVER w AS w_cnt FROM panel"
-        " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
-        "  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
-        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt >= 7 THEN w_q END, 6) AS rq,"
         "  ROUND(CASE WHEN w_cnt >= 7 THEN w_min END, 6) AS rmin,"
         "  ROUND(CASE WHEN w_cnt >= 7 THEN w_max END, 6) AS rmax"
         " FROM aggs"
@@ -999,16 +1026,19 @@ def oracle_sql() -> dict[str, str]:
         " FROM panel"
     )
 
-    o["expanding_mean"] = _expanding_sql(
-        _MEAN_AGG, "CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END", 1, "em", quant=True
-    )
-    o["expanding_std"] = _expanding_sql(
-        _STD_AGG,
-        "CASE WHEN w_cnt > 1 THEN SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt)"
-        " / (w_cnt - 1), 0.0)) END",
-        1,
-        "es",
-        quant=True,
+    o["expanding_mean"] = (
+        f"WITH {PANEL_SQL}, qpanel AS (SELECT unique_id, ds, {QUANT_SQL} AS y"
+        " FROM panel), aggs AS ("
+        " SELECT unique_id, ds, SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq,"
+        "  COUNT(y) OVER w AS w_cnt FROM qpanel"
+        " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        " SELECT unique_id, ds,"
+        "  ROUND(CASE WHEN w_cnt > 0 THEN w_sum * 1.0 / w_cnt END, 6) AS em,"
+        "  ROUND(CASE WHEN w_cnt > 1 THEN"
+        "   SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0))"
+        "  END, 6) AS es"
+        " FROM aggs"
     )
     o["expanding_min_max"] = (
         f"WITH {PANEL_SQL}, aggs AS ("
@@ -1246,6 +1276,39 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))"
         " ) AS sample_rank FROM documents)"
         " WHERE sample_rank <= 20"
+    )
+    # mirror of operators/sampling.mixture_sample: per-domain keep fraction
+    # w*T/n with T = min(n/w), cutoff = round(frac * 16^6) as 6 lowercase hex
+    # chars, rows kept when the md5(doc_id) prefix sorts below it ('g' = all)
+    o["mixture_sample_docs"] = (
+        "WITH w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25),"
+        "  ('fr', 0.125), ('zh', 0.125)) AS t(lang, wt)),"
+        " c AS (SELECT d.lang, wt, COUNT(*) AS n FROM documents d"
+        "  JOIN w ON d.lang = w.lang GROUP BY d.lang, wt),"
+        " tt AS (SELECT MIN(n / wt) AS t FROM c),"
+        " cut AS (SELECT lang, CASE WHEN (wt * t) / n >= 1.0 THEN 'g'"
+        "  ELSE printf('%06x', CAST(round(LEAST(1.0, (wt * t) / n) * 16777216)"
+        "   AS BIGINT)) END AS cutoff FROM c, tt)"
+        " SELECT d.doc_id, d.lang FROM documents d JOIN cut ON d.lang = cut.lang"
+        " WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < cutoff"
+    )
+    # mirror of operators/packing.pack_sequences(mode='concat', num_shards=1):
+    # docs laid end to end in md5 order, stream cut every 1000 tokens
+    o["pack_concat_docs"] = (
+        "WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nt,"
+        "  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents WHERE n_chars > 0),"
+        " c AS (SELECT doc_id, nt,"
+        "  SUM(nt) OVER (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        "   CURRENT ROW) - nt AS st FROM base),"
+        " e AS (SELECT doc_id, nt, st, UNNEST(generate_series("
+        "  CAST(FLOOR(st / 1000) AS BIGINT),"
+        "  CAST(FLOOR((st + nt - 1) / 1000) AS BIGINT))) AS seq FROM c)"
+        " SELECT doc_id, CAST(0 AS INTEGER) AS shard, seq, seq AS seq_id,"
+        "  CAST(GREATEST(st, seq * 1000) - seq * 1000 AS INTEGER) AS offset_in_seq,"
+        "  CAST(GREATEST(st, seq * 1000) - st AS INTEGER) AS doc_start,"
+        "  CAST(LEAST(st + nt, (seq + 1) * 1000) - GREATEST(st, seq * 1000)"
+        "   AS INTEGER) AS slice_tokens"
+        " FROM e"
     )
 
     o["differences"] = (

@@ -5,13 +5,16 @@ Decode is REAL for formats that need no external library — PPM (P6) / PGM
 (P5) / uncompressed 24-bit BMP / 8-bit non-interlaced PNG (stdlib ``zlib``
 inflate + full five-filter unfiltering) / GIF87a+89a incl. animations
 (pure-python LZW, palettes, interlacing, transparency compositing) /
-baseline strip TIFF (both endians, none+PackBits compression), PCM and
-G.711 WAV audio — all pure numpy/stdlib inside Arrow-batched ``mapInPandas``;
-``sample_gif_frames`` is a real multi-frame sampling path. JPEG and real
-video containers genuinely need PIL/ffmpeg, which this container lacks:
-those raise ``NotImplementedError`` naming the supported set, and
-``fake=True`` keeps the deterministic pseudo-decode so the distributed
-plumbing stays testable for any payload.
+baseline strip TIFF (both endians, none+PackBits compression) / baseline
+sequential JPEG (marker parse, Huffman entropy decode with restart
+markers, vectorized IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling,
+YCbCr->RGB), plus PCM and G.711 WAV audio — all pure numpy/stdlib inside
+Arrow-batched ``mapInPandas``; ``sample_gif_frames`` is a real multi-frame
+sampling path. Progressive JPEG and real video containers genuinely need
+PIL/ffmpeg, which this container lacks: those raise
+``NotImplementedError`` naming the supported set, and ``fake=True`` keeps
+the deterministic pseudo-decode so the distributed plumbing stays testable
+for any payload.
 """
 
 from __future__ import annotations
@@ -245,10 +248,13 @@ def decode_image(raw: bytes):
         return decode_gif(raw, max_frames=1)[0]
     if raw[:2] in (b"II", b"MM"):
         return decode_tiff(raw)
+    if raw[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(raw)
     raise NotImplementedError(
         "real decode supports P6 PPM, P5 PGM, uncompressed 24-bit BMP, "
-        "8-bit non-interlaced PNG, GIF, and baseline TIFF (pure "
-        "numpy/stdlib); JPEG needs PIL which is not installed"
+        "8-bit non-interlaced PNG, GIF, baseline TIFF and baseline "
+        "sequential JPEG (pure numpy/stdlib); progressive JPEG and video "
+        "containers need PIL/ffmpeg, which are not installed"
     )
 
 
@@ -762,3 +768,274 @@ def decode_tiff(raw: bytes):
     if photometric == 0:  # WhiteIsZero grayscale: invert to the usual sense
         img = 255 - img
     return img[:, :, 0].copy() if spp == 1 else img.copy()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decode (pure numpy/stdlib)
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: _JPEG_ZIGZAG[k] = (row*8 + col) of the k-th coefficient
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_basis():
+    import numpy as np
+
+    u = np.arange(8)
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    scale = np.full(8, 0.5)
+    scale[0] = 1.0 / (2 * np.sqrt(2.0))
+    return scale[:, None] * c  # C[u, x]; IDCT: block = C.T @ coeffs @ C
+
+
+def _jpeg_build_huffman(bits, vals):
+    """Canonical Huffman map: (code_length, code) -> symbol (JPEG F.2.2.3)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops at any real marker (restart handling is the
+    caller's job via expect_rst/align)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.b = 0
+        self.cnt = 0
+
+    def read_bit(self) -> int:
+        if self.cnt == 0:
+            byte = self.d[self.p]
+            self.p += 1
+            if byte == 0xFF:
+                nxt = self.d[self.p]
+                if nxt == 0x00:
+                    self.p += 1  # stuffed zero: literal 0xFF data byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+            self.b = byte
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.b >> self.cnt) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def expect_rst(self, n: int):
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.cnt = 0
+        if self.d[self.p] != 0xFF or self.d[self.p + 1] != 0xD0 + (n & 7):
+            raise ValueError("missing expected JPEG restart marker")
+        self.p += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # F.2.4.3.1.1: s-bit magnitude to signed value
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(raw: bytes):
+    """Baseline sequential JPEG/JFIF decode, pure numpy/stdlib: marker
+    parse (DQT/DHT/SOF0/SOF1/DRI/SOS), canonical Huffman entropy decode
+    with restart-marker support, dequantize + dezigzag, vectorized 8x8
+    IDCT over all blocks per component, chroma upsampling for any
+    sampling-factor layout (4:4:4 / 4:2:2 / 4:2:0), YCbCr->RGB. Grayscale
+    returns (H, W); color returns (H, W, 3) uint8. Progressive (SOF2) and
+    arithmetic-coded JPEGs raise ``NotImplementedError``."""
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt = {}  # id -> np.array(64) in zigzag order
+    huff_dc = {}
+    huff_ac = {}
+    frame = None  # (H, W, [(cid, hi, vi, tq), ...])
+    restart_interval = 0
+    pos = 2
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad JPEG marker sync")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack(">H", raw[pos : pos + 2])[0]
+        seg = raw[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 128], ">u2"
+                    ).astype(np.int32)
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline & extended seq.
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (non-baseline) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            ecs_start = pos + seglen
+            return _jpeg_decode_scan(
+                raw, ecs_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    raw, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    import numpy as np
+
+    H, W, comps = frame
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    # per-component coefficient block grids
+    grids = {}
+    for cid, td, ta in scan:
+        hi, vi, tq = by_id[cid]
+        grids[cid] = np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+    br = _JpegBitReader(raw, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    zz = np.array(_JPEG_ZIGZAG)
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.expect_rst(n_rst)
+            n_rst = (n_rst + 1) & 7
+            pred = {cid: 0 for cid, _, _ in scan}
+        my, mx = divmod(m, mcux)
+        for cid, td, ta in scan:
+            hi, vi, tq = by_id[cid]
+            for v in range(vi):
+                for hh in range(hi):
+                    blk = np.zeros(64, np.int32)
+                    s = br.decode_symbol(huff_dc[td])
+                    diff = _jpeg_extend(br.receive(s), s)
+                    pred[cid] += diff
+                    blk[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = br.decode_symbol(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflows block")
+                        blk[k] = _jpeg_extend(br.receive(s), s)
+                        k += 1
+                    grids[cid][my * vi + v, mx * hi + hh] = blk
+    # dequantize + dezigzag + vectorized IDCT per component
+    C = _jpeg_dct_basis()
+    planes = {}
+    for cid, td, ta in scan:
+        hi, vi, tq = by_id[cid]
+        g = grids[cid]
+        deq = (g * qt[tq][None, None, :]).astype(np.float64)
+        blocks = np.zeros((g.shape[0], g.shape[1], 64))
+        blocks[:, :, zz] = deq
+        blocks = blocks.reshape(g.shape[0], g.shape[1], 8, 8)
+        spatial = np.einsum("ux,mnuv,vy->mnxy", C, blocks, C, optimize=True)
+        # block grid -> plane
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            g.shape[0] * 8, g.shape[1] * 8
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # upsample to full resolution by sample replication, crop to (H, W)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes[cid] = plane[:H, :W]
+    if len(scan) == 1:
+        return planes[scan[0][0]].astype(np.uint8)
+    y = planes[scan[0][0]]
+    cb = planes[scan[1][0]] - 128.0
+    cr = planes[scan[2][0]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)

@@ -1531,3 +1531,124 @@ def test_quality_classifier(spark):
 
     with pytest.raises(RuntimeError, match="before fit"):
         QualityClassifier().score(df)
+
+
+def _smooth_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255.0 / max(w - 1, 1))
+    g = (yy * 255.0 / max(h - 1, 1))
+    b = ((xx + yy) * 255.0 / max(h + w - 2, 1))
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype("uint8")
+
+
+def test_jpeg_decode_roundtrip_444():
+    """Baseline JPEG decode: encode a smooth RGB image with our test-only
+    encoder (quant=1, 4:4:4) and recover it within DCT rounding error."""
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import decode_image, decode_jpeg
+
+    img = _smooth_rgb(40, 56)
+    from tests._jpeg_encoder import encode_jpeg
+
+    raw = encode_jpeg(img, quant=1)
+    out = decode_jpeg(raw)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    # quant=1 is near-lossless; color-space round trip costs a few counts
+    assert err.mean() < 1.5 and err.max() <= 8, (err.mean(), err.max())
+    # dispatch by magic bytes
+    assert np.array_equal(decode_image(raw), out)
+
+
+def test_jpeg_decode_grayscale_and_odd_dims():
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+    from tests._jpeg_encoder import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.round(
+            128 + 60 * np.sin(np.arange(23)[:, None] / 4.0)
+            + 40 * np.cos(np.arange(17)[None, :] / 3.0)
+        ),
+        0,
+        255,
+    ).astype("uint8")
+    raw = encode_jpeg(img, quant=1)
+    out = decode_jpeg(raw)
+    assert out.shape == (23, 17) and out.ndim == 2
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 3, err.max()
+    # uniform image survives exactly (DC-only blocks)
+    flat = np.full((16, 24), 130, "uint8")
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quant=1)), flat)
+    # heavier quantization still decodes to something close on smooth data
+    out8 = decode_jpeg(encode_jpeg(img, quant=8))
+    assert np.abs(out8.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_jpeg_decode_420_subsampling():
+    """4:2:0 chroma subsampling: luma near-exact, chroma within smooth-image
+    subsampling error; odd dims crop correctly."""
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+    from tests._jpeg_encoder import encode_jpeg
+
+    img = _smooth_rgb(37, 45)
+    raw = encode_jpeg(img, quant=1, subsample=True)
+    out = decode_jpeg(raw)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4.0, err.mean()
+
+
+def test_jpeg_decode_restart_markers():
+    """DRI/RSTn: a restart-interval stream decodes identically to the same
+    image without restarts."""
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+    from tests._jpeg_encoder import encode_jpeg
+
+    img = _smooth_rgb(32, 48)
+    plain = decode_jpeg(encode_jpeg(img, quant=2))
+    rst = decode_jpeg(encode_jpeg(img, quant=2, restart_interval=3))
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_progressive_refused():
+    import pytest as _pytest
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+
+    # SOI + SOF2 header stub
+    raw = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(raw)
+
+
+def test_jpeg_through_spark(spark):
+    """JPEG payloads decode for real inside the Arrow mapInPandas pass and
+    report true dimensions/means."""
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import (
+        IMAGE_FEATURE_LEN,
+        decode_and_featurize,
+    )
+    from tests._jpeg_encoder import encode_jpeg
+
+    img = np.full((12, 10, 3), 180, dtype=np.uint8)
+    rows = [(1, bytearray(encode_jpeg(img, quant=1))),
+            (2, bytearray(encode_jpeg(_smooth_rgb(24, 16), quant=1, subsample=True)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        decode_and_featurize(df, fake=False)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    f1, f2 = out.loc[1, "features"], out.loc[2, "features"]
+    assert len(f1) == IMAGE_FEATURE_LEN
+    assert (f1[0], f1[1], f1[2]) == (12.0, 10.0, 3.0)
+    assert all(abs(m - 180.0) <= 2.0 for m in f1[3:6])
+    assert (f2[0], f2[1], f2[2]) == (24.0, 16.0, 3.0)
