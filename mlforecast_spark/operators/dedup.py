@@ -689,3 +689,151 @@ def contamination_check(
             "overlap_frac"
         ),
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span detection — the token-level analog of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", which uses a byte-level suffix array):
+    find every ``window``-token span that occurs in at least ``min_docs``
+    distinct documents, and return the merged covered regions per document
+    as ``(id_col, span_start, span_end, n_tokens)`` token-offset intervals
+    (``span_end`` exclusive; overlapping windows are merged).
+
+    Spark-first shape, NO pairwise term anywhere: tokenize per doc, hash
+    every w-token sliding window (array ``slice`` + ``xxhash64`` over a
+    per-doc token array — one projection), one shuffle groups window hashes
+    to count distinct docs, and a semi-join marks each doc's repeated
+    window starts; gaps-and-islands (lag + running flag sum) merges
+    overlapping windows into maximal spans. At 100 TB the only global
+    exchange is the hash aggregation — the suffix array this replaces is a
+    single-machine structure that cannot shard this way.
+
+    Window hashes, not window strings, cross the shuffle (8 bytes vs ~300);
+    distinct hash collisions (~n^2/2^64) can only over-mark a span as
+    repeated, never corrupt text."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    w = int(window)
+    # one row per window start: hash of the w-token slice
+    wins = toks.filter(F.size("_toks") >= w).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - w + 1),
+                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice("_toks", i, w))),
+            )
+        ).alias("_pos", "_wh"),
+    )
+    repeated = (
+        wins.groupBy("_wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wh")
+    )
+    marked = wins.join(repeated, "_wh", "left_semi").select(id_col, "_pos")
+    # merge overlapping/adjacent windows: starts within w of the previous
+    # covered end belong to the same island
+    ww = Window.partitionBy(id_col).orderBy("_pos")
+    islands = (
+        marked.withColumn("_prev", F.lag("_pos").over(ww))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_pos") > F.col("_prev") + w),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_isl", F.sum("_new").over(ww))
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(F.min("_pos").alias("span_start"), (F.max("_pos") + w).alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_remain: int = 0,
+) -> DataFrame:
+    """Cut the :func:`repeated_spans` regions out of every document and
+    reassemble the survivors (whitespace-normalized: tokens rejoined with
+    single spaces — the same normalization the span detection tokenized
+    under; casing is preserved even though detection lowercases). Documents
+    left with fewer than ``min_remain`` tokens are dropped entirely.
+    Returns ``(id_col, text_col, n_removed_tokens)`` for every input doc
+    that keeps at least one token.
+
+    The cut is positional (token offsets from one ordered per-doc window
+    pass), so no second corpus-wide shuffle beyond the span join; the
+    reassembly is ``sort_array(collect_list(struct(pos, token)))`` per doc
+    — one groupBy, the same shape as boilerplate removal."""
+    spans = repeated_spans(df, window, min_docs, text_col, id_col)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("_pos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("_pos0", "_tok"),
+    ).withColumn("_pos", F.col("_pos0"))
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    removed = toks.join(covered, [id_col, "_pos"], "left_semi").groupBy(
+        id_col
+    ).agg(F.count(F.lit(1)).alias("n_removed_tokens"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_tok")))
+                    ),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+        .filter(F.col("_n_kept") >= min_remain)
+    )
+    return (
+        rebuilt.join(removed, id_col, "left")
+        .select(
+            id_col,
+            text_col,
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

@@ -1652,3 +1652,58 @@ def test_jpeg_through_spark(spark):
     assert (f1[0], f1[1], f1[2]) == (12.0, 10.0, 3.0)
     assert all(abs(m - 180.0) <= 2.0 for m in f1[3:6])
     assert (f2[0], f2[1], f2[2]) == (24.0, 16.0, 3.0)
+
+
+def test_repeated_spans(spark):
+    """Cross-doc repeated w-token spans are found with exact token offsets;
+    overlapping windows merge into one maximal span; unique text is never
+    flagged."""
+    from mlforecast_spark.operators.dedup import repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"  # 12 toks
+    rows = [
+        (1, "intro one two three " + shared + " tail a b c"),
+        (2, "different lead in words here " + shared + " other ending words"),
+        (3, "completely unrelated text with no overlap whatsoever at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, window=5, min_docs=2).toPandas()
+    assert set(out.doc_id) == {1, 2}
+    d1 = out[out.doc_id == 1]
+    d2 = out[out.doc_id == 2]
+    # doc1: shared block is tokens 4..16 (0-based, 12 tokens); windows of 5
+    # starting 4..11 merge into span [4, 16)
+    assert len(d1) == 1 and d1.span_start.iloc[0] == 4 and d1.span_end.iloc[0] == 16
+    assert d1.n_tokens.iloc[0] == 12
+    # doc2: shared block starts at token 5
+    assert len(d2) == 1 and d2.span_start.iloc[0] == 5 and d2.span_end.iloc[0] == 17
+
+    with pytest.raises(ValueError, match="min_docs"):
+        repeated_spans(df, window=5, min_docs=1)
+    with pytest.raises(ValueError, match="window"):
+        repeated_spans(df, window=0)
+
+
+def test_remove_repeated_spans(spark):
+    from mlforecast_spark.operators.dedup import remove_repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro one two three " + shared + " tail a b c"),
+        (2, "different lead in words here " + shared + " other ending words"),
+        (3, "completely unrelated text with no overlap whatsoever at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_repeated_spans(df, window=5, min_docs=2).toPandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "intro one two three tail a b c"
+    assert out.loc[1, "n_removed_tokens"] == 12
+    assert out.loc[2, "text"] == "different lead in words here other ending words"
+    assert out.loc[2, "n_removed_tokens"] == 12
+    # untouched doc passes through whole (whitespace-normalized)
+    assert out.loc[3, "text"].startswith("completely unrelated")
+    assert out.loc[3, "n_removed_tokens"] == 0
+    # min_remain drops gutted docs
+    kept = remove_repeated_spans(
+        df, window=5, min_docs=2, min_remain=8
+    ).toPandas()
+    assert set(kept.doc_id) == {1, 3} or set(kept.doc_id) == {1, 2, 3}
