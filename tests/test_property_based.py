@@ -245,3 +245,81 @@ def test_quantization_error_bound_property(spark, data):
     for i, vec in rows:
         err = np.abs(np.array(vec) - np.array(deq.loc[i]))
         assert (err <= scales.loc[i] / 2 + 1e-9 * max(1.0, scales.loc[i])).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_pack_sequences_conservation_property(spark, data):
+    """Both packing modes conserve every token of every doc exactly once
+    (concat may split; greedy never does), never exceed the budget in a
+    non-overflow sequence, and are deterministic for arbitrary inputs."""
+    from mlforecast_spark.operators.packing import pack_sequences
+
+    n_docs = data.draw(st.integers(1, 60))
+    budget = data.draw(st.integers(8, 256))
+    counts = data.draw(
+        st.lists(st.integers(0, 300), min_size=n_docs, max_size=n_docs)
+    )
+    shards = data.draw(st.integers(1, 5))
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    total = sum(c for c in counts if c > 0)
+
+    concat = pack_sequences(df, budget, num_shards=shards).toPandas()
+    assert concat["slice_tokens"].sum() == total
+    per_doc = concat.groupby("doc_id")["slice_tokens"].sum()
+    for i, c in rows:
+        assert (per_doc[i] == c) if c > 0 else (i not in per_doc.index)
+    per_seq = concat.groupby("seq_id")["slice_tokens"].sum()
+    assert (per_seq <= budget).all()
+
+    greedy = pack_sequences(df, budget, mode="greedy", num_shards=shards).toPandas()
+    assert len(greedy) == sum(1 for c in counts if c > 0)
+    assert greedy["slice_tokens"].sum() == total
+    norm = greedy[~greedy.overflow]
+    if len(norm):
+        assert (norm.groupby("seq_id")["slice_tokens"].sum() <= budget).all()
+    assert (greedy[greedy.overflow]["slice_tokens"] > budget).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_mixture_sample_property(spark, data):
+    """For arbitrary domain counts and exact-binary-float weights: no domain
+    is upsampled, the binding domain keeps everything, and scaled samples
+    nest inside full samples."""
+    from mlforecast_spark.operators.sampling import mixture_sample
+
+    sizes = data.draw(
+        st.lists(st.integers(1, 400), min_size=2, max_size=4)
+    )
+    weights_pool = [0.5, 0.25, 0.125, 0.125]
+    doms = [f"d{i}" for i in range(len(sizes))]
+    w = {d: weights_pool[i] for i, d in enumerate(doms)}
+    rows = []
+    k = 0
+    for d, n in zip(doms, sizes):
+        for _ in range(n):
+            rows.append((k, d))
+            k += 1
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_sample(df, "domain", w).toPandas()
+    by = out.groupby("domain").size()
+    tot_w = sum(w.values())
+    t = min(n / (w[d] / tot_w) for d, n in zip(doms, sizes))
+    binding = [d for d, n in zip(doms, sizes) if n / (w[d] / tot_w) == t]
+    for d, n in zip(doms, sizes):
+        got = by.get(d, 0)
+        assert got <= n  # never upsample
+        if d in binding:
+            assert got == n  # binding domain keeps all rows
+    half = mixture_sample(df, "domain", w, scale=0.5).toPandas()
+    assert set(half.doc_id) <= set(out.doc_id)
