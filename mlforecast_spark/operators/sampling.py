@@ -21,6 +21,9 @@ that has md5 (the DuckDB oracle computes the exact same set).
   upsample) each domain so the corpus matches a target mixture, decided by
   the same per-row hash rule (one tiny count agg + a broadcast-joined
   cutoff filter).
+- ``hash_split``: deterministic train/val/test assignment by hash cutoffs
+  (shuffle-free projection); key on the dedup cluster id for a
+  leakage-safe split.
 """
 
 from __future__ import annotations
@@ -169,3 +172,46 @@ def mixture_sample(
         .filter(prefix < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict,
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is decided
+    by where the md5 of its key falls among cumulative weight cutoffs — a
+    pure projection (no shuffle, no sampling seed), reproducible across
+    cluster shapes and engines, stable under corpus growth (adding rows
+    never reassigns existing keys).
+
+    To make the split leakage-safe under near-duplication, pass the dedup
+    ``cluster_id`` as ``key_col`` (e.g. join
+    :func:`~mlforecast_spark.operators.dedup.connected_components` output
+    first): every member of a duplicate cluster then lands in the same
+    split, so eval rows never have a near-copy in train."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("weights must sum to > 0")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / tot
+        cutoff = format(min(_HASH_SPACE - 1, int(round(acc * _HASH_SPACE))), "06x")
+        cond = prefix < F.lit(cutoff)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

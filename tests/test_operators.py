@@ -1707,3 +1707,32 @@ def test_remove_repeated_spans(spark):
         df, window=5, min_docs=2, min_remain=8
     ).toPandas()
     assert set(kept.doc_id) == {1, 3} or set(kept.doc_id) == {1, 2, 3}
+
+
+def test_hash_split(spark):
+    """Deterministic split: proportions track weights, assignment is stable
+    under corpus growth, and keying by cluster id keeps duplicate clusters
+    in one split."""
+    from mlforecast_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(5000)], "doc_id long"
+    )
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    by = out.groupby("split").size()
+    assert abs(by["train"] - 4000) < 150
+    assert abs(by["val"] - 500) < 80 and abs(by["test"] - 500) < 80
+    # growth-stable: the same keys keep their split in a larger corpus
+    bigger = spark.createDataFrame([(i,) for i in range(8000)], "doc_id long")
+    out2 = hash_split(bigger, {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    # leakage-safe: split on cluster_id -> all cluster members together
+    cl = spark.createDataFrame(
+        [(i, i // 10) for i in range(1000)], "doc_id long, cluster_id long"
+    )
+    sp = hash_split(cl, {"train": 0.5, "test": 0.5}, key_col="cluster_id").toPandas()
+    assert (sp.groupby("cluster_id")["split"].nunique() == 1).all()
+
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, {})
