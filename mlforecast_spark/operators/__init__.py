@@ -1,3 +1,11 @@
-from . import dedup, multimodal, packing, sampling, similarity, text
+from . import dedup, lm, multimodal, packing, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "packing", "sampling", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "lm",
+    "multimodal",
+    "packing",
+    "sampling",
+    "similarity",
+    "text",
+]

@@ -1,0 +1,210 @@
+"""Distributed n-gram language model for corpus quality scoring.
+
+The CCNet-style pipeline signal "how natural is this document's text"
+without any external model: train an n-gram LM on a reference corpus (one
+``groupBy`` per order — the count tables ARE the model, persistable as
+parquet), then score every document by average token log-probability under
+**Stupid Backoff** (Brants et al. 2007, "Large Language Models in Machine
+Translation") — the smoothing scheme designed exactly for this distributed
+table-join setting: no discounting pass over the counts, scoring is
+
+    S(w | context_k) = count(kgram) / count(context)  if count(kgram) > 0
+                     = alpha * S(w | context_{k-1})   otherwise
+
+with the unigram base case count(w) / N. Scores are not normalized
+probabilities (Stupid Backoff trades that for trainability at scale),
+which is irrelevant for ranking/filtering documents.
+
+Scale shape: training is one explode + hash-groupBy per order (map-side
+partial aggregation collapses repeats before the shuffle; grams travel as
+8-byte xxhash64 keys, never strings). Scoring computes every position's
+gram AND context hashes in ONE projection over the per-doc token array,
+then runs ``2*order - 1`` left hash-joins against the count tables —
+the join-based scoring layout of the Brants paper. With a pruned model
+(``min_count``) the tables broadcast; set ``broadcast_counts=False`` to
+shuffle on the gram hash when the model is huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# separator for hashing token windows; ASCII unit separator never appears in
+# whitespace-split tokens
+_SEP = "\x1f"
+
+
+def _tok_array(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+
+
+def _window_hashes(k: int):
+    """Array of xxhash64 over every k-token window of ``_toks``. A separate
+    factory because a two-parameter pyspark HOF lambda is invoked as
+    ``(element, index)`` — a ``kk=k`` default arg would silently bind the
+    array INDEX, not k."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - k + 1, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(_SEP, F.slice("_toks", i, k))),
+    )
+
+
+class NGramLM:
+    """A trained Stupid Backoff model: ``counts[k]`` is a DataFrame
+    ``(gram_hash long, cnt long)`` for k-grams, ``k = 1..order``;
+    ``total`` is the corpus token count (unigram denominator). Persists as
+    one parquet table per order."""
+
+    def __init__(self, order: int, counts: dict, total: int):
+        self.order = order
+        self.counts = counts
+        self.total = total
+
+    def save(self, path: str) -> None:
+        for k, df in self.counts.items():
+            df.write.mode("overwrite").parquet(f"{path}/grams_{k}")
+        spark = next(iter(self.counts.values())).sparkSession
+        meta = spark.createDataFrame(
+            [(self.order, self.total)], "order int, total long"
+        )
+        meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NGramLM":
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        counts = {
+            k: spark.read.parquet(f"{path}/grams_{k}")
+            for k in range(1, meta["order"] + 1)
+        }
+        return cls(meta["order"], counts, meta["total"])
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> NGramLM:
+    """One explode + groupBy per order over the reference corpus.
+    ``min_count`` prunes rare grams of order >= 2 (pruning unigrams would
+    bias the backoff base case): at 100 TB this is what makes the count
+    tables broadcastable at scoring time, the standard entropy-pruning
+    stand-in. Pruning keeps Stupid Backoff well-defined because a
+    surviving k-gram's context count >= its own count, so the context row
+    always survives too. The total token count is taken before pruning."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    toks = _tok_array(df, text_col, id_col)
+    counts = {}
+    total = 0
+    for k in range(1, order + 1):
+        grams = toks.select(F.explode(_window_hashes(k)).alias("gram_hash"))
+        c = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("cnt"))
+        if k == 1:
+            # one aggregation serves both the table and the total
+            c = c.cache()
+            total = c.agg(F.sum("cnt")).collect()[0][0] or 0
+        elif min_count > 1:
+            c = c.filter(F.col("cnt") >= min_count)
+        counts[k] = c
+    return NGramLM(order, counts, int(total))
+
+
+def score_docs(
+    df: DataFrame,
+    lm: NGramLM,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Per-document Stupid Backoff score: ``(id_col, n_scored_tokens,
+    avg_logprob)`` where ``avg_logprob`` is the mean log10 backoff score
+    over every token position, each scored with its longest available
+    context (early positions use shorter contexts WITHOUT the alpha
+    penalty — backoff penalizes unseen grams, not short prefixes). Higher
+    (closer to 0) = more natural text under the reference corpus; filter
+    or bucket on it like a perplexity. Out-of-vocabulary tokens score at
+    the ``0.5 / N`` floor so the log stays defined.
+
+    One projection computes, per position ``i``, the hash of the k-gram
+    ending at ``i`` and of its (k-1)-token context for every k; then
+    ``2*order - 1`` left joins against the count tables and a CASE cascade
+    implement the backoff. No Python anywhere in the plan."""
+    toks = _tok_array(df, text_col, id_col).filter(F.size("_toks") > 0)
+    gram_cols = []
+    for k in range(1, lm.order + 1):
+        # k-gram ending at position i = slice(start = i-k+1, len = k),
+        # defined when i >= k (i = _i0 + 1, slice start = _i0 + 2 - k)
+        gram_cols.append(
+            F.when(
+                F.col("_i0") + 1 >= k,
+                F.xxhash64(
+                    F.concat_ws(_SEP, F.slice("_toks", F.col("_i0") + 2 - k, k))
+                ),
+            ).alias(f"_g{k}")
+        )
+    for k in range(2, lm.order + 1):
+        # context of the level-k gram = (k-1)-gram ending at i-1
+        # = slice(start = i-k+1 = _i0+2-k, len = k-1)
+        gram_cols.append(
+            F.when(
+                F.col("_i0") + 1 >= k,
+                F.xxhash64(
+                    F.concat_ws(
+                        _SEP, F.slice("_toks", F.col("_i0") + 2 - k, k - 1)
+                    )
+                ),
+            ).alias(f"_x{k}")
+        )
+    pos = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode("_toks").alias("_i0", "_tok"),
+    ).select(F.col(id_col), (F.col("_i0") + 1).alias("_i"), *gram_cols)
+    maybe_b = F.broadcast if broadcast_counts else (lambda x: x)
+    joined = pos
+    for k in range(1, lm.order + 1):
+        joined = joined.join(
+            maybe_b(
+                lm.counts[k].select(
+                    F.col("gram_hash").alias(f"_g{k}"),
+                    F.col("cnt").alias(f"_c{k}"),
+                )
+            ),
+            on=f"_g{k}",
+            how="left",
+        )
+    for k in range(2, lm.order + 1):
+        joined = joined.join(
+            maybe_b(
+                lm.counts[k - 1].select(
+                    F.col("gram_hash").alias(f"_x{k}"),
+                    F.col("cnt").alias(f"_xc{k}"),
+                )
+            ),
+            on=f"_x{k}",
+            how="left",
+        )
+    # backoff cascade, built from the unigram base case upward; alpha only
+    # applies where a full-length gram EXISTED to be unseen (i >= k)
+    score = F.col("_c1").cast("double") / F.lit(float(max(lm.total, 1)))
+    for k in range(2, lm.order + 1):
+        full = F.col(f"_c{k}").cast("double") / F.col(f"_xc{k}").cast("double")
+        seen = F.col(f"_c{k}").isNotNull() & F.col(f"_xc{k}").isNotNull()
+        score = F.when(
+            F.col("_i") >= k, F.when(seen, full).otherwise(F.lit(alpha) * score)
+        ).otherwise(score)
+    score = F.coalesce(score, F.lit(0.5 / float(max(lm.total, 1))))
+    scored = joined.select(F.col(id_col), F.log10(score).alias("_lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
