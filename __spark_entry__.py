@@ -272,7 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["expand_target_leads"] = expand_target
 
     # --- local lag transforms ------------------------------------------
-    q["lag7"] = _feature_query(lambda: (7, Lag(7)), "lag7_val")
+    # merged slot: plain Lag(7) + dow-partitioned LookupLag in one query
+    q["lag7"] = _multi_feature_query(
+        lambda: {7: [Lag(7)], 1: [LookupLag(partition_by=["dow"])]},
+        ["lag7_val", "ll"],
+        extra_cols={"dow": (F.dayofweek("ds") + 5) % 7},
+    )
     q["rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7)), "rm"
     )
@@ -335,11 +340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "ratio",
-    )
-    q["lookup_lag"] = _feature_query(
-        lambda: (1, LookupLag(partition_by=["dow"])),
-        "ll",
-        extra_cols={"dow": (F.dayofweek("ds") + 5) % 7},
     )
 
     # --- pooled transforms ---------------------------------------------
@@ -638,6 +638,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(docs, max_tokens=1000, num_shards=1)
 
     q["pack_concat_docs"] = pack_concat_q
+
+    def lm_score_q(spark, sf):
+        """Distributed Stupid Backoff bigram LM: train on even doc_ids,
+        score odd doc_ids by mean log10 backoff score. The DuckDB oracle
+        re-derives the full model in SQL (string grams instead of the
+        engine's xxhash64 keys — identical joins, collision-free either
+        way) and mirrors the exact cascade/float-op order."""
+        from mlforecast_spark.operators.lm import score_docs, train_ngram_lm
+
+        docs = _docs(spark, sf)
+        lm = train_ngram_lm(docs.filter("doc_id % 2 = 0"), order=2)
+        return score_docs(docs.filter("doc_id % 2 = 1"), lm, alpha=0.4)
+
+    q["doc_lm_score"] = lm_score_q
 
     def ann_lsh(spark, sf):
         from mlforecast_spark.operators.similarity import lsh_topk
@@ -972,9 +986,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["lag7"] = (
-        f"WITH {PANEL_SQL} SELECT unique_id, ds,"
-        " ROUND(LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ds), 6) AS lag7_val"
-        " FROM panel"
+        f"WITH {PANEL_SQL}, base AS ("
+        " SELECT unique_id, ds, y, CAST(isodow(ds) - 1 AS INTEGER) AS dow"
+        " FROM panel)"
+        " SELECT unique_id, ds,"
+        " ROUND(LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ds), 6) AS lag7_val,"
+        " ROUND(LAG(y, 1) OVER (PARTITION BY unique_id, dow ORDER BY ds), 6) AS ll"
+        " FROM base"
     )
 
     o["rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 1, 7, 7, "rm")
@@ -1102,14 +1120,6 @@ def oracle_sql() -> dict[str, str]:
         " FROM aggs"
     )
 
-    o["lookup_lag"] = (
-        f"WITH {PANEL_SQL}, base AS ("
-        " SELECT unique_id, ds, y, CAST(isodow(ds) - 1 AS INTEGER) AS dow"
-        " FROM panel)"
-        " SELECT unique_id, ds, ROUND(LAG(y, 1) OVER ("
-        "  PARTITION BY unique_id, dow ORDER BY ds), 6) AS ll"
-        " FROM base"
-    )
 
     # pooled global + time_agg sum: collapse per global ordinal, window, join back
     o["pooled_global_rolling_mean"] = (
@@ -1291,6 +1301,46 @@ def oracle_sql() -> dict[str, str]:
         "   AS BIGINT)) END AS cutoff FROM c, tt)"
         " SELECT d.doc_id, d.lang FROM documents d JOIN cut ON d.lang = cut.lang"
         " WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < cutoff"
+    )
+    # mirror of operators/lm.py: bigram Stupid Backoff trained on even
+    # doc_ids, scoring odd doc_ids. Same tokenization (lower + \s+ split,
+    # empties dropped), same cascade and float-op order; DuckDB joins on
+    # gram STRINGS where Spark joins on xxhash64(gram) - equivalent absent
+    # 64-bit collisions
+    o["doc_lm_score"] = (
+        "WITH tk AS (SELECT doc_id,"
+        "  list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        "   x -> len(x) > 0) AS toks FROM documents),"
+        " tr AS (SELECT toks FROM tk WHERE doc_id % 2 = 0),"
+        " uni AS (SELECT u.g, COUNT(*) AS c FROM ("
+        "  SELECT unnest(toks) AS g FROM tr) u GROUP BY u.g),"
+        " tot AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) FROM tr)),"
+        " bi AS (SELECT b.g, COUNT(*) AS c FROM ("
+        "  SELECT unnest(list_transform("
+        "   generate_series(1, greatest(len(toks) - 1, 0)),"
+        "   i -> toks[i] || chr(31) || toks[i + 1])) AS g FROM tr) b"
+        "  GROUP BY b.g),"
+        " pos AS (SELECT doc_id, s.i, toks[s.i] AS w,"
+        "  CASE WHEN s.i >= 2 THEN toks[s.i - 1] END AS prev,"
+        "  CASE WHEN s.i >= 2 THEN toks[s.i - 1] || chr(31) || toks[s.i] END AS bg"
+        "  FROM (SELECT doc_id, toks FROM tk"
+        "   WHERE doc_id % 2 = 1 AND len(toks) > 0) t,"
+        "  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) s),"
+        " sc AS (SELECT doc_id,"
+        "  COALESCE("
+        "   CASE WHEN i >= 2 THEN"
+        "    CASE WHEN bc.c IS NOT NULL AND pc.c IS NOT NULL"
+        "     THEN bc.c * 1.0 / pc.c"
+        "     ELSE 0.4 * (uc.c * 1.0 / (SELECT n FROM tot)) END"
+        "   ELSE uc.c * 1.0 / (SELECT n FROM tot) END,"
+        "   0.5 / (SELECT n FROM tot)) AS s"
+        "  FROM pos"
+        "  LEFT JOIN uni uc ON pos.w = uc.g"
+        "  LEFT JOIN uni pc ON pos.prev = pc.g"
+        "  LEFT JOIN bi bc ON pos.bg = bc.g)"
+        " SELECT doc_id, COUNT(*) AS n_scored_tokens,"
+        "  ROUND(AVG(log10(s)), 6) AS avg_logprob"
+        " FROM sc GROUP BY doc_id"
     )
     # mirror of operators/packing.pack_sequences(mode='concat', num_shards=1):
     # docs laid end to end in md5 order, stream cut every 1000 tokens
