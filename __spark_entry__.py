@@ -910,8 +910,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition_stats"] = repetition_q
 
+    def semantic_dedup_q(spark, sf):
+        """Rows-only tail entry: SemDeDup semantic dedup over the embeddings
+        table (k-means assignment is seed-deterministic but has no SQL
+        oracle); semantics pinned by test_semantic_dedup_*."""
+        from mlforecast_spark.operators.similarity import semantic_dedup
+
+        return semantic_dedup(_embs(spark, sf), eps=0.15, n_lists=8, seed=7)
+
+    q["semantic_dedup_embeddings"] = semantic_dedup_q
+
+    def quality_scores_q(spark, sf):
+        """Rows-only tail entry: quality classifier trained on a weak label
+        (length median split) via distributed IRLS, scoring the corpus;
+        accuracy pinned by test_quality_classifier."""
+        from mlforecast_spark.operators.text import QualityClassifier
+
+        docs = _docs(spark, sf)
+        lab = docs.withColumn("label", (F.col("n_chars") > 180).cast("double"))
+        clf = QualityClassifier().fit(lab)
+        return clf.score(docs)
+
+    q["doc_quality_scores"] = quality_scores_q
+
+    def repeated_spans_q(spark, sf):
+        """Rows-only tail entry: cross-doc repeated 8-token spans; exact
+        offsets pinned by test_repeated_spans."""
+        from mlforecast_spark.operators.dedup import repeated_spans
+
+        return repeated_spans(_docs(spark, sf), window=8, min_docs=2)
+
+    q["doc_repeated_spans"] = repeated_spans_q
+
     rows_only = [
         "doc_repetition_stats",
+        "semantic_dedup_embeddings",
+        "doc_quality_scores",
+        "doc_repeated_spans",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
