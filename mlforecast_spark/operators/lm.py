@@ -139,30 +139,33 @@ def score_docs(
     ``2*order - 1`` left joins against the count tables and a CASE cascade
     implement the backoff. No Python anywhere in the plan."""
     toks = _tok_array(df, text_col, id_col).filter(F.size("_toks") > 0)
+    def _ending_hash(k: int):
+        """Hash of the k-gram ending at position i (= _i0 + 1). Single
+        tokens skip the slice+concat (concat_ws over a 1-slice is the
+        token itself, so xxhash64(token) is hash-identical to training)."""
+        if k == 1:
+            return F.xxhash64(F.element_at("_toks", F.col("_i0") + 1))
+        return F.xxhash64(
+            F.concat_ws(_SEP, F.slice("_toks", F.col("_i0") + 2 - k, k))
+        )
+
     gram_cols = []
     for k in range(1, lm.order + 1):
-        # k-gram ending at position i = slice(start = i-k+1, len = k),
-        # defined when i >= k (i = _i0 + 1, slice start = _i0 + 2 - k)
         gram_cols.append(
-            F.when(
-                F.col("_i0") + 1 >= k,
-                F.xxhash64(
-                    F.concat_ws(_SEP, F.slice("_toks", F.col("_i0") + 2 - k, k))
-                ),
-            ).alias(f"_g{k}")
+            F.when(F.col("_i0") + 1 >= k, _ending_hash(k)).alias(f"_g{k}")
         )
     for k in range(2, lm.order + 1):
         # context of the level-k gram = (k-1)-gram ending at i-1
         # = slice(start = i-k+1 = _i0+2-k, len = k-1)
+        ctx = (
+            F.xxhash64(F.element_at("_toks", F.col("_i0")))
+            if k == 2
+            else F.xxhash64(
+                F.concat_ws(_SEP, F.slice("_toks", F.col("_i0") + 2 - k, k - 1))
+            )
+        )
         gram_cols.append(
-            F.when(
-                F.col("_i0") + 1 >= k,
-                F.xxhash64(
-                    F.concat_ws(
-                        _SEP, F.slice("_toks", F.col("_i0") + 2 - k, k - 1)
-                    )
-                ),
-            ).alias(f"_x{k}")
+            F.when(F.col("_i0") + 1 >= k, ctx).alias(f"_x{k}")
         )
     pos = toks.select(
         F.col(id_col),
