@@ -161,8 +161,18 @@ def mixture_sample(
         cut = "g" if cutoff_int >= _HASH_SPACE else format(cutoff_int, "06x")
         cutoffs.append((d, cut))
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
     cdf = F.broadcast(
-        spark.createDataFrame(cutoffs, f"{domain_col} string, _cut string")
+        spark.createDataFrame(
+            cutoffs,
+            T.StructType(
+                [
+                    T.StructField(domain_col, df.schema[domain_col].dataType),
+                    T.StructField("_cut", T.StringType()),
+                ]
+            ),
+        )
     )
     prefix = F.substring(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6

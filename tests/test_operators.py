@@ -1736,3 +1736,18 @@ def test_hash_split(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         hash_split(df, {})
+
+
+def test_mixture_sample_int_domain(spark):
+    """Non-string domain columns work (cutoff frame typed from the input
+    schema)."""
+    from mlforecast_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(3000)], "doc_id long, bucket int"
+    )
+    out = mixture_sample(df, "bucket", {0: 0.5, 1: 0.25, 2: 0.25}).toPandas()
+    by = out.groupby("bucket").size()
+    # bucket 0 binds (1000/0.5 = 2000 < 4000): keeps all 1000
+    assert by[0] == 1000
+    assert abs(by[1] - 500) < 80 and abs(by[2] - 500) < 80
