@@ -184,3 +184,30 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         F.round(F.avg("_docs"), 6).alias("mean_docs_per_seq"),
         F.max("_fill").alias("max_seq_tokens"),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a :func:`pack_sequences` assignment as a training-ready
+    parquet dataset: one row per (sequence, slice) with the document
+    payload attached, written partitioned by ``shard`` so a dataloader
+    (or a downstream tokenizer job) reads one shard directory per worker
+    with no cross-worker overlap, rows pre-sorted by (seq, offset) within
+    each file.
+
+    The payload join is the ONLY place document bytes move, and it is an
+    equi-join on the doc key after all assignment logic ran payload-free —
+    the same payload-last discipline as the dedup operators. Layout:
+    ``path/shard=N/*.parquet`` with columns
+    ``(seq, seq_id, offset_in_seq, doc_start, slice_tokens, id, text)``."""
+    out = (
+        packed.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "seq", "offset_in_seq")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -1751,3 +1751,31 @@ def test_mixture_sample_int_domain(spark):
     # bucket 0 binds (1000/0.5 = 2000 < 4000): keeps all 1000
     assert by[0] == 1000
     assert abs(by[1] - 500) < 80 and abs(by[2] - 500) < 80
+
+
+def test_write_training_shards(spark, tmp_path):
+    import numpy as np
+    from mlforecast_spark.operators.packing import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = [(i, f"doc number {i} " + "tok " * int(rng.integers(5, 40)))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = docs.selectExpr(
+        "doc_id", "size(filter(split(text, ' +'), x -> length(x) > 0)) AS n_tokens"
+    )
+    packed = pack_sequences(counted, max_tokens=64, num_shards=3)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, docs, path)
+    back = spark.read.parquet(path)
+    assert back.count() == packed.count()
+    assert {"seq", "seq_id", "offset_in_seq", "doc_start", "slice_tokens",
+            "doc_id", "text", "shard"} <= set(back.columns)
+    # shard partition dirs exist and contain every shard id
+    import os as _os
+    dirs = {d for d in _os.listdir(path) if d.startswith("shard=")}
+    got_shards = {r[0] for r in back.select("shard").distinct().collect()}
+    assert dirs == {f"shard={s}" for s in got_shards}
