@@ -327,9 +327,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["offset_rolling_mean"] = _feature_query(
         lambda: (1, Offset(RollingMean(window_size=7), 2)), "orm"
     )
-    q["pooled_global_expanding_std"] = _feature_query(
-        lambda: (1, ExpandingStd(global_=True, time_agg="sum")), "pges", quantize=True
-    )
+    def pges_q(spark, sf):
+        """Pooled-global expanding std over the per-timestamp collapsed
+        panel. Input is quantized to INTEGERS (``round(y/4096)``, no
+        scale-back): the collapsed values' squares then sum exactly in
+        float64 (everything stays below 2^53), so both engines produce
+        bit-identical stds REGARDLESS of summation order — the
+        ``round(y/16)*16`` grid used elsewhere still left sum(y^2) at
+        ~8e18 where per-engine reassociation flipped ~24 round(6)
+        boundaries at sf0.1."""
+        panel = _panel(spark, sf).withColumn("y", F.round(F.col("y") / 4096))
+        registry = _parse_transforms(
+            [], {1: [ExpandingStd(global_=True, time_agg="sum")]}
+        )
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        fname = next(iter(registry))
+        return plan.apply(panel).select(
+            "unique_id", "ds", F.round(qcol(fname), 6).alias("pges")
+        )
+
+    q["pooled_global_expanding_std"] = pges_q
     q["combine_ratio"] = _feature_query(
         lambda: (
             1,
@@ -1053,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["pooled_global_expanding_std"] = (
         f"WITH {PANEL_SQL}, qpanel AS ("
-        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        f" SELECT unique_id, ds, ROUND(y / 4096) AS y FROM panel), base AS ("
         " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT ord, SUM(y) AS y FROM base GROUP BY ord),"
         " aggs AS (SELECT ord, SUM(y) OVER w AS s, SUM(y*y) OVER w AS sq,"
@@ -1176,7 +1193,7 @@ def oracle_sql() -> dict[str, str]:
     # power-of-two division so the mean is bit-identical across engines.
     o["pooled_seasonal_rolling_mean"] = (
         f"WITH {PANEL_SQL}, qpanel AS ("
-        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        f" SELECT unique_id, ds, ROUND(y / 4096) AS y FROM panel), base AS ("
         " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT ord, SUM(y) AS v FROM base GROUP BY ord),"
         " anchor AS (SELECT ord, SUM(v) OVER w AS wsum, COUNT(v) OVER w AS wcnt"
