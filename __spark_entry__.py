@@ -165,14 +165,6 @@ def _expanding_sql(agg_expr: str, result: str, lag: int, out: str, quant: bool =
 
 _MEAN_AGG = "SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
 _MEAN_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_sum * 1.0 / w_cnt END"
-_STD_AGG = (
-    "SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq, COUNT(y) OVER w AS w_cnt"
-)
-_STD_RES = (
-    "CASE WHEN w_cnt >= {ms} AND w_cnt > 1 THEN"
-    " SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0)) END"
-)
-_MIN_AGG = "MIN(y) OVER w AS w_min, COUNT(y) OVER w AS w_cnt"
 _MIN_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_min END"
 _MAX_AGG = "MAX(y) OVER w AS w_max, COUNT(y) OVER w AS w_cnt"
 _MAX_RES = "CASE WHEN w_cnt >= {ms} AND w_cnt > 0 THEN w_max END"
