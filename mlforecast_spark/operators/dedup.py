@@ -837,3 +837,69 @@ def remove_repeated_spans(
             ),
         )
     )
+
+
+def minhash_recall_estimate(
+    df: DataFrame,
+    threshold: float = 0.5,
+    sample_fraction: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Measured recall/precision of the banded MinHash candidate generator
+    against EXACT n-gram Jaccard, on a deterministic hash sample of the
+    corpus — "measure, don't guess" for the knob that matters at 100 TB
+    (bands/hashes trade shuffle volume against missed duplicates, and the
+    right setting depends on the corpus's similarity distribution, not on
+    theory alone).
+
+    Returns one row: ``(sample_docs, true_pairs, candidate_pairs,
+    caught_pairs, recall, precision)`` where true pairs are sample pairs
+    with exact Jaccard >= ``threshold`` and caught pairs are true pairs the
+    banded generator surfaced. The exact all-pairs verification is
+    quadratic BY DESIGN and confined to the sample — ``sample_fraction``
+    bounds it (e.g. 50k docs of a 1B-doc corpus); the sample is the same
+    md5-prefix rule as :func:`~mlforecast_spark.operators.sampling.
+    hash_sample`, so reruns measure the same subset."""
+    from .sampling import hash_sample
+
+    sample = hash_sample(df, sample_fraction, key_col=id_col, salt=salt)
+    exact = ngram_jaccard_pairs(
+        sample, text_col=text_col, id_col=id_col, n=n, allow_all_pairs=True
+    ).filter(F.col("jaccard") >= threshold)
+    sigs = minhash_signatures(
+        shingle_df(sample, text_col=text_col, id_col=id_col, n=n, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
+    ).select("id_a", "id_b")
+    exact = exact.select("id_a", "id_b").cache()
+    cands = cands.cache()
+    n_docs = sample.count()
+    n_true = exact.count()
+    n_cand = cands.count()
+    n_caught = exact.join(cands, ["id_a", "id_b"], "inner").count()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_true,
+                n_cand,
+                n_caught,
+                round(n_caught / n_true, 6) if n_true else None,
+                round(n_caught / n_cand, 6) if n_cand else None,
+            )
+        ],
+        "sample_docs long, true_pairs long, candidate_pairs long, "
+        "caught_pairs long, recall double, precision double",
+    )
+    exact.unpersist()
+    cands.unpersist()
+    return out

@@ -1779,3 +1779,30 @@ def test_write_training_shards(spark, tmp_path):
     dirs = {d for d in _os.listdir(path) if d.startswith("shard=")}
     got_shards = {r[0] for r in back.select("shard").distinct().collect()}
     assert dirs == {f"shard={s}" for s in got_shards}
+
+
+def test_minhash_recall_estimate(spark):
+    """The measured-recall tool: on a corpus of planted near-dups plus
+    random docs, recall of true pairs is high and the report's counting is
+    internally consistent."""
+    import numpy as np
+    from mlforecast_spark.operators.dedup import minhash_recall_estimate
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        base = list(rng.choice(words, size=40))
+        rows.append((2 * i, " ".join(base)))
+        near = list(base)
+        near[3] = "CHANGED"  # one-token edit -> high jaccard twin
+        rows.append((2 * i + 1, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = minhash_recall_estimate(
+        df, threshold=0.6, sample_fraction=1.0, num_hashes=64, num_bands=16
+    ).toPandas().iloc[0]
+    assert rep.sample_docs == 80
+    assert rep.true_pairs >= 35  # the planted twins
+    assert rep.caught_pairs <= rep.true_pairs
+    assert rep.caught_pairs <= rep.candidate_pairs
+    assert rep.recall >= 0.9, rep.recall
