@@ -1185,7 +1185,7 @@ def oracle_sql() -> dict[str, str]:
     # power-of-two division so the mean is bit-identical across engines.
     o["pooled_seasonal_rolling_mean"] = (
         f"WITH {PANEL_SQL}, qpanel AS ("
-        f" SELECT unique_id, ds, ROUND(y / 4096) AS y FROM panel), base AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
         " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT ord, SUM(y) AS v FROM base GROUP BY ord),"
         " anchor AS (SELECT ord, SUM(v) OVER w AS wsum, COUNT(v) OVER w AS wcnt"
