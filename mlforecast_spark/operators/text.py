@@ -608,3 +608,59 @@ class QualityClassifier:
             F.col("quality_prob") >= threshold
         )
         return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the step
+    before an embedding pass (each chunk small enough for an encoder, the
+    overlap preserving cross-boundary context). Returns one row per chunk:
+    ``(id_col, chunk_id, chunk_start, n_chunk_tokens, chunk_text)`` with
+    ``chunk_start`` the 0-based token offset and ``chunk_id`` 0-based per
+    document; ``chunk_text`` is the whitespace-normalized token slice.
+
+    Pure expressions: tokenize once per doc, ``sequence`` over chunk
+    starts (stride = chunk_tokens - overlap), ``slice`` + ``array_join``
+    per chunk — no shuffle at all; the operator is a projection and scales
+    with the scan."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (last chunk may
+    # be short; a doc shorter than chunk_tokens yields exactly one chunk)
+    n_chunks = F.greatest(
+        F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda c: c * stride,
+            )
+        ).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("_start").cast("int").alias("chunk_start"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

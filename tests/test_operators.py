@@ -1806,3 +1806,39 @@ def test_minhash_recall_estimate(spark):
     assert rep.caught_pairs <= rep.true_pairs
     assert rep.caught_pairs <= rep.candidate_pairs
     assert rep.recall >= 0.9, rep.recall
+
+
+def test_chunk_documents(spark):
+    """Overlapping chunking: full token coverage, correct overlap, short
+    docs produce one chunk, stride/offset arithmetic is exact."""
+    from mlforecast_spark.operators.text import chunk_documents
+
+    words = [f"t{i}" for i in range(100)]
+    rows = [
+        (1, " ".join(words)),          # 100 tokens
+        (2, "just a few tokens"),      # 4 tokens -> one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id").reset_index(drop=True)
+    # starts: 0, 24, 48, 72, 96 -> ceil((100-8)/24) = 4? (92/24=3.83 -> 4)
+    assert list(d1.chunk_start) == [0, 24, 48, 72]
+    assert list(d1.n_chunk_tokens) == [32, 32, 32, 28]
+    # overlap: last 8 tokens of chunk k == first 8 of chunk k+1
+    for i in range(len(d1) - 1):
+        a = d1.chunk_text[i].split()[-8:]
+        b = d1.chunk_text[i + 1].split()[:8]
+        assert a == b
+    # every token covered
+    covered = set()
+    for _, r in d1.iterrows():
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(100))
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.n_chunk_tokens.iloc[0] == 4
+    assert d2.chunk_text.iloc[0] == "just a few tokens"
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
