@@ -519,3 +519,49 @@ def dequantize_embeddings(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
         ).alias(out_col),
     )
+
+
+def pool_chunk_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Collapse per-chunk embeddings into one document embedding by
+    (optionally weighted) mean pooling — the standard aggregation after a
+    :func:`~mlforecast_spark.operators.text.chunk_documents` + encode pass,
+    so document-level ANN/dedup (``ivf_topk``, ``semantic_dedup``) can run
+    on corpora whose documents exceed the encoder's window.
+
+    One explode + one groupBy: ``posexplode`` the vector, sum per
+    (doc, dimension) with Spark's map-side partial aggregation, reassemble
+    with ``sort_array(collect_list(struct(dim, val)))``. ``weight_col``
+    (e.g. ``n_chunk_tokens``) weights each chunk's contribution;
+    ``normalize`` L2-normalizes the pooled vector (cosine-ready)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    expl = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "_d", "_v"
+        ),
+    )
+    per_dim = expl.groupBy(id_col, "_d").agg(
+        (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("_m")
+    )
+    pooled = per_dim.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("_d"), F.col("_m")))),
+            lambda s: s["_m"],
+        ).alias(vec_col)
+    )
+    if not normalize:
+        return pooled
+    vn = _norm(F.col(vec_col))
+    return pooled.select(
+        F.col(id_col),
+        F.when(
+            vn > 0, F.transform(F.col(vec_col), lambda x: x / vn)
+        ).otherwise(F.col(vec_col)).alias(vec_col),
+    )

@@ -1842,3 +1842,39 @@ def test_chunk_documents(spark):
         chunk_documents(df, chunk_tokens=16, overlap=16)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(df, chunk_tokens=0)
+
+
+def test_pool_chunk_embeddings(spark):
+    """Mean pooling of chunk embeddings: unweighted = arithmetic mean,
+    weighted respects weights, normalize yields unit vectors, dimension
+    order survives the collect_list."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import pool_chunk_embeddings
+
+    rows = [
+        (1, [1.0, 0.0, 3.0], 1),
+        (1, [3.0, 2.0, 5.0], 1),
+        (2, [0.0, 4.0, 0.0], 2),
+        (2, [6.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, n_chunk_tokens int"
+    )
+    raw = (
+        pool_chunk_embeddings(df, normalize=False)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    np.testing.assert_allclose(raw.loc[1, "embedding"], [2.0, 1.0, 4.0])
+    np.testing.assert_allclose(raw.loc[2, "embedding"], [3.0, 2.0, 0.0])
+    wt = (
+        pool_chunk_embeddings(df, weight_col="n_chunk_tokens", normalize=False)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    np.testing.assert_allclose(wt.loc[2, "embedding"], [2.0, 8.0 / 3.0, 0.0])
+    unit = pool_chunk_embeddings(df).toPandas().set_index("doc_id")
+    for i in (1, 2):
+        np.testing.assert_allclose(
+            np.linalg.norm(unit.loc[i, "embedding"]), 1.0, rtol=1e-12
+        )

@@ -323,3 +323,25 @@ def test_mixture_sample_property(spark, data):
             assert got == n  # binding domain keeps all rows
     half = mixture_sample(df, "domain", w, scale=0.5).toPandas()
     assert set(half.doc_id) <= set(out.doc_id)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_repeated_spans_no_false_positives_property(spark, data):
+    """Documents built from disjoint vocabularies share no w-token span, so
+    detection must return empty for arbitrary shapes."""
+    from mlforecast_spark.operators.dedup import repeated_spans
+
+    n_docs = data.draw(st.integers(2, 8))
+    w = data.draw(st.integers(2, 6))
+    rows = []
+    for d in range(n_docs):
+        length = data.draw(st.integers(0, 30))
+        toks = [f"d{d}w{j}" for j in range(length)]  # vocab disjoint per doc
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert repeated_spans(df, window=w, min_docs=2).count() == 0
