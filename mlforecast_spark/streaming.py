@@ -231,3 +231,89 @@ def stream_dedup(
     if out.isStreaming:
         return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
     return out.dropDuplicates(keys)
+
+
+def stream_near_dedup(
+    docs: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    trigger_available_now: bool = True,
+):
+    """NEAR-duplicate dedup of a document stream against a persistent
+    MinHash signature index — the continuous-ingest shape of the batch
+    ``dedup_corpus``: each micro-batch (1) drops batch-internal near-dups
+    (banded self-join on the batch alone — tiny), (2) probes the persisted
+    corpus index with ``minhash_probe_candidates`` (probe-driven band join:
+    the corpus is touched only at matching buckets), (3) appends surviving
+    docs to ``output_path`` and their signatures to the index. First-seen
+    wins, like ``stream_dedup``, but at ``est_jaccard >= threshold``
+    instead of exact equality.
+
+    State is the parquet signature table — ~(16 + 8*num_hashes) bytes per
+    corpus doc, readable by any engine, shared with the batch
+    ``minhash_probe_candidates`` path; the streaming state store holds
+    nothing (foreachBatch), so restarts resume from the checkpoint with the
+    index intact. Returns the ``StreamingQuery``."""
+    from .operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_probe_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    spark = docs.sparkSession
+
+    def process(batch: DataFrame, _batch_id: int):
+        if not batch.head(1):
+            return
+        sigs = minhash_signatures(
+            shingle_df(batch, text_col=text_col, id_col=id_col, n=n,
+                       distinct=False),
+            id_col=id_col,
+            num_hashes=num_hashes,
+        ).cache()
+        # (1) batch-internal: keep the min id of every candidate pair
+        internal = minhash_lsh_candidates(
+            sigs, id_col=id_col, num_bands=num_bands, num_hashes=num_hashes
+        ).filter(F.col("est_jaccard") >= threshold)
+        drop_internal = internal.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = sigs.join(drop_internal, id_col, "left_anti")
+        # (2) probe the persisted corpus index (absent on the first batch)
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            hits = minhash_probe_candidates(
+                survivors,
+                index,
+                id_col=id_col,
+                num_bands=num_bands,
+                num_hashes=num_hashes,
+            ).filter(F.col("est_jaccard") >= threshold)
+            drop_vs_index = hits.select(
+                F.col("probe_id").alias(id_col)
+            ).distinct()
+            survivors = survivors.join(drop_vs_index, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        # (3) emit kept docs; extend the index with their signatures
+        batch.join(survivors.select(id_col), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(output_path)
+        survivors.write.mode("append").parquet(index_path)
+        sigs.unpersist()
+
+    writer = docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1878,3 +1878,55 @@ def test_pool_chunk_embeddings(spark):
         np.testing.assert_allclose(
             np.linalg.norm(unit.loc[i, "embedding"]), 1.0, rtol=1e-12
         )
+
+
+def test_stream_near_dedup(spark, tmp_path):
+    """Incremental near-dup dedup across micro-batches: batch-internal
+    near-dups collapse, later batches dedup against the persisted index,
+    novel docs always survive, restarts keep the index."""
+    import glob
+    import os
+
+    import pandas as pd
+    from mlforecast_spark.streaming import stream_near_dedup
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    base = " ".join(f"tok{i}" for i in range(30))  # long doc: 1-token edits
+    near = base.replace("tok7", "EDITED")     # stay at jaccard ~0.9
+    other = "completely different words about spark streaming and parquet files"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_near_dedup(
+            stream, idx, out, ckpt, threshold=0.5, num_hashes=32, num_bands=8
+        )
+        q.awaitTermination(180)
+
+    # batch 1: base + its twin (internal near-dup) + a distinct doc
+    run_batch([(1, base), (2, near), (3, other)])
+    got1 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/*.parquet")]
+    )
+    assert set(got1.doc_id) == {1, 3}  # twin collapsed, min id wins
+
+    # batch 2 (fresh query, same checkpoint/index): a near-dup of batch 1's
+    # base is dropped against the INDEX; a novel doc survives
+    run_batch([(10, base.replace("tok20", "CHANGED")), (11, "entirely novel "
+               "text with nothing shared at all among previous documents")])
+    got2 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/*.parquet")]
+    )
+    assert set(got2.doc_id) == {1, 3, 11}
+    # index holds exactly the survivors' signatures
+    idx_df = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/*.parquet")]
+    )
+    assert set(idx_df.doc_id) == {1, 3, 11}
