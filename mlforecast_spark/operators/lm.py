@@ -27,7 +27,7 @@ shuffle on the gram hash when the model is huge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # separator for hashing token windows; ASCII unit separator never appears in
@@ -210,4 +210,75 @@ def score_docs(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored_tokens"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_lm: NGramLM,
+    base_lm: NGramLM,
+    k: int,
+    alpha: float = 0.4,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): select ``k`` documents
+    from a raw corpus with probability proportional to the importance
+    weight ``p_target(x) / p_base(x)``, where both densities are n-gram
+    LMs (here: two :class:`NGramLM` models scored with Stupid Backoff —
+    train ``target_lm`` on a small high-quality/target-domain corpus and
+    ``base_lm`` on a sample of the raw corpus itself).
+
+    Sampling-without-replacement is the Gumbel-top-k trick: each doc gets
+    key ``log w(x) + G`` with ``G = -log(-log u)`` and the top-k keys are
+    an exact sample proportional-to-weights — and ``u`` here is a
+    DETERMINISTIC md5-derived uniform (same rule as
+    :mod:`~mlforecast_spark.operators.sampling`), so the selection is
+    reproducible across cluster shapes. ``temperature`` flattens (>1) or
+    sharpens (<1) the weight distribution.
+
+    Returns the selected ``(id_col, log_weight, gumbel_key, rank)``. Cost:
+    two scoring passes (each the join pipeline of :func:`score_docs`) plus
+    one global top-k (Spark TakeOrdered — no full sort)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    st = score_docs(df, target_lm, alpha=alpha, text_col=text_col, id_col=id_col)
+    sb = score_docs(df, base_lm, alpha=alpha, text_col=text_col, id_col=id_col)
+    joined = st.select(
+        F.col(id_col),
+        (F.col("avg_logprob") * F.col("n_scored_tokens")).alias("_lt"),
+    ).join(
+        sb.select(
+            F.col(id_col),
+            (F.col("avg_logprob") * F.col("n_scored_tokens")).alias("_lb"),
+        ),
+        id_col,
+    )
+    # md5-derived uniform in (0, 1): first 12 hex digits / 16^12, floored
+    # away from exact 0/1 so the double Gumbel transform stays finite
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**12 + 1))
+    logw = (F.col("_lt") - F.col("_lb")) / F.lit(float(temperature))
+    keyed = joined.select(
+        F.col(id_col),
+        F.round(logw, 6).alias("log_weight"),
+        F.round(logw - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

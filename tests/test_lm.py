@@ -135,3 +135,46 @@ def test_ngram_lm_save_load_and_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="order"):
         train_ngram_lm(tdf, order=0)
+
+
+def test_importance_resample(spark):
+    """DSIR selection: with a target LM trained on domain A and a base LM on
+    the mixed corpus, top-k selection strongly prefers domain-A docs; the
+    choice is deterministic; invalid params raise."""
+    import numpy as np
+    from mlforecast_spark.operators.lm import importance_resample, train_ngram_lm
+
+    rng = np.random.default_rng(29)
+    math_words = ["theorem", "proof", "lemma", "integral", "matrix",
+                  "vector", "algebra", "converge", "bound", "norm"]
+    web_words = ["click", "subscribe", "offer", "deal", "shop",
+                 "login", "cookie", "banner", "advert", "sale"]
+
+    def doc(words, n=25):
+        return " ".join(rng.choice(words, size=n))
+
+    # target corpus: pure math; raw corpus: half math, half web
+    target = [(i, doc(math_words)) for i in range(30)]
+    raw = [(100 + i, doc(math_words)) for i in range(25)] + [
+        (200 + i, doc(web_words)) for i in range(25)
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    target_lm = train_ngram_lm(tdf, order=2)
+    base_lm = train_ngram_lm(rdf, order=2)
+    sel = importance_resample(rdf, target_lm, base_lm, k=20).toPandas()
+    assert len(sel) == 20
+    math_frac = (sel.doc_id < 200).mean()
+    assert math_frac >= 0.9, math_frac
+    # deterministic
+    sel2 = importance_resample(rdf, target_lm, base_lm, k=20).toPandas()
+    assert set(sel.doc_id) == set(sel2.doc_id)
+    # a different salt draws different gumbels (weights unchanged)
+    sel3 = importance_resample(rdf, target_lm, base_lm, k=20, salt="x").toPandas()
+    assert set(sel3.doc_id) != set() and len(sel3) == 20
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        importance_resample(rdf, target_lm, base_lm, k=0)
+    with _pytest.raises(ValueError, match="temperature"):
+        importance_resample(rdf, target_lm, base_lm, k=5, temperature=0)
