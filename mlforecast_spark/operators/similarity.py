@@ -407,6 +407,7 @@ def semantic_dedup(
     max_iter: int = 10,
     train_fraction: float | None = None,
     keep_policy: str = "min_id",
+    target_list_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, call two documents
@@ -426,6 +427,12 @@ def semantic_dedup(
     (equi-self-join on ``list_id``), exactly like the paper's per-cluster
     pairwise pass — the 100 TB knob is ``n_lists`` ∝ corpus size so mean
     list size stays bounded (the paper uses 11k clusters for 233M docs).
+    A FIXED ``n_lists`` is therefore a scale cliff: 10× the vectors at the
+    same list count costs 100× the pairwise work (measured: 4.6 s → 309 s
+    from sf0.1 to sf1 at ``n_lists=16``). Pass ``target_list_size`` to
+    derive ``n_lists = ceil(count / target_list_size)`` instead — one
+    ``count()`` driver action at plan construction, the price of a plan
+    whose pairwise cost stays ``count × target_list_size`` (linear).
     Pair edges collapse to clusters via distributed min-label propagation
     (:func:`~mlforecast_spark.operators.dedup.connected_components`), so
     transitive near-dups (A~B~C with cos(A,C) < 1-eps) still dedup to ONE
@@ -437,6 +444,12 @@ def semantic_dedup(
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     if keep_policy not in ("min_id", "central"):
         raise ValueError("keep_policy must be 'min_id' or 'central'")
+    if target_list_size is not None:
+        if target_list_size < 1:
+            raise ValueError(
+                f"target_list_size must be >= 1, got {target_list_size}"
+            )
+        n_lists = max(1, -(-vectors.count() // target_list_size))
     index = build_ivf_index(
         vectors,
         id_col=id_col,
@@ -451,21 +464,48 @@ def semantic_dedup(
         F.col("embedding").alias(vec_col),
         "list_id",
     )
-    # duplicate-pair edges: bucket-local exact cosine, id_a < id_b
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "list_id"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "list_id"
-    )
-    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    # duplicate-pair edges: per-list BLAS gram matrix inside applyInPandas.
+    # A within-list expression self-join evaluates the cosine per PAIR in
+    # Spark's interpreted higher-order functions — measured 241 s at sf1
+    # (200k vecs, ~1000/list, ~1e8 pairs); one numpy U @ U.T per list does
+    # the same flops in BLAS for ~100x less wall. Arrow moves each vector
+    # ONCE (group columns), not once per pair. Row blocks bound the gram to
+    # ~8 MB regardless of list size.
+    import pandas as pd
+
+    eps_f = float(eps)
+
+    def list_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, len(U), block):
+            G = U[s : s + block] @ U.T  # (block, n)
+            bi, bj = np.nonzero(G >= 1.0 - eps_f)
+            keep = (bi + s) < bj  # upper triangle: each pair once
+            out_a.append(ids[bi[keep] + s])
+            out_b.append(ids[bj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    id_type = dict(assigned.dtypes)[id_col]
     edges = (
-        a.join(b, on="list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 1.0 - eps)
-        .select("id_a", "id_b")
+        assigned.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "list_id"
+        )
+        .groupBy("list_id")
+        .applyInPandas(list_edges, f"id_a {id_type}, id_b {id_type}")
     )
     comps = connected_components(edges)  # node_id, cluster_id, cluster_size
     labeled = assigned.join(

@@ -1930,3 +1930,25 @@ def test_stream_near_dedup(spark, tmp_path):
         [pd.read_parquet(f) for f in glob.glob(f"{idx}/*.parquet")]
     )
     assert set(idx_df.doc_id) == {1, 3, 11}
+
+
+def test_semantic_dedup_target_list_size(spark):
+    """target_list_size derives n_lists from the corpus so the quadratic
+    within-list term stays bounded; exact copies still collapse."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    rows.append((900, rows[5][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, eps=0.02, target_list_size=50, seed=3).toPandas()
+    # ~301/50 -> 7 lists actually used by assignment (k-means may leave some
+    # empty); just require multiple lists and correct dedup semantics
+    assert out["list_id"].nunique() >= 3
+    got = out.set_index("vec_id")
+    assert bool(got.loc[5, "keep"]) and not got.loc[900, "keep"]
+    assert out["keep"].sum() == 300
+
+    with pytest.raises(ValueError, match="target_list_size"):
+        semantic_dedup(df, eps=0.02, target_list_size=0)

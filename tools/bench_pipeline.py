@@ -1,0 +1,115 @@
+"""Scale-behavior bench for the LLM-data-pipeline operator families that sit
+outside the headline gate bench (quality gate, corpus dedup, packing,
+mixture, LM scoring, span dedup, semantic dedup). Prints one JSON line per
+SF dir given (default sf0.1 and the sf1 replication if present) — the
+committed evidence that the new families' cost scales with data, not with
+fixed overhead.
+
+Usage: python tools/bench_pipeline.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _force(df) -> int:
+    cols = [F.col(f"`{c}`") for c in df.columns]
+    return df.select(
+        F.sum(F.xxhash64(*cols).cast("double")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]["n"]
+
+
+def queries(spark, sf_dir):
+    from mlforecast_spark.operators.dedup import dedup_corpus, repeated_spans
+    from mlforecast_spark.operators.lm import score_docs, train_ngram_lm
+    from mlforecast_spark.operators.packing import pack_sequences
+    from mlforecast_spark.operators.sampling import mixture_sample
+    from mlforecast_spark.operators.similarity import semantic_dedup
+    from mlforecast_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def lm_q():
+        lm = train_ngram_lm(docs.filter("doc_id % 2 = 0"), order=2)
+        return score_docs(docs.filter("doc_id % 2 = 1"), lm)
+
+    return {
+        "quality_filter": lambda: quality_filter(docs),
+        "dedup_corpus_minhash": lambda: dedup_corpus(docs, method="minhash"),
+        "repeated_spans_w8": lambda: repeated_spans(docs, window=8),
+        "pack_concat": lambda: pack_sequences(
+            docs.select("doc_id", F.col("n_chars").cast("long").alias("n_tokens")),
+            max_tokens=1000,
+            num_shards=16,
+        ),
+        "mixture_sample": lambda: mixture_sample(
+            docs.select("doc_id", "lang"),
+            "lang",
+            {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 0.125},
+        ),
+        "lm_train_score": lm_q,
+        # n_lists derived from the corpus (ceil(count/1000)): a fixed list
+        # count is a scale cliff — 10x vectors at the same n_lists costs
+        # 100x the within-list pairwise work (measured 4.6 s -> 309 s,
+        # sf0.1 -> sf1, before this was parameterized)
+        "semantic_dedup": lambda: semantic_dedup(
+            embs, eps=0.15, seed=7, max_iter=3, train_fraction=0.5,
+            target_list_size=1000,
+        ),
+    }
+
+
+def main():
+    from mlforecast_spark.utils import get_spark
+
+    sf_dirs = sys.argv[1:] or [
+        d
+        for d in ("/root/testdata/sf0.1", "/tmp/sfscale/sf1")
+        if os.path.isdir(d)
+    ]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("pipeline-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for sf_dir in sf_dirs:
+        qs = queries(spark, sf_dir)
+        # warm pass at the smallest SF available
+        warm = "/root/testdata/sf0.001"
+        if os.path.isdir(warm):
+            for fn in queries(spark, warm).values():
+                try:
+                    _force(fn())
+                except Exception:
+                    pass
+        timings = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            rows = _force(fn())
+            timings[name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "rows": rows,
+            }
+        total = round(sum(v["sec"] for v in timings.values()), 3)
+        results[sf_dir] = {"total_sec": total, "queries": timings}
+        print(json.dumps({"sf_dir": sf_dir, "total_sec": total,
+                          "queries": timings}))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "PIPELINE_BENCH.json"),
+        "w",
+    ) as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
