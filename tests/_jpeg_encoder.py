@@ -144,7 +144,8 @@ def _plane_blocks(plane, q, C):
 def encode_jpeg(img, quant=8, subsample=False, restart_interval=0):
     """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array as baseline
     JPEG. ``quant``: uniform quantizer step (1 = near-lossless).
-    ``subsample=True`` uses 4:2:0 chroma. Returns bytes."""
+    ``subsample=True`` uses 4:2:0 chroma; ``subsample="422"`` uses 4:2:2.
+    Returns bytes."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     H, W = img.shape[:2]
@@ -165,7 +166,16 @@ def encode_jpeg(img, quant=8, subsample=False, restart_interval=0):
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
-        if subsample:
+        if subsample == "422":
+            # 4:2:2: chroma halved horizontally only
+            comps = [(1, 2, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            yp = _pad_to(y, 8, 16)
+            cbp = _pad_to(cb, 8, 16)
+            crp = _pad_to(cr, 8, 16)
+            cbs = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
+            crs = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
+            planes = {1: yp, 2: np.round(cbs), 3: np.round(crs)}
+        elif subsample:
             comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
             yp = _pad_to(y, 16, 16)
             cbp = _pad_to(cb, 16, 16)

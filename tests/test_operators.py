@@ -1952,3 +1952,17 @@ def test_semantic_dedup_target_list_size(spark):
 
     with pytest.raises(ValueError, match="target_list_size"):
         semantic_dedup(df, eps=0.02, target_list_size=0)
+
+
+def test_jpeg_decode_422_subsampling():
+    """4:2:2 (horizontal-only chroma halving): asymmetric sampling factors
+    exercise the general upsampler path."""
+    import numpy as np
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+    from tests._jpeg_encoder import encode_jpeg
+
+    img = _smooth_rgb(29, 41)
+    out = decode_jpeg(encode_jpeg(img, quant=1, subsample="422"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3.0, err.mean()
