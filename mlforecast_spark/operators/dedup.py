@@ -722,22 +722,35 @@ def repeated_spans(
         raise ValueError(f"window must be >= 1, got {window}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    w = int(window)
+    # one row per window start: hash of the w-token window. Lead-window
+    # formulation, not transform/slice HOFs — higher-order functions run
+    # interpreted, and hashing every window of every doc is the operator's
+    # hot loop (sf1 A/B, window=8, 3 warm reps each: HOF 12.7-15.4 s vs
+    # leads 3.6-5.3 s); the w-1 lead columns stay inside whole-stage
+    # codegen, same trick as _exploded_shingles
     toks = df.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-        ).alias("_toks"),
-    )
-    w = int(window)
-    # one row per window start: hash of the w-token slice
-    wins = toks.filter(F.size("_toks") >= w).select(
-        F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - w + 1),
-                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice("_toks", i, w))),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
             )
-        ).alias("_pos", "_wh"),
+        ).alias("_pos", "_tok"),
+    )
+    ww = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(ww) for i in range(1, w)]
+    wins = (
+        toks.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.xxhash64(F.concat_ws("\x1f", *parts)).alias("_wh"),
+            (F.lead("_tok", w - 1).over(ww) if w > 1 else F.col("_tok")).alias(
+                "_last"
+            ),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
     )
     repeated = (
         wins.groupBy("_wh")
