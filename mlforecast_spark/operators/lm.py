@@ -44,15 +44,37 @@ def _tok_array(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _window_hashes(k: int):
-    """Array of xxhash64 over every k-token window of ``_toks``. A separate
-    factory because a two-parameter pyspark HOF lambda is invoked as
-    ``(element, index)`` — a ``kk=k`` default arg would silently bind the
-    array INDEX, not k."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - k + 1, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(_SEP, F.slice("_toks", i, k))),
+def _all_order_window_hashes(
+    df: DataFrame, order: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per token position with columns ``_g1.._g{order}`` = xxhash64
+    of the k-token window STARTING there (null when the window runs past
+    the document end). Lead-window formulation — tokenize-and-explode once,
+    ``k-1`` lead columns per order over one doc-partitioned sort — rather
+    than transform/slice higher-order functions, which run interpreted;
+    every gram of every order comes out of a single whole-stage-codegen
+    projection over one exchange. Hash strings are identical to the
+    slice-based scoring hashes (``concat_ws`` over the same tokens)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("_pos", "_tok"),
     )
+    ww = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(ww) for i in range(1, order)
+    ]
+    cols = []
+    for k in range(1, order + 1):
+        g = F.xxhash64(F.concat_ws(_SEP, *parts[:k]))
+        if k > 1:
+            g = F.when(parts[k - 1].isNotNull(), g)
+        cols.append(g.alias(f"_g{k}"))
+    return toks.select(*cols)
 
 
 class NGramLM:
@@ -101,11 +123,17 @@ def train_ngram_lm(
     always survives too. The total token count is taken before pruning."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
-    toks = _tok_array(df, text_col, id_col)
+    wins = _all_order_window_hashes(df, order, text_col, id_col)
+    if order > 1:
+        # every order's counts read the same projection: materialize it once
+        # instead of re-tokenizing the corpus per order
+        wins = wins.localCheckpoint(eager=True)
     counts = {}
     total = 0
     for k in range(1, order + 1):
-        grams = toks.select(F.explode(_window_hashes(k)).alias("gram_hash"))
+        grams = wins.select(F.col(f"_g{k}").alias("gram_hash")).filter(
+            F.col("gram_hash").isNotNull()
+        )
         c = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("cnt"))
         if k == 1:
             # one aggregation serves both the table and the total
