@@ -27,6 +27,8 @@ shuffle on the gram hash when the model is huge.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -268,9 +270,12 @@ def importance_resample(
     reproducible across cluster shapes. ``temperature`` flattens (>1) or
     sharpens (<1) the weight distribution.
 
-    Returns the selected ``(id_col, log_weight, gumbel_key, rank)``. Cost:
-    two scoring passes (each the join pipeline of :func:`score_docs`) plus
-    one global top-k (Spark TakeOrdered — no full sort)."""
+    Returns the selected ``(id_col, log_weight, gumbel_key, rank)`` where
+    ``log_weight`` is the NATURAL-log importance weight divided by
+    ``temperature`` (score_docs' log10 scores are converted, so the
+    Gumbel-top-k identity holds exactly). Cost: two scoring passes (each
+    the join pipeline of :func:`score_docs`) plus one global top-k
+    (planned as TakeOrderedAndProject — no full sort)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if temperature <= 0:
@@ -299,14 +304,23 @@ def importance_resample(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(16**12 + 1))
-    logw = (F.col("_lt") - F.col("_lb")) / F.lit(float(temperature))
+    # score_docs log-probs are log10; the Gumbel noise -log(-log u) is
+    # natural-log, so convert the weight to natural log before adding noise —
+    # otherwise selection is proportional to w^(1/ln 10), an implicit extra
+    # temperature of ln 10
+    logw = (
+        (F.col("_lt") - F.col("_lb"))
+        * F.lit(math.log(10.0))
+        / F.lit(float(temperature))
+    )
     keyed = joined.select(
         F.col(id_col),
         F.round(logw, 6).alias("log_weight"),
         F.round(logw - F.log(-F.log(u)), 6).alias("gumbel_key"),
     )
+    # global top-k without a single-partition full sort: orderBy().limit(k)
+    # plans as TakeOrderedAndProject; rank is assigned afterwards over the
+    # k surviving rows only
+    top = keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

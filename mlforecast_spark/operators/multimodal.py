@@ -941,6 +941,14 @@ def decode_jpeg(raw: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # non-interleaved baseline: one scan per component; decoding
+                # only the first scan would silently return a Y-plane for a
+                # color image, so refuse explicitly
+                raise NotImplementedError(
+                    "non-interleaved JPEG (scan has "
+                    f"{ns} of {len(frame[2])} components)"
+                )
             scan = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]

@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _committed_batch_dirs_exist(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED per-batch parquet
+    directory (``batch_id=*/_SUCCESS``), via the Hadoop FS API — so a
+    transient read error or corrupt index is never mistaken for "absent"."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    glob = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=*/_SUCCESS")
+    statuses = fs.globStatus(glob)
+    return statuses is not None and len(statuses) > 0
+
+
 def tumbling_aggregate(
     events: DataFrame,
     time_col: str = "ts",
@@ -260,7 +274,12 @@ def stream_near_dedup(
     corpus doc, readable by any engine, shared with the batch
     ``minhash_probe_candidates`` path; the streaming state store holds
     nothing (foreachBatch), so restarts resume from the checkpoint with the
-    index intact. Returns the ``StreamingQuery``."""
+    index intact. Both ``output_path`` and ``index_path`` are laid out as
+    ``batch_id=N/`` parquet partition directories written with
+    mode=overwrite, so a replayed batch replaces its own prior partial
+    output instead of appending duplicates (read either path as one
+    parquet dataset; partition discovery adds a ``batch_id`` column).
+    Returns the ``StreamingQuery``."""
     from .operators.dedup import (
         minhash_lsh_candidates,
         minhash_probe_candidates,
@@ -285,13 +304,17 @@ def stream_near_dedup(
         ).filter(F.col("est_jaccard") >= threshold)
         drop_internal = internal.select(F.col("id_b").alias(id_col)).distinct()
         survivors = sigs.join(drop_internal, id_col, "left_anti")
-        # (2) probe the persisted corpus index (absent on the first batch)
-        try:
-            index = spark.read.parquet(index_path)
-            have_index = True
-        except Exception:
-            have_index = False
+        # (2) probe the persisted corpus index (absent on the first batch).
+        # Existence is checked via the Hadoop FS API so a corrupt index or a
+        # transient read error PROPAGATES instead of silently skipping
+        # cross-corpus dedup for the batch. Rows from THIS batch id (a
+        # replay's own earlier partial write) are excluded, or every doc
+        # would match itself and the replay would emit nothing.
+        have_index = _committed_batch_dirs_exist(spark, index_path)
         if have_index:
+            index = spark.read.parquet(index_path).filter(
+                F.col("batch_id") < F.lit(int(_batch_id))
+            )
             hits = minhash_probe_candidates(
                 survivors,
                 index,
@@ -304,11 +327,17 @@ def stream_near_dedup(
             ).distinct()
             survivors = survivors.join(drop_vs_index, id_col, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        # (3) emit kept docs; extend the index with their signatures
+        # (3) emit kept docs; extend the index with their signatures.
+        # Writes go to a per-batch subdirectory with mode=overwrite so a
+        # replayed batch (failure between the output write and the
+        # checkpoint commit) REPLACES its own prior partial output instead
+        # of appending duplicates — exactly-once per batch directory.
         batch.join(survivors.select(id_col), id_col, "left_semi").write.mode(
-            "append"
-        ).parquet(output_path)
-        survivors.write.mode("append").parquet(index_path)
+            "overwrite"
+        ).parquet(f"{output_path}/batch_id={_batch_id}")
+        survivors.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={_batch_id}"
+        )
         sigs.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).option(

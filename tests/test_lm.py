@@ -173,6 +173,16 @@ def test_importance_resample(spark):
     sel3 = importance_resample(rdf, target_lm, base_lm, k=20, salt="x").toPandas()
     assert set(sel3.doc_id) != set() and len(sel3) == 20
 
+    # the global top-k plans as TakeOrderedAndProject (no single-partition
+    # full sort of the whole scored corpus)
+    plan = (
+        importance_resample(rdf, target_lm, base_lm, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         importance_resample(rdf, target_lm, base_lm, k=0)

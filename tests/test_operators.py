@@ -1627,6 +1627,21 @@ def test_jpeg_progressive_refused():
         decode_jpeg(raw)
 
 
+def test_jpeg_non_interleaved_refused():
+    """A baseline color JPEG whose first scan covers only 1 of 3 components
+    (non-interleaved, one scan per component) must refuse explicitly rather
+    than silently returning the Y plane as grayscale."""
+    import pytest as _pytest
+    from mlforecast_spark.operators.multimodal import decode_jpeg
+
+    sof0 = (b"\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03"
+            b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    raw = b"\xff\xd8" + sof0 + sos + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(raw)
+
+
 def test_jpeg_through_spark(spark):
     """JPEG payloads decode for real inside the Arrow mapInPandas pass and
     report true dimensions/means."""
@@ -1901,9 +1916,10 @@ def test_stream_near_dedup(spark, tmp_path):
     other = "completely different words about spark streaming and parquet files"
 
     def run_batch(rows):
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-            1
-        ).write.mode("append").parquet(src)
+        if rows:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = stream_near_dedup(
             stream, idx, out, ckpt, threshold=0.5, num_hashes=32, num_bands=8
@@ -1913,7 +1929,7 @@ def test_stream_near_dedup(spark, tmp_path):
     # batch 1: base + its twin (internal near-dup) + a distinct doc
     run_batch([(1, base), (2, near), (3, other)])
     got1 = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{out}/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
     )
     assert set(got1.doc_id) == {1, 3}  # twin collapsed, min id wins
 
@@ -1922,14 +1938,30 @@ def test_stream_near_dedup(spark, tmp_path):
     run_batch([(10, base.replace("tok20", "CHANGED")), (11, "entirely novel "
                "text with nothing shared at all among previous documents")])
     got2 = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{out}/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
     )
     assert set(got2.doc_id) == {1, 3, 11}
     # index holds exactly the survivors' signatures
     idx_df = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(f"{idx}/*.parquet")]
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/batch_id=*/*.parquet")]
     )
     assert set(idx_df.doc_id) == {1, 3, 11}
+
+    # replay: drop batch 1's checkpoint commit (simulates a crash between
+    # the output write and the commit) and restart with no new data — the
+    # replayed batch must OVERWRITE its own directory, not append dupes,
+    # and must not match against its own earlier partial index write
+    for f in glob.glob(f"{ckpt}/commits/1*") + glob.glob(f"{ckpt}/commits/.1*"):
+        os.remove(f)
+    run_batch([])
+    got3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert sorted(got3.doc_id) == [1, 3, 11]  # exact, no duplicates
+    idx3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/batch_id=*/*.parquet")]
+    )
+    assert sorted(idx3.doc_id) == [1, 3, 11]
 
 
 def test_semantic_dedup_target_list_size(spark):
