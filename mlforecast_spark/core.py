@@ -327,6 +327,14 @@ class FeaturePlan:
 
         s = self.schema
         fns = {name: tfm.pandas_fn(lag) for name, (lag, tfm) in feats.items()}
+        # pyspark's applyInPandas references pass-through columns unquoted
+        # (df[col] per column), so dotted feature names (alpha0.5, p0.5...)
+        # already on the frame would fail to resolve — shield them behind
+        # temporary safe names for the pandas pass (zero-cost projections)
+        unsafe = [c for c in df.columns if "." in c]
+        safe_of = {c: f"_mlfs_safe_{i}" for i, c in enumerate(unsafe)}
+        if safe_of:
+            df = df.withColumnsRenamed(safe_of)
         out_schema = T.StructType(
             df.schema.fields + [T.StructField(n, T.DoubleType()) for n in fns]
         )
@@ -340,6 +348,8 @@ class FeaturePlan:
             return pdf
 
         res = df.groupBy(s.id_col).applyInPandas(compute, schema=out_schema)
+        if safe_of:
+            res = res.withColumnsRenamed({v: k for k, v in safe_of.items()})
         return self._finish_combines(res)
 
     # ------------------------------------------------------------------

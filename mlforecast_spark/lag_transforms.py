@@ -575,7 +575,7 @@ class ExponentiallyWeightedMean(_BaseLagTransform):
         partition_by: Optional[Sequence[str]] = None,
         time_agg: str = "mean",
         engine: str = "pandas",
-        scan_rounds: Optional[int] = None,
+        scan_rounds: Optional[int] = 31,
         **kwargs,
     ):
         global_, groupby, partition_by = _pop_legacy(kwargs, global_, groupby, partition_by)
@@ -624,9 +624,15 @@ class ExponentiallyWeightedMean(_BaseLagTransform):
         recurrence, entirely in window expressions. Each round composes a
         row's affine state ``(A, B)`` with the state ``2^k`` rows back
         (``g∘f = (Ag·Af, Ag·Bf + Bg)``); all rounds share one window spec so
-        Spark sorts each partition once. ``scan_rounds`` defaults to
-        ceil(log2(longest series)), discovered with one count job at plan
-        time — pass it explicitly to keep planning action-free."""
+        Spark sorts each partition once. ``scan_rounds`` defaults to 31
+        (covers series up to 2^31 rows — the JVM int window-offset limit;
+        extra rounds compose with the identity, so over-provisioning is
+        correct) — plan construction stays action-free by default. Pass a
+        smaller value when series lengths are known, or
+        ``scan_rounds=None`` to OPT IN to deriving
+        ceil(log2(longest series)) with one count job at plan time. Steps
+        are clamped at 2^30 so offsets never overflow int32; rounds past
+        the clamp extend coverage linearly (2^30 rows per round)."""
         import math
 
         a = float(self.alpha)
@@ -671,7 +677,7 @@ class ExponentiallyWeightedMean(_BaseLagTransform):
                 .withColumnRenamed("_ewm_A2", "_ewm_A")
                 .withColumnRenamed("_ewm_B2", "_ewm_B")
             )
-            step *= 2
+            step = min(step * 2, 1 << 30)
         return df.withColumn(
             out_name, F.when(F.col("_ewm_j") > 0, F.col("_ewm_B"))
         ).drop("_ewm_A", "_ewm_B", "_ewm_j")

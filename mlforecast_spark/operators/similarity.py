@@ -397,17 +397,23 @@ def quantize_embeddings(
     )
 
 
+def _derive_n_lists(count: int, target_list_size: int) -> int:
+    """Number of k-means lists so mean list size ≈ ``target_list_size`` —
+    clusters ∝ corpus, the SemDeDup practice (11k clusters / 233M docs)."""
+    return max(1, -(-int(count) // int(target_list_size)))
+
+
 def semantic_dedup(
     vectors: DataFrame,
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     seed: int = 7,
     max_iter: int = 10,
     train_fraction: float | None = None,
     keep_policy: str = "min_id",
-    target_list_size: int | None = None,
+    target_list_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, call two documents
@@ -427,12 +433,15 @@ def semantic_dedup(
     (equi-self-join on ``list_id``), exactly like the paper's per-cluster
     pairwise pass — the 100 TB knob is ``n_lists`` ∝ corpus size so mean
     list size stays bounded (the paper uses 11k clusters for 233M docs).
-    A FIXED ``n_lists`` is therefore a scale cliff: 10× the vectors at the
-    same list count costs 100× the pairwise work (measured: 4.6 s → 309 s
-    from sf0.1 to sf1 at ``n_lists=16``). Pass ``target_list_size`` to
-    derive ``n_lists = ceil(count / target_list_size)`` instead — one
-    ``count()`` driver action at plan construction, the price of a plan
-    whose pairwise cost stays ``count × target_list_size`` (linear).
+    A FIXED ``n_lists`` is a scale cliff: 10× the vectors at the same list
+    count costs 100× the pairwise work (measured: 4.6 s → 309 s from sf0.1
+    to sf1 at a fixed 16 lists). The DEFAULT therefore derives
+    ``n_lists = ceil(count / target_list_size)`` so pairwise cost stays
+    ``count × target_list_size`` (linear in the corpus); this is the ONE
+    sanctioned plan-time driver action in the package (a single
+    ``count()`` job). Pass ``n_lists`` explicitly to pin the list count
+    and skip the count job entirely (``target_list_size`` is then
+    ignored).
     Pair edges collapse to clusters via distributed min-label propagation
     (:func:`~mlforecast_spark.operators.dedup.connected_components`), so
     transitive near-dups (A~B~C with cos(A,C) < 1-eps) still dedup to ONE
@@ -444,12 +453,12 @@ def semantic_dedup(
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     if keep_policy not in ("min_id", "central"):
         raise ValueError("keep_policy must be 'min_id' or 'central'")
-    if target_list_size is not None:
+    if n_lists is None:
         if target_list_size < 1:
             raise ValueError(
                 f"target_list_size must be >= 1, got {target_list_size}"
             )
-        n_lists = max(1, -(-vectors.count() // target_list_size))
+        n_lists = _derive_n_lists(vectors.count(), target_list_size)
     index = build_ivf_index(
         vectors,
         id_col=id_col,

@@ -84,7 +84,9 @@ def test_scan_engine_matches_pandas_path(spark):
 
 
 def test_scan_engine_explicit_rounds_plans_without_action(spark):
-    """scan_rounds given -> plan construction triggers no Spark job."""
+    """Plan construction triggers no Spark job with the DEFAULT scan_rounds
+    (a safe constant, 31) or an explicit value; scan_rounds=None is the
+    opt-in for deriving rounds with a count job."""
     from pyspark.sql import functions as F
 
     from mlforecast_spark.core import FeaturePlan, PanelSchema, _parse_transforms
@@ -92,15 +94,29 @@ def test_scan_engine_explicit_rounds_plans_without_action(spark):
     panel = spark.createDataFrame(
         [("a", t, float(t)) for t in range(20)], "unique_id string, ds long, y double"
     )
+    for kwargs in ({"scan_rounds": 6}, {}):
+        registry = _parse_transforms(
+            [], {1: [ExponentiallyWeightedMean(alpha=0.5, engine="scan", **kwargs)]}
+        )
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        out = plan.apply(panel)  # lazy - no job may run here
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) == len(before), kwargs
+        name = next(iter(registry))
+        got = out.select(F.col(f"`{name}`")).toPandas()
+        assert got.notna().sum().iloc[0] == 19
+
+    # opt-in derivation (scan_rounds=None) runs a count job at plan time
+    # and still produces the same feature
     registry = _parse_transforms(
-        [], {1: [ExponentiallyWeightedMean(alpha=0.5, engine="scan", scan_rounds=6)]}
+        [],
+        {1: [ExponentiallyWeightedMean(alpha=0.5, engine="scan",
+                                       scan_rounds=None)]},
     )
     plan = FeaturePlan(schema=PanelSchema(), registry=registry)
-    tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
-    out = plan.apply(panel)  # lazy - no job may run here
-    after = tracker.getJobIdsForGroup(None)
-    assert len(after) == len(before)
+    out = plan.apply(panel)
     name = next(iter(registry))
     got = out.select(F.col(f"`{name}`")).toPandas()
     assert got.notna().sum().iloc[0] == 19

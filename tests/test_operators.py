@@ -1985,6 +1985,25 @@ def test_semantic_dedup_target_list_size(spark):
     with pytest.raises(ValueError, match="target_list_size"):
         semantic_dedup(df, eps=0.02, target_list_size=0)
 
+    # DEFAULT args: n_lists derives from the corpus (301 vecs / 1024 target
+    # -> 1 list) so the 100x fixed-list-count cliff can't happen by default
+    out_d = semantic_dedup(df, eps=0.02, seed=3).toPandas()
+    assert out_d["list_id"].nunique() == 1
+    assert out_d["keep"].sum() == 300
+
+
+def test_semantic_dedup_derived_n_lists():
+    """The default list-count derivation scales with the corpus: 10x the
+    vectors -> ~10x the lists, so mean list size (and the within-list
+    quadratic term) stays constant."""
+    from mlforecast_spark.operators.similarity import _derive_n_lists
+
+    assert _derive_n_lists(10_000, 1024) == 10
+    assert _derive_n_lists(100_000, 1024) == 98
+    assert _derive_n_lists(1_000_000, 1024) == 977
+    assert _derive_n_lists(5, 1024) == 1
+    assert _derive_n_lists(0, 1024) == 1
+
 
 def test_jpeg_decode_422_subsampling():
     """4:2:2 (horizontal-only chroma halving): asymmetric sampling factors

@@ -147,6 +147,37 @@ def test_minhash_signature_path_has_no_shingle_dedup(spark):
     assert a == b
 
 
+def test_plan_construction_runs_no_spark_jobs(spark, panel):
+    """Building feature plans is pure plan construction — no driver-side
+    count()/collect() actions. The ONE sanctioned exception in the package
+    is semantic_dedup's default n_lists derivation (documented opt-out:
+    pass n_lists); the EWM scan engine's count is opt-in (scan_rounds=None)."""
+    from mlforecast_spark.lag_transforms import (
+        ExpandingMean,
+        ExponentiallyWeightedMean,
+        RollingMean,
+        RollingStd,
+        SeasonalRollingMean,
+    )
+
+    registry = _parse_transforms(
+        [1, 7, 14],
+        {
+            1: [RollingMean(window_size=7), RollingStd(window_size=7),
+                ExpandingMean(),
+                ExponentiallyWeightedMean(alpha=0.3),
+                ExponentiallyWeightedMean(alpha=0.5, engine="scan"),
+                SeasonalRollingMean(season_length=7, window_size=4),
+                RollingMean(window_size=7, global_=True)],
+        },
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction must be action-free"
+
+
 def test_pooled_global_rolling_quantile_is_hash_join(spark, panel):
     """The global_ rolling-quantile range join carries a block-id equi-key:
     without it Spark has no equi-condition (empty bucket) and plans a
