@@ -375,41 +375,86 @@ def connected_components(
     pairs alone can't answer "which docs do I keep": A~B and B~C must
     collapse to one cluster {A,B,C} with one canonical survivor.
 
-    Algorithm: distributed min-label propagation with pointer jumping —
-    each round (a) pulls the min label across every edge (one shuffle-join +
-    groupBy-min, Spark's partial aggregation combines map-side) and (b)
-    short-circuits chains by label(x) <- label(label(x)) (one self-join), the
-    path-halving step that makes long chains converge in O(log diameter)
-    rounds instead of O(diameter) — the same contraction idea as the
-    large-star/small-star MapReduce algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14). Label frames are cached
-    and localCheckpoint()ed each round to truncate the growing lineage (an
-    unbounded iterative plan re-executes from the source every round and
-    eventually overwhelms the optimizer). The per-round convergence test is
-    one count() over the changed rows — an inherent driver action of any
+    Algorithm: min-neighbor hooking + graph CONTRACTION, then min-label
+    propagation with pointer jumping on the contracted graph (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    star-contraction idea). Hooking (label(x) = min over direct neighbors
+    ∪ self) forms a forest; mapping every edge through its endpoint labels
+    and dropping self-loops contracts each star to a point, so a k-clique
+    (the shape a k-fold-replicated/boilerplate corpus produces: every
+    clone pairs with every other) contributes k·(k−1)/2 edges to exactly
+    ONE pass and ZERO edges to the iterative loop. The loop then runs on
+    the contracted remainder — inter-star chains only, typically a small
+    fraction of the input — with the same two-shuffle rounds as before:
+    (a) pull min label across contracted edges, (b) pointer-jump
+    label(x) <- label(label(x)), frames localCheckpoint()ed per round to
+    truncate iterative lineage. The per-round convergence test is one
+    count() over the changed rows — an inherent driver action of any
     fixpoint loop, not a collect of data.
 
-    At 100 TB: every round is two bounded shuffles on the label key space
-    (nodes, not edges, after round 1); dedup graphs have tiny diameters
-    (near-dup clusters are dense), so 2-4 rounds is typical.
+    At 100 TB: the full edge set is touched a bounded number of times
+    (symmetrize, hook, contract — map-side-combining aggregations all);
+    every loop round shuffles only the contracted graph, which clone-heavy
+    corpora collapse to near-nothing, so the cost of k-fold replication is
+    the k²-fold candidate set itself, paid O(1) times, not per round.
     """
+    # symmetrize in ONE pass over the edge generator (a union of two selects
+    # would evaluate the upstream candidate pipeline — often the most
+    # expensive stage of a dedup job — twice before the cache kicks in)
     sym = (
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
-        .cache()  # re-joined every round; never recompute the pair generator
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("_u"), F.col(dst).alias("_v")),
+                    F.struct(F.col(dst).alias("_u"), F.col(src).alias("_v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e._u").alias("_u"), F.col("_e._v").alias("_v"))
+        .cache()  # hooking + contraction both read it; never recompute
     )
-    # init: label(x) = min(x, min over direct neighbors) — one round for free
-    labels = (
+    # hook: label(x) = min(x, min over direct neighbors). Forms a forest
+    # (every non-root label strictly decreases), each tree a star after
+    # this single pass over the edges.
+    hooked = (
         sym.groupBy("_u")
+        .agg(F.min("_v").alias("_m"))
+        .select(F.col("_u").alias("_id"), F.least("_u", "_m").alias("_lbl"))
+        .cache()
+    )
+    hooked = hooked.localCheckpoint(eager=True)
+    # contract: rewrite every edge to (label(u), label(v)), drop self-loops
+    # (intra-star edges — ALL of a clique's edges), dedup. Partial
+    # aggregation collapses the clique bulk map-side before the shuffle.
+    contracted = (
+        sym.join(
+            hooked.select(F.col("_id").alias("_u"), F.col("_lbl").alias("_lu")),
+            on="_u",
+        )
+        .join(
+            hooked.select(F.col("_id").alias("_v"), F.col("_lbl").alias("_lv")),
+            on="_v",
+        )
+        .select("_lu", "_lv")
+        .filter(F.col("_lu") != F.col("_lv"))
+        .distinct()
+        .cache()
+    )
+    sym.unpersist()
+    csym = contracted.select(
+        F.col("_lu").alias("_u"), F.col("_lv").alias("_v")
+    )  # already symmetric: sym contained both directions of every edge
+    labels = (
+        csym.groupBy("_u")
         .agg(F.min("_v").alias("_m"))
         .select(F.col("_u").alias("_id"), F.least("_u", "_m").alias("_lbl"))
         .cache()
     )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # (a) pull min label across edges
+        # (a) pull min label across contracted edges
         nbr = (
-            sym.join(labels.withColumnRenamed("_id", "_v"), on="_v")
+            csym.join(labels.withColumnRenamed("_id", "_v"), on="_v")
             .groupBy("_u")
             .agg(F.min("_lbl").alias("_nl"))
         )
@@ -436,9 +481,21 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()  # final labels are checkpointed; edge lineage not needed
+    contracted.unpersist()
+    # compose back: node -> hooked label -> its contracted-component min
+    # (roots with no surviving contracted edges keep their hooked label)
+    final = (
+        hooked.join(
+            labels.select(
+                F.col("_id").alias("_lbl"), F.col("_lbl").alias("_fl")
+            ),
+            on="_lbl",
+            how="left",
+        )
+        .select("_id", F.coalesce("_fl", "_lbl").alias("_lbl"))
+    )
     w = Window.partitionBy("_lbl")
-    return labels.select(
+    return final.select(
         F.col("_id").alias("node_id"),
         F.col("_lbl").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
