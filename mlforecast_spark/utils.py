@@ -97,15 +97,25 @@ def future_steps_col(freq: Freq, last_ds: Column, h: int) -> Column:
     return F.transform(steps, lambda i: time_plus(last_ds, freq, i))
 
 
+_EVENTS_CACHE: dict = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str):
     """The driver's events table stores ``ts`` as TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; with ``nanosAsLong`` it arrives as
     nanosecond longs — convert to a microsecond timestamp here. The conf is
     runtime-settable, so this works in externally-created sessions too."""
+    key = (id(spark), sf_dir)
+    cached = _EVENTS_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # memoize: the parquet footer re-read at every call is driver-side plan
+    # latency; the DataFrame is an immutable plan, safe to share
+    _EVENTS_CACHE[key] = df
     return df
 
 
@@ -149,6 +159,12 @@ def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> Sp
         # read TIMESTAMP(NANOS) parquet columns as long (see load_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # ad-hoc session overrides for experiments / deployment tuning:
+    # SPARK_GRAFT_EXTRA_CONF="spark.x=1;spark.y=2"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()

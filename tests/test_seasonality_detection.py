@@ -8,7 +8,35 @@ The suite bounds the divergence between the two detectors on synthetic
 fixtures: they must agree on unambiguous series (single seasonality, with
 or without trend/noise, square waves, white noise) and may differ only on
 the documented ambiguous set (multi-seasonal series, where either
-constituent period is a defensible answer)."""
+constituent period is a defensible answer).
+
+Parity table — pinned detector outputs on every fixture (RandomState(11),
+T=280, max_season_length=40):
+
+| fixture                         | acf | periodogram | agree |
+|---------------------------------|-----|-------------|-------|
+| weekly_sine (7)                 |  7  |      7      |  yes  |
+| weekly_sine_trend (7)           |  7  |      7      |  yes  |
+| monthly_sine (28)               | 28  |     28      |  yes  |
+| weekly_square (7)               |  7  |      7      |  yes  |
+| period_12_trend (12)            | 12  |     12      |  yes  |
+| white noise                     |  1  |      1      |  yes  |
+| pure trend                      |  1  |      1      |  yes  |
+| 5*sin(7) + 2*sin(28)            |  7  |     28      |  NO   |
+| 4*sin(7) + 4*sin(28)            |  7  |     28      |  NO   |
+| 2*sin(7) + 6*sin(28)            | 28  |     28      |  yes  |
+
+The two NO rows are the ONE structural divergence, and it is explained,
+not unexplained: 7 divides 28, so the periodogram's harmonic aggregation
+credits the 1/7-frequency power to period 28's harmonic family and
+reports the FUNDAMENTAL (28, the longest period consistent with the
+spectrum), while the detrended ACF reports the strongest short
+periodicity (7) unless the long component dominates outright. Both are
+defensible readings of a harmonically-stacked series — the reference's
+own STL-strength finder (`/root/reference/mlforecast/
+target_transforms.py:329-375`) reports the dominant period, which is
+amplitude-dependent in exactly the same way. The pinned values below
+turn any future drift in either detector into a test failure."""
 
 import numpy as np
 import pytest
@@ -63,17 +91,23 @@ def test_detectors_agree_no_seasonality():
 
 
 def test_multi_seasonal_documented_disagreement_set():
-    """Two superimposed seasonalities (7 strong, 28 weaker): either period is
-    defensible — the reference's STL-style finder reports the dominant one.
-    Both detectors must land IN {7, 28}; which one is the documented
-    divergence, not an error."""
+    """Two superimposed seasonalities with 7 | 28 (harmonically stacked):
+    the module-docstring parity table pins the EXACT per-detector outputs.
+    ACF reports the strongest short period; the periodogram's harmonic
+    aggregation reports the fundamental. Any drift in either detector
+    flips one of these exact assertions."""
+    # short period dominant: the structural divergence (see docstring)
     y = 5 * np.sin(2 * np.pi * T / 7) + 2 * np.sin(2 * np.pi * T / 28)
     acf_sl, per_sl = _both(y)
-    assert acf_sl in (7, 28) and per_sl in (7, 28)
+    assert (acf_sl, per_sl) == (7, 28)
+    # balanced amplitudes: same divergence, pinned
+    yb = 4 * np.sin(2 * np.pi * T / 7) + 4 * np.sin(2 * np.pi * T / 28)
+    acf_b, per_b = _both(yb)
+    assert (acf_b, per_b) == (7, 28)
     # with the longer period dominant both must find it
     y2 = 2 * np.sin(2 * np.pi * T / 7) + 6 * np.sin(2 * np.pi * T / 28)
     acf_sl2, per_sl2 = _both(y2)
-    assert acf_sl2 == 28 and per_sl2 == 28
+    assert (acf_sl2, per_sl2) == (28, 28)
 
 
 def test_short_and_degenerate_series():

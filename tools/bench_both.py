@@ -9,10 +9,11 @@ in ONE session. This script is that evidence: it runs tools/bench_oracle.py
 computes raw per-SF and marginal (Δsf1−sf0.1) ratios over the comparable
 query subset, and writes BENCH_TWO_ENGINE.json.
 
-sf1 input is the deterministic 10x replication of the driver's sf0.1 tables
-(tools/gen_scaled.py); it is regenerated if absent.
+sf1/sf10 inputs are the deterministic 10x/100x replications of the driver's
+sf0.1 tables (tools/gen_scaled.py); sf1 is regenerated if absent, sf10 is
+included when present (or when BENCH_BOTH_SF10=1 forces generation).
 
-Usage: python tools/bench_both.py [sf1_dir]
+Usage: python tools/bench_both.py [sf1_dir [sf10_dir]]
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ def comparable_totals(spark: dict, duck: dict) -> tuple[float, float]:
 
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale/sf1"
+    sf10_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale/sf10"
     if not os.path.isdir(sf1_dir):
         print(f"generating sf1 at {sf1_dir} ...", file=sys.stderr)
         subprocess.run(
@@ -53,10 +55,20 @@ def main() -> None:
             cwd=REPO,
             check=True,
         )
+    if not os.path.isdir(sf10_dir) and os.environ.get("BENCH_BOTH_SF10") == "1":
+        print(f"generating sf10 at {sf10_dir} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, "tools/gen_scaled.py", "100", "/root/testdata/sf0.1", sf10_dir],
+            cwd=REPO,
+            check=True,
+        )
 
     reps = int(os.environ.get("BENCH_BOTH_REPS", "2"))
+    sf_dirs = {"0.1": "/root/testdata/sf0.1", "1.0": sf1_dir}
+    if os.path.isdir(sf10_dir):
+        sf_dirs["10.0"] = sf10_dir
     result: dict = {
-        "sf_dirs": {"0.1": "/root/testdata/sf0.1", "1.0": sf1_dir},
+        "sf_dirs": sf_dirs,
         "reps": reps,
         "estimator": "per-query min across reps, engines interleaved",
     }
@@ -89,26 +101,26 @@ def main() -> None:
             "spark_queries": spark,
             "duckdb_queries": duck,
         }
-    m_spark = round(
-        per_sf["1.0"]["spark_comparable_sec"] - per_sf["0.1"]["spark_comparable_sec"], 3
-    )
-    m_duck = round(per_sf["1.0"]["duckdb_sec"] - per_sf["0.1"]["duckdb_sec"], 3)
-    result.update(
-        {
-            "per_sf": per_sf,
-            "marginal": {
-                "spark_sec": m_spark,
-                "duckdb_sec": m_duck,
-                "ratio": round(m_spark / m_duck, 2),
-            },
-            "gate": {
-                "criterion": "within 2x of DuckDB at sf0.1 (BASELINE.json)",
-                "raw_sf0.1": per_sf["0.1"]["ratio_raw"],
-                "raw_sf1": per_sf["1.0"]["ratio_raw"],
-                "marginal_sf0.1_to_sf1": round(m_spark / m_duck, 2),
-            },
+    labels = [l for l in ("0.1", "1.0", "10.0") if l in per_sf]
+    marginals = {}
+    for lo, hi in zip(labels, labels[1:]):
+        m_spark = round(
+            per_sf[hi]["spark_comparable_sec"] - per_sf[lo]["spark_comparable_sec"], 3
+        )
+        m_duck = round(per_sf[hi]["duckdb_sec"] - per_sf[lo]["duckdb_sec"], 3)
+        marginals[f"sf{lo}_to_sf{hi}"] = {
+            "spark_sec": m_spark,
+            "duckdb_sec": m_duck,
+            "ratio": round(m_spark / m_duck, 2) if m_duck else None,
         }
-    )
+    gate = {
+        "criterion": "within 2x of DuckDB at sf0.1 (BASELINE.json)",
+    }
+    for label in labels:
+        gate[f"raw_sf{label}"] = per_sf[label]["ratio_raw"]
+    for k, v in marginals.items():
+        gate[f"marginal_{k}"] = v["ratio"]
+    result.update({"per_sf": per_sf, "marginals": marginals, "gate": gate})
     with open(os.path.join(REPO, "BENCH_TWO_ENGINE.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result["gate"]))

@@ -1,0 +1,160 @@
+"""Decompose the sf0.1 bench gap into Spark's fixed per-query floor vs
+data-dependent work.
+
+Method: each benched query's wall at sf0.001 (~1/100 of the gate's data —
+executor work is negligible there) IS its fixed floor: plan analysis +
+optimization, AQE stage scheduling, codegen lookup, py4j roundtrips, task
+launch. The data-dependent cost is wall(sf0.1) − wall(sf0.001). Three
+session-level null measurements anchor the floor's composition:
+
+- ``null_action``: ``spark.range(1)`` hash+count — one job, no scan. The
+  irreducible action roundtrip.
+- ``tiny_scan``: the same force over a 5-row parquet — adds a real
+  FileSourceScan.
+- ``tiny_shuffle``: groupBy over the 5-row parquet — adds one exchange and
+  AQE's stage-wise re-planning (several jobs per action).
+
+Everything runs in ONE warm session (per-query min over REPS reps), mirrors
+bench.py's _force, and writes FLOOR_DECOMPOSITION.json. Read with
+BASELINE.md's gate discussion: if sum(floor) alone exceeds the 2x-of-DuckDB
+budget, no plan improvement at the gate SF can pass the gate — the residual
+is Spark's scheduling unit cost, which amortizes with data volume (see the
+sf1/sf10 sections of BENCH_TWO_ENGINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPS = int(os.environ.get("FLOOR_REPS", "3"))
+
+
+def _force(df) -> int:
+    cols = [F.col(f"`{c}`") for c in df.columns]
+    return df.select(
+        F.sum(F.xxhash64(*cols).cast("double")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]["n"]
+
+
+def _min_wall(fn, reps=REPS):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    from mlforecast_spark.utils import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("floor-decomposition", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    bench_names = [
+        "panel_build", "rolling_mean", "pooled_global_rolling_mean",
+        "pooled_groupby_timeagg_rolling_mean", "seasonal_rolling_mean_std",
+        "ewm", "events_tumbling_agg", "events_sessionize",
+        "doc_text_profile", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "ann_ivf_probe",
+    ]
+    floor_dir = os.environ.get("SPARK_GRAFT_FLOOR_DIR", "/root/testdata/sf0.001")
+    gate_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def runner(name):
+        if name == "wide_feature_matrix":
+            return lambda sf: bench._wide_feature_matrix(spark, sf)
+        if name == "fit_predict_linreg_h7":
+            return lambda sf: bench._fit_predict(spark, sf)
+        return lambda sf: qs[name](spark, sf)
+
+    all_names = bench_names + ["wide_feature_matrix", "fit_predict_linreg_h7"]
+
+    # warm both SFs once (codegen + file listing)
+    for name in all_names:
+        for sf in (floor_dir, gate_dir):
+            try:
+                _force(runner(name)(sf))
+            except Exception:
+                pass
+
+    # session-level nulls
+    region = spark.read.parquet(f"{gate_dir}/region.parquet")
+    nulls = {
+        "null_action": _min_wall(lambda: _force(spark.range(1))),
+        "tiny_scan": _min_wall(lambda: _force(region)),
+        "tiny_shuffle": _min_wall(
+            lambda: _force(region.groupBy("r_regionkey").count())
+        ),
+    }
+
+    per_query = {}
+    for name in all_names:
+        fn = runner(name)
+        floor = _min_wall(lambda: _force(fn(floor_dir)))
+        before = len(tracker.getJobIdsForGroup(None))
+        gate = _min_wall(lambda: _force(fn(gate_dir)))
+        jobs = (len(tracker.getJobIdsForGroup(None)) - before) // REPS
+        per_query[name] = {
+            "floor_sec_sf0.001": floor,
+            "wall_sec_gate_sf": gate,
+            "data_dependent_sec": round(max(0.0, gate - floor), 3),
+            "jobs_per_run": jobs,
+        }
+
+    total_floor = round(sum(v["floor_sec_sf0.001"] for v in per_query.values()), 3)
+    total_gate = round(sum(v["wall_sec_gate_sf"] for v in per_query.values()), 3)
+    out = {
+        "method": "floor = min wall over REPS warm reps at sf0.001; "
+        "data-dependent = gate-SF wall - floor; one shared warm session",
+        "reps": REPS,
+        "gate_sf_dir": gate_dir,
+        "session_nulls_sec": nulls,
+        "per_query": per_query,
+        "total_floor_sec": total_floor,
+        "total_gate_wall_sec": total_gate,
+        "total_data_dependent_sec": round(total_gate - total_floor, 3),
+    }
+    # attach the DuckDB totals for the same queries if the oracle bench exists
+    obench = os.path.join(REPO, "ORACLE_BENCH_sf0.1.json")
+    if not os.path.exists(obench):
+        obench = os.path.join(REPO, "ORACLE_BENCH.json")
+    if os.path.exists(obench):
+        with open(obench) as f:
+            base = json.load(f)
+        duck = sum(
+            v for k, v in base.get("queries", {}).items()
+            if v is not None and k in per_query
+        )
+        out["duckdb_total_sec"] = round(duck, 3)
+        out["gate_budget_2x_sec"] = round(2 * duck, 3)
+        out["floor_exceeds_gate_budget"] = total_floor > 2 * duck
+    with open(os.path.join(REPO, "FLOOR_DECOMPOSITION.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "session_nulls_sec", "total_floor_sec", "total_gate_wall_sec",
+        "total_data_dependent_sec") } | (
+        {"duckdb_total_sec": out.get("duckdb_total_sec"),
+         "gate_budget_2x_sec": out.get("gate_budget_2x_sec"),
+         "floor_exceeds_gate_budget": out.get("floor_exceeds_gate_budget")}
+    )))
+
+
+if __name__ == "__main__":
+    main()
