@@ -865,6 +865,65 @@ def test_minhash_probe_candidates_matches_self_join(spark, docs):
     } == cross_full
 
 
+def test_minhash_capped_first_band_matches_dropduplicates(spark):
+    """Capped-mode pair dedup is a first-UNCAPPED-matching-band filter (no
+    candidate-set shuffle); its output must be SET-identical to the old
+    dropDuplicates formulation, including on a corpus where clone-heavy
+    buckets actually exceed the cap."""
+    from mlforecast_spark.operators.dedup import (
+        _attach_est_jaccard,
+        _band_buckets_expr,
+        _cap_buckets,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    # 3 clone families (sizes 12, 6, 3) + distinct docs; cap=8 prunes the
+    # 12-family's buckets so some pairs' earliest matching bands are capped
+    rows = []
+    did = 0
+    for fam, size in (("alpha beta gamma delta epsilon zeta", 12),
+                      ("one two three four five six seven", 6),
+                      ("red green blue cyan magenta yellow", 3)):
+        for k in range(size):
+            rows.append((did, fam + f" tail{k % 2}"))
+            did += 1
+    for k in range(10):
+        rows.append((did, f"unique document number {k} with words w{k} x{k} y{k} z{k}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingle_df(docs, n=2, distinct=False)).cache()
+    for cap in (8, 3):
+        new = minhash_lsh_candidates(sigs, max_bucket_size=cap)
+        bands = sigs.select(
+            F.col("doc_id"), _band_buckets_expr(8, 32).alias("_bks")
+        ).select("doc_id", F.posexplode("_bks").alias("band", "bucket"))
+        bands = _cap_buckets(bands, ["band", "bucket"], cap)
+        a, b = bands.alias("a"), bands.alias("b")
+        old_pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+        old = _attach_est_jaccard(old_pairs, sa, sb, "id_a", "id_b")
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+        assert new.count() > 0  # fixture actually produces candidates
+    # exactly-once: no pair appears twice
+    out = minhash_lsh_candidates(sigs, max_bucket_size=8).toPandas()
+    assert not out.duplicated(["id_a", "id_b"]).any()
+
+
 def _gif_lzw_encode(indices, min_code_size, uncompressed=False):
     """GIF LZW encoder for tests. ``uncompressed=True`` emits only literal
     codes with frequent CLEARs (trivially correct by construction, so it
