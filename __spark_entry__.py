@@ -1601,9 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         "  regexp_split_to_array(LOWER(text), '\\s+') AS toks FROM documents),"
         f" li AS (SELECT doc_id, {', '.join(score_exprs)} FROM lbase),"
         f" li2 AS (SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess FROM li),"
-        " fp AS (SELECT doc_id, md5(TRIM(regexp_replace("
-        "  regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
-        "  '\\s+', ' ', 'g'))) AS fingerprint FROM documents)"
+        " fp AS (SELECT doc_id, md5(array_to_string("
+        "  regexp_extract_all(LOWER(text), '[a-z0-9]+'), ' ')) AS fingerprint"
+        "  FROM documents)"
         " SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.avg_token_len,"
         f"  ts.punct_ratio, ts.space_ratio, {li_score_cols.replace('li.', 'li2.')},"
         "  li2.lang_guess, fp.fingerprint"
