@@ -564,6 +564,9 @@ def simhash_candidates(
     guarantee for pairs whose every equal chunk sits in a capped bucket. Set
     it explicitly (e.g. 1000) as the 100 TB guard against one degenerate
     chunk value turning the self-join quadratic (see ``_cap_buckets``)."""
+    # both self-join sides read the fingerprints: cache them (one 8-byte
+    # hash + id per doc) or the full tokenize+aggregate pipeline runs twice
+    fps = fps.cache()
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
