@@ -108,9 +108,12 @@ def main() -> None:
     for name in all_names:
         fn = runner(name)
         floor = _min_wall(lambda: _force(fn(floor_dir)))
-        before = len(tracker.getJobIdsForGroup(None))
         gate = _min_wall(lambda: _force(fn(gate_dir)))
-        jobs = (len(tracker.getJobIdsForGroup(None)) - before) // REPS
+        # job count from MAX job id (the retained-jobs buffer evicts old
+        # entries, so a length delta goes wrong after ~1000 session jobs)
+        before = max(tracker.getJobIdsForGroup(None) or [0])
+        _force(fn(gate_dir))  # one dedicated run for an exact job count
+        jobs = max(tracker.getJobIdsForGroup(None) or [0]) - before
         per_query[name] = {
             "floor_sec_sf0.001": floor,
             "wall_sec_gate_sf": gate,
