@@ -581,7 +581,36 @@ def simhash_candidates(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket_size)
+    if max_bucket_size is None:
+        chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], None)
+        cap_cols = []
+    else:
+        # capped mode, shuffle-free dedup (same construction as the minhash
+        # path): every chunk row carries the doc's per-chunk CAPPED flags so
+        # "first chunk agreeing in an UNCAPPED bucket" is a join-row filter
+        # instead of a dropDuplicates over the quadratic candidate set
+        wb = Window.partitionBy("chunk_idx", "chunk")
+        wid = Window.partitionBy(id_col)
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .withColumn(
+                "_cap",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("chunk_idx"),
+                                (F.col("_bn") > max_bucket_size).alias("c"),
+                            )
+                        ).over(wid)
+                    ),
+                    lambda s: s["c"],
+                ),
+            )
+            .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
+            .drop("_bn")
+        )
+        cap_cols = [F.col("a._cap").alias("_cap_a")]
     a, b = chunks.alias("a"), chunks.alias("b")
     joined = a.join(
         b,
@@ -594,28 +623,30 @@ def simhash_candidates(
         F.col("a.simhash").alias("fp_a"),
         F.col("b.simhash").alias("fp_b"),
         F.col("a.chunk_idx").alias("_band"),
+        *cap_cols,
     )
-    if max_bucket_size is None:
-        # first-matching-band dedup: both fingerprints ride the join row, so
-        # "is this the FIRST band where the pair's chunks agree" is a plain
-        # expression — each pair survives from exactly one band and the
-        # dropDuplicates shuffle of the whole candidate set disappears (at
-        # sf1: 27.7M banded rows shuffled -> 0). With bucket caps the band
-        # that would claim a pair may have been pruned, so the shuffle-dedup
-        # fallback below keeps capped semantics unchanged.
-        mask = F.lit(0xFFFF).cast("long")
-        xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-        no_earlier = F.lit(True)
-        for j in range(3):
-            band_j_differs = (
-                F.shiftright(xor, 16 * j).bitwiseAND(mask) != 0
-            )
-            no_earlier = no_earlier & F.when(
-                F.col("_band") > j, band_j_differs
-            ).otherwise(F.lit(True))
-        pairs = joined.filter(no_earlier).drop("_band")
-    else:
-        pairs = joined.drop("_band").dropDuplicates(["id_a", "id_b"])
+    # first-matching-band dedup: both fingerprints ride the join row, so
+    # "is this the FIRST band where the pair's chunks agree" is a plain
+    # expression — each pair survives from exactly one band and the
+    # dropDuplicates shuffle of the whole candidate set disappears (at
+    # sf1: 27.7M banded rows shuffled -> 0). Under bucket caps the claim
+    # goes to the first band agreeing in an UNCAPPED bucket (the _cap
+    # flags; agreement means the bucket is shared, so a's flag is the
+    # pair's).
+    mask = F.lit(0xFFFF).cast("long")
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    no_earlier = F.lit(True)
+    for j in range(3):
+        band_j_differs = F.shiftright(xor, 16 * j).bitwiseAND(mask) != 0
+        claim_free_at_j = (
+            band_j_differs
+            if max_bucket_size is None
+            else (band_j_differs | F.col("_cap_a")[j])
+        )
+        no_earlier = no_earlier & F.when(
+            F.col("_band") > j, claim_free_at_j
+        ).otherwise(F.lit(True))
+    pairs = joined.filter(no_earlier).select("id_a", "id_b", "fp_a", "fp_b")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -924,6 +924,59 @@ def test_minhash_capped_first_band_matches_dropduplicates(spark):
     assert not out.duplicated(["id_a", "id_b"]).any()
 
 
+def test_simhash_capped_first_band_matches_dropduplicates(spark):
+    """Capped-mode simhash candidates via the first-UNCAPPED-matching-chunk
+    filter must equal the dropDuplicates formulation, on a corpus whose
+    clone families actually overflow the cap."""
+    from mlforecast_spark.operators.dedup import simhash, simhash_candidates
+
+    rows = []
+    did = 0
+    for fam, size in (("alpha beta gamma delta epsilon zeta", 9),
+                      ("one two three four five six seven", 5)):
+        for k in range(size):
+            rows.append((did, fam + f" tail{k % 2}"))
+            did += 1
+    for k in range(8):
+        rows.append((did, f"unique document number {k} with w{k} x{k} y{k}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash(docs).localCheckpoint(eager=True)
+    for cap in (6, 3):
+        new = simhash_candidates(fps, max_hamming=64, max_bucket_size=cap)
+        # reference: capped banded join + dropDuplicates
+        chunks = fps.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(*[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF).cast("long"))
+                    for i in range(4)
+                ])
+            ).alias("ci", "ch"),
+        )
+        from pyspark.sql import Window as W
+        w = W.partitionBy("ci", "ch")
+        chunks = (chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter((F.col("_bn") >= 2) & (F.col("_bn") <= cap)))
+        a, b = chunks.alias("a"), chunks.alias("b")
+        old = (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                      & (F.col("a.ch") == F.col("b.ch"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"),
+                       F.bit_count(F.col("a.simhash").bitwiseXOR(
+                           F.col("b.simhash"))).alias("hamming"))
+               .dropDuplicates(["id_a", "id_b"]))
+        got = new.toPandas()
+        ref = old.toPandas()
+        got_set = set(map(tuple, got[["id_a", "id_b", "hamming"]].to_numpy()))
+        ref_set = set(map(tuple, ref[["id_a", "id_b", "hamming"]].to_numpy()))
+        assert got_set == ref_set
+        assert len(got) > 0 and not got.duplicated(["id_a", "id_b"]).any()
+
+
 def _gif_lzw_encode(indices, min_code_size, uncompressed=False):
     """GIF LZW encoder for tests. ``uncompressed=True`` emits only literal
     codes with frequent CLEARs (trivially correct by construction, so it
