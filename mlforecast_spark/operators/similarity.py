@@ -397,6 +397,12 @@ def ivf_search(
             )
         return pd.concat(frames, ignore_index=True)
 
+    # prune the corpus to the PROBED lists before the cogroup (a broadcast
+    # semi-join the optimizer can push toward the scan): with nprobe <<
+    # n_lists the cogroup would otherwise shuffle every inverted list,
+    # probed or not — the pruning the old per-pair join got implicitly
+    probed_lists = probes.select("_list").distinct()
+    assigned = assigned.join(F.broadcast(probed_lists), on="_list", how="left_semi")
     pairs = (
         probes.groupBy("_list")
         .cogroup(assigned.groupBy("_list"))
