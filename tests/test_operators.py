@@ -635,6 +635,24 @@ def test_dedup_corpus_end_to_end(spark):
         dedup_corpus(docs, method="bogus")
 
 
+def test_ivf_search_prunes_to_probed_lists(spark):
+    """The cogrouped scorer must only receive the PROBED inverted lists: the
+    plan carries a broadcast left-semi join on list_id ahead of the cogroup
+    (with nprobe << n_lists the unpruned cogroup would shuffle the whole
+    corpus)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_ivf_index, ivf_search
+
+    rng = np.random.default_rng(9)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(160)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = build_ivf_index(embs, n_lists=8, seed=7)
+    out = ivf_search(index, embs.filter(F.col("vec_id") < 3), k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:3000]
+    assert out.count() > 0
+
+
 def test_ivf_index_build_save_load_search(spark, tmp_path):
     import numpy as np
 
