@@ -857,13 +857,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("GradientBoostedTrees", 6).alias("yhat"),
         )
 
+    def predict_cogroup_snaive(spark, sf):
+        """The COGROUPED predict engine (local_predict.py: the whole h-step
+        rollout in one applyInPandas job) under the same SeasonalNaive
+        closed form — the hash gate proves the single-job engine
+        step-for-step equal to the lockstep loop's oracle."""
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import SeasonalNaive
+
+        panel = _panel(spark, sf)
+        mf = MLForecast(models=[SeasonalNaive(7)], freq="D", lags=[7])
+        mf.fit(panel)
+        return mf.predict(10, engine="cogroup").select(
+            F.lit("snaive_cogroup").alias("model"),
+            "unique_id",
+            "ds",
+            F.round("SeasonalNaive", 6).alias("yhat"),
+        )
+
     def predict_closed_forms(spark, sf):
         """Merged slot (the driver checks only the first 50 queries): the
         recursive predict engine under SeasonalNaive's positional closed
         form (h=10, incl. steps 8-10 feeding back the loop's own
-        predictions) UNION the GBT trainer's per-weekday boosting closed
-        form — both hash-exact against DuckDB."""
+        predictions) UNION the same rollout through the cogrouped
+        single-job engine UNION the GBT trainer's per-weekday boosting
+        closed form — all hash-exact against DuckDB."""
         return predict_snaive(spark, sf).unionByName(
+            predict_cogroup_snaive(spark, sf)
+        ).unionByName(
             predict_gbt_dow(spark, sf)
         )
 
@@ -1692,6 +1713,13 @@ def oracle_sql() -> dict[str, str]:
         "   CAST(last_ds AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds"
         "  FROM clast)"
         " SELECT 'snaive' AS model, s.unique_id,"
+        "  CAST(CAST(s.last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "  ROUND(v.y, 6) AS yhat"
+        " FROM steps s JOIN nums v ON v.unique_id = s.unique_id"
+        "  AND v.rn = s.n - 7 * CAST(CEIL(i / 7.0) AS INT) + i"
+        " UNION ALL"
+        # the cogrouped engine shares the loop's closed form exactly
+        " SELECT 'snaive_cogroup' AS model, s.unique_id,"
         "  CAST(CAST(s.last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
         "  ROUND(v.y, 6) AS yhat"
         " FROM steps s JOIN nums v ON v.unique_id = s.unique_id"

@@ -68,7 +68,10 @@ def _fit_predict(spark, sf_dir):
         date_features=["dayofweek"],
     )
     mf.fit(panel)
-    return mf.predict(7)
+    # all features are per-series -> the cogrouped single-job rollout is the
+    # right engine (equality with the lockstep loop: test_cogroup_predict.py;
+    # hash-exact oracle: predict_snaive_gbt's snaive_cogroup leg)
+    return mf.predict(7, engine="cogroup")
 
 
 def main():

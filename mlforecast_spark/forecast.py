@@ -426,13 +426,24 @@ class MLForecast:
         ewm_update_mode: str = "recompute",
         before_predict_callback: Optional[Callable] = None,
         after_predict_callback: Optional[Callable] = None,
+        engine: str = "spark",
     ) -> DataFrame:
         """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
         from history each step — cheapest at short histories / local scale.
         'carried' advances EWM as an O(1) per-step expression over a carried
         per-series column and trims the loop state to the finite window bound
         — wins when per-series histories are long (cluster scale); verified
-        bit-equivalent in tests/test_carried_ewm.py."""
+        bit-equivalent in tests/test_carried_ewm.py.
+
+        ``engine``: 'spark' (default) advances all series in lockstep — h
+        sequential jobs, required when features pool across series.
+        'cogroup' runs the whole h-step rollout per series inside ONE
+        ``applyInPandas`` job (``local_predict.py``) — the scale shape for
+        per-series feature sets (one shuffle, no per-step barriers);
+        equality with the loop is asserted in tests/test_cogroup_predict.py.
+        """
+        if engine not in ("spark", "cogroup"):
+            raise ValueError("engine must be 'spark' or 'cogroup'")
         s = self.schema_
         state, statics, tfms = self.state_, self.statics_, self.target_transforms
         if new_df is not None:
@@ -443,6 +454,17 @@ class MLForecast:
             results = self._predict_direct(
                 h, X_df=X_df, ids=ids, state=state, statics=statics, horizons=horizons
             )
+            results = self._inverse_transforms(results, list(self.models_), tfms)
+            results = results.orderBy(s.id_col, s.time_col)
+        elif engine == "cogroup":
+            if before_predict_callback is not None or after_predict_callback is not None:
+                raise ValueError(
+                    "predict callbacks run on Spark frames inside the lockstep "
+                    "loop; use engine='spark' with callbacks."
+                )
+            from .local_predict import predict_cogroup
+
+            results = predict_cogroup(self, h, X_df=X_df, ids=ids, state=state)
             results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
         else:

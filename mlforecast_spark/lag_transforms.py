@@ -146,6 +146,34 @@ class _BaseLagTransform:
         """Return fn(pd.Series) -> pd.Series for the per-group pandas path."""
         raise NotImplementedError(f"{type(self).__name__} has no pandas path")
 
+    def frontier_fn(self, lag: int):
+        """Return ``fn(y: np.ndarray) -> float`` giving this feature's value
+        for the NEXT row of a series whose full history (targets including
+        prior predictions, NaN for nulls) is ``y`` — the per-step kernel of
+        the cogrouped predict engine (``local_predict.py``), which runs the
+        whole h-step recursion inside one ``applyInPandas`` instead of h
+        sequential Spark jobs.
+
+        The returned closure may be stateful (EWM carries its recurrence);
+        callers must build a FRESH closure per (series, model) rollout.
+
+        Default: replay :meth:`pandas_fn` on the history extended with a NaN
+        frontier target and take the last value — O(n) per step, the escape
+        hatch for callable transforms; structured transforms override with
+        O(window) numpy kernels that mirror their Spark expressions.
+        """
+        import numpy as np
+        import pandas as pd
+
+        pfn = self.pandas_fn(lag)
+
+        def fn(y):
+            s = pd.Series(np.append(y, np.nan))
+            v = pfn(s).iloc[-1]
+            return float(v) if v == v else float("nan")
+
+        return fn
+
 
 def _pop_legacy(kwargs, global_, groupby, partition_by):
     if "global" in kwargs:
@@ -172,6 +200,16 @@ class Lag(_BaseLagTransform):
 
     def expr(self, ctx, lag: int) -> Column:
         return ctx.shift(self.lag)
+
+    def frontier_fn(self, lag: int):
+        import numpy as np
+
+        k = self.lag
+
+        def fn(y):
+            return float(y[-k]) if len(y) >= k else np.nan
+
+        return fn
 
 
 class LookupLag(_BaseLagTransform):
@@ -202,6 +240,12 @@ class LookupLag(_BaseLagTransform):
     def expr(self, ctx, lag: int) -> Column:
         w = ctx.window(extra_partition=tuple(self.partition_by))
         return F.lag(ctx.y, lag).over(w)
+
+    def frontier_fn(self, lag: int):
+        raise NotImplementedError(
+            "LookupLag buckets on extra columns the cogrouped predict engine "
+            "does not carry; use predict(engine='spark')."
+        )
 
 
 class _RollingBase(_BaseLagTransform):
@@ -273,6 +317,36 @@ class _RollingBase(_BaseLagTransform):
             return F.when(cnt >= ms, ctx.wmax(w))
         return None
 
+    def _frontier_window(self, lag: int):
+        """Slice of history feeding the frontier row's window: rows
+        ``n-lag-ws+1 .. n-lag`` for a frontier at position n = len(y)."""
+        import numpy as np
+
+        ws = self.window_size
+
+        def window(y):
+            n = len(y)
+            hi = n - lag + 1
+            if hi <= 0:
+                return y[:0]
+            vals = y[max(n - lag - ws + 1, 0) : hi]
+            return vals[~np.isnan(vals)]
+
+        return window
+
+    def frontier_fn(self, lag: int):
+        import numpy as np
+
+        window = self._frontier_window(lag)
+        ms = max(self._effective_min_samples(), 1)
+        agg = {"mean": np.mean, "min": np.min, "max": np.max}[self._agg]
+
+        def fn(y):
+            vals = window(y)
+            return float(agg(vals)) if len(vals) >= ms else np.nan
+
+        return fn
+
 
 class RollingMean(_RollingBase):
     _agg = "mean"
@@ -312,6 +386,25 @@ class RollingStd(_RollingBase):
         var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
         return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
 
+    def frontier_fn(self, lag: int):
+        import math
+
+        import numpy as np
+
+        window = self._frontier_window(lag)
+        ms = max(self._effective_min_samples(), 2)
+
+        def fn(y):
+            vals = window(y)
+            cnt = len(vals)
+            if cnt < ms:
+                return np.nan
+            s = float(vals.sum())
+            s2 = float((vals * vals).sum())
+            return math.sqrt(max((s2 - s * s / cnt) / (cnt - 1), 0.0))
+
+        return fn
+
 
 class RollingQuantile(_RollingBase):
     """Exact rolling quantile (numpy linear interpolation == Spark
@@ -332,6 +425,20 @@ class RollingQuantile(_RollingBase):
         cnt = F.count(ctx.y).over(w)
         ms = self._effective_min_samples()
         return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
+
+    def frontier_fn(self, lag: int):
+        import numpy as np
+
+        window = self._frontier_window(lag)
+        ms = max(self._effective_min_samples(), 1)
+        p = self.p
+
+        def fn(y):
+            vals = window(y)
+            # np.quantile 'linear' == Spark `percentile` interpolation
+            return float(np.quantile(vals, p)) if len(vals) >= ms else np.nan
+
+        return fn
 
 
 class _ExpandingBase(_BaseLagTransform):
@@ -390,6 +497,41 @@ class _ExpandingBase(_BaseLagTransform):
             return F.when(cnt > 1, F.sqrt(var))
         return None
 
+    def _frontier_window(self, lag: int):
+        import numpy as np
+
+        def window(y):
+            hi = len(y) - lag + 1
+            if hi <= 0:
+                return y[:0]
+            vals = y[:hi]
+            return vals[~np.isnan(vals)]
+
+        return window
+
+    def frontier_fn(self, lag: int):
+        import math
+
+        import numpy as np
+
+        window = self._frontier_window(lag)
+        agg = self._agg
+
+        def fn(y):
+            vals = window(y)
+            cnt = len(vals)
+            if agg == "std":
+                if cnt < 2:
+                    return np.nan
+                s = float(vals.sum())
+                s2 = float((vals * vals).sum())
+                return math.sqrt(max((s2 - s * s / cnt) / (cnt - 1), 0.0))
+            if cnt < 1:
+                return np.nan
+            return float({"mean": np.mean, "min": np.min, "max": np.max}[agg](vals))
+
+        return fn
+
 
 class ExpandingMean(_ExpandingBase):
     _agg = "mean"
@@ -430,6 +572,18 @@ class ExpandingQuantile(_ExpandingBase):
         w = ctx.frame(None, -lag)
         cnt = F.count(ctx.y).over(w)
         return F.when(cnt > 0, F.percentile(ctx.y, F.lit(self.p)).over(w))
+
+    def frontier_fn(self, lag: int):
+        import numpy as np
+
+        window = self._frontier_window(lag)
+        p = self.p
+
+        def fn(y):
+            vals = window(y)
+            return float(np.quantile(vals, p)) if len(vals) else np.nan
+
+        return fn
 
 
 class _SeasonalRollingBase(_BaseLagTransform):
@@ -512,6 +666,35 @@ class _SeasonalRollingBase(_BaseLagTransform):
         else:
             stat = self._stat(lagged, w)
         return F.when(cnt >= max(ms, 1), stat)
+
+    def frontier_fn(self, lag: int):
+        import math
+
+        import numpy as np
+
+        sl, ws = self.season_length, self.window_size
+        agg = self._agg
+        p = getattr(self, "p", None)
+        ms = max(self._effective_min_samples(), 2 if agg == "std" else 1)
+
+        def fn(y):
+            n = len(y)
+            # same-phase rows n - i*sl, each contributing y[n - i*sl - lag]
+            idxs = [n - lag - i * sl for i in range(ws)]
+            vals = np.array([y[i] for i in idxs if i >= 0], dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            cnt = len(vals)
+            if cnt < ms:
+                return np.nan
+            if agg == "std":
+                s = float(vals.sum())
+                s2 = float((vals * vals).sum())
+                return math.sqrt(max((s2 - s * s / cnt) / (cnt - 1), 0.0))
+            if agg == "quantile":
+                return float(np.quantile(vals, p))
+            return float({"mean": np.mean, "min": np.min, "max": np.max}[agg](vals))
+
+        return fn
 
 
 class SeasonalRollingMean(_SeasonalRollingBase):
@@ -690,6 +873,30 @@ class ExponentiallyWeightedMean(_BaseLagTransform):
 
         return fn
 
+    def frontier_fn(self, lag: int):
+        """STATEFUL kernel: the recurrence advances from a carried scalar —
+        the first call folds the whole history (the analogue of
+        ``_initial_ewm_carry``), every later call consumes only the newly
+        available lagged value: O(1) per step."""
+        import numpy as np
+
+        a = self.alpha
+        state = {"e": np.nan, "next": 0}
+
+        def fn(y):
+            last = len(y) - lag  # frontier at n uses lagged values y[..n-lag]
+            e = state["e"]
+            i = state["next"]
+            while i <= last:
+                v = y[i]
+                if v == v:  # skip NaN (ignore_na=True, adjust=False)
+                    e = v if e != e else a * v + (1 - a) * e
+                i += 1
+            state["e"], state["next"] = e, i
+            return e
+
+        return fn
+
 
 class Offset(_BaseLagTransform):
     """Shift series before the inner transform: equivalent to running the
@@ -720,6 +927,9 @@ class Offset(_BaseLagTransform):
 
     def pandas_fn(self, lag: int):
         return self.tfm.pandas_fn(lag + self.n)
+
+    def frontier_fn(self, lag: int):
+        return self.tfm.frontier_fn(lag + self.n)
 
 
 class Combine(_BaseLagTransform):
@@ -787,5 +997,22 @@ class Combine(_BaseLagTransform):
 
         def fn(s):
             return op(_side(tfm1, s, lag), _side(tfm2, s, lag))
+
+        return fn
+
+    def frontier_fn(self, lag: int):
+        import numpy as np
+
+        f1 = self.tfm1.frontier_fn(lag)
+        f2 = self.tfm2.frontier_fn(lag)
+        opr = self.operator
+        op = self._OP_COLS.get(opr, opr)
+
+        def fn(y):
+            v1, v2 = np.float64(f1(y)), np.float64(f2(y))
+            # Spark SQL x/0 -> NULL (non-ANSI); mirror that instead of inf
+            if opr is operator.truediv and (v2 != v2 or v2 == 0.0):
+                return np.nan
+            return float(op(v1, v2))
 
         return fn

@@ -1,0 +1,293 @@
+"""Cogrouped recursive-predict engine: the whole h-step rollout in ONE job.
+
+The default predict engine (``forecast.py:_predict_recursive_one``) advances
+all series in lockstep: per step it unions the frontier onto the state,
+re-applies the feature plan (Spark windows), scores, and checkpoints — h
+sequential Spark jobs. That lockstep is REQUIRED when any feature pools
+information across series (``global_``/``groupby``/``partition_by``
+transforms read other series' just-predicted values), but for per-series
+feature sets it is pure overhead: the recursion of one series never reads
+another series' predictions.
+
+This engine exploits that independence: one ``applyInPandas`` over the
+(bounded) per-series state tails runs the entire h-step recursion inside the
+UDF — per step each feature value comes from an O(window) numpy kernel
+(``_BaseLagTransform.frontier_fn``) that mirrors the transform's Spark
+expression, and the model scores a 1×k row with its driver-side ``predict``.
+
+Scale shape (the reason this exists, not just a local-floor fix): on a
+1000-executor cluster with millions of series, the default loop pays h global
+barriers — h shuffles/window sorts over the full tail frame plus h
+checkpoint materializations — while this engine pays ONE shuffle (the groupBy
+on series id) and streams Arrow batches through Python workers with zero
+further coordination. It is the engine analogue of the reference's numpy
+per-group rollout (`/root/reference/mlforecast/core.py:1061-1186`), with
+Spark doing the distribution instead of a single process.
+
+Semantics match the default engine exactly (asserted by
+``tests/test_cogroup_predict.py``): same frontier timestamps, same NaN/null
+propagation, same EWM recurrence (carried O(1) state), pandas-convention
+date features, dynamic exogenous lookups from ``X_df``. Unsupported —
+pooled/lookup transforms, Spark-side callbacks, DataFrame-returning callable
+date features — raise ``ValueError`` directing to ``engine='spark'``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .date_features import DUMMY_FEATURE_VALUES
+from .utils import parse_freq
+
+__all__ = ["predict_cogroup"]
+
+
+# pandas-convention scalar date features; value parity with the Spark
+# expressions in date_features._DATE_FEATURES (pandas Monday=0 dayofweek,
+# ISO week, calendar-boundary flags) is asserted by the engine-equality tests
+_PD_DATE_FEATURES = {
+    "year": lambda t: t.year,
+    "month": lambda t: t.month,
+    "day": lambda t: t.day,
+    "hour": lambda t: t.hour,
+    "minute": lambda t: t.minute,
+    "second": lambda t: t.second,
+    "dayofyear": lambda t: t.dayofyear,
+    "day_of_year": lambda t: t.dayofyear,
+    "weekofyear": lambda t: int(t.isocalendar()[1]),
+    "week": lambda t: int(t.isocalendar()[1]),
+    "dayofweek": lambda t: t.dayofweek,
+    "day_of_week": lambda t: t.dayofweek,
+    "weekday": lambda t: t.dayofweek,
+    "quarter": lambda t: t.quarter,
+    "daysinmonth": lambda t: t.days_in_month,
+    "days_in_month": lambda t: t.days_in_month,
+    "is_month_start": lambda t: int(t.is_month_start),
+    "is_month_end": lambda t: int(t.is_month_end),
+    "is_quarter_start": lambda t: int(t.month in (1, 4, 7, 10) and t.day == 1),
+    "is_quarter_end": lambda t: int(t.is_quarter_end),
+    "is_year_start": lambda t: int(t.month == 1 and t.day == 1),
+    "is_year_end": lambda t: int(t.month == 12 and t.day == 31),
+}
+
+
+def _py_time_plus(ts, unit: str, total: int):
+    """Python mirror of utils.time_plus for a single timestamp."""
+    if unit == "int":
+        return ts + total
+    ts = pd.Timestamp(ts)
+    if unit == "day":
+        return ts + pd.Timedelta(days=total)
+    if unit == "hour":
+        return ts + pd.Timedelta(hours=total)
+    if unit == "minute":
+        return ts + pd.Timedelta(minutes=total)
+    if unit == "second":
+        return ts + pd.Timedelta(seconds=total)
+    if unit == "month":
+        # pandas DateOffset clamps to month end like Spark add_months
+        return ts + pd.DateOffset(months=total)
+    if unit == "year":
+        return ts + pd.DateOffset(months=12 * total)
+    raise AssertionError(unit)
+
+
+def _compile_feature_specs(mf):
+    """features_order_ -> list of (kind, payload) instructions; fail fast on
+    anything the per-series rollout can't reproduce."""
+    plan = mf.plan_
+    registry = plan.registry
+    statics = set(mf.static_cols_)
+    dynamics = set(mf.dynamic_cols_)
+    date_strs = {f for f in plan.date_features if isinstance(f, str)}
+    callables = {f.__name__: f for f in plan.date_features if callable(f)}
+    dummy_of = {}
+    if plan.date_features_as_dummies:
+        for feat in date_strs:
+            if feat in DUMMY_FEATURE_VALUES:
+                for v in DUMMY_FEATURE_VALUES[feat]:
+                    dummy_of[f"{feat}_{v}"] = (feat, v)
+
+    for name, (lag, tfm) in registry.items():
+        if tfm.is_pooled:
+            raise ValueError(
+                f"predict(engine='cogroup') cannot compute pooled feature "
+                f"{name!r}: cross-series transforms need the lockstep loop — "
+                "use engine='spark'."
+            )
+        try:
+            tfm.frontier_fn(lag)  # fail fast (LookupLag, exotic transforms)
+        except NotImplementedError as e:
+            raise ValueError(
+                f"predict(engine='cogroup') cannot compute feature {name!r}: {e}"
+            ) from e
+
+    specs = []
+    for col in mf.features_order_:
+        if col in statics:
+            specs.append(("static", col))
+        elif col in dynamics:
+            specs.append(("dynamic", col))
+        elif col in registry:
+            specs.append(("tfm", col))
+        elif col in dummy_of:
+            specs.append(("dummy", dummy_of[col]))
+        elif col in date_strs and not (
+            plan.date_features_as_dummies and col in DUMMY_FEATURE_VALUES
+        ):
+            if col not in _PD_DATE_FEATURES:
+                raise ValueError(
+                    f"predict(engine='cogroup') has no pandas kernel for date "
+                    f"feature {col!r}; use engine='spark'."
+                )
+            specs.append(("date", col))
+        elif col in callables:
+            specs.append(("date_callable", callables[col]))
+        else:
+            raise ValueError(
+                f"predict(engine='cogroup') cannot source feature {col!r}; "
+                "use engine='spark'."
+            )
+    return specs
+
+
+def predict_cogroup(
+    mf,
+    h: int,
+    X_df: Optional[DataFrame] = None,
+    ids: Optional[Sequence[str]] = None,
+    state: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Run every model's h-step recursive rollout in one distributed pass.
+
+    Returns the same (id, time, <model>...) frame as the default engine,
+    BEFORE target-transform inversion (the caller applies that, shared with
+    the loop path).
+    """
+    s = mf.schema_
+    state = mf.state_ if state is None else state
+    if ids is not None:
+        state = state.filter(F.col(s.id_col).isin(list(ids)))
+    dyn_cols = list(mf.dynamic_cols_)
+    if dyn_cols and X_df is None:
+        raise ValueError(f"Dynamic features {dyn_cols} require `X_df` at predict.")
+
+    models = dict(mf.models_)
+    for name, model in models.items():
+        if not hasattr(model, "predict"):
+            raise ValueError(
+                f"Model {name!r} has no driver-side `predict`; "
+                "use engine='spark'."
+            )
+    specs = _compile_feature_specs(mf)
+    registry = mf.plan_.registry
+    unit, step = parse_freq(mf.freq)
+    id_field = state.schema[s.id_col]
+    ds_type = state.schema[s.time_col].dataType
+    ds_is_date = isinstance(ds_type, T.DateType)
+    out_schema = T.StructType(
+        [id_field, T.StructField(s.time_col, ds_type)]
+        + [T.StructField(name, T.DoubleType()) for name in models]
+    )
+    id_col, time_col, target_col = s.id_col, s.time_col, s.target_col
+    static_cols = list(mf.static_cols_)
+    model_items = list(models.items())
+
+    def rollout(pdf: pd.DataFrame, xpdf: Optional[pd.DataFrame]) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        pdf = pdf.sort_values(time_col)
+        y0 = pdf[target_col].astype("float64").to_numpy()
+        n0 = len(y0)
+        sid = pdf[id_col].iloc[0]
+        last_ds = pdf[time_col].iloc[-1]
+        statics_row = {c: pdf[c].iloc[-1] for c in static_cols}
+        dyn_lookup = {}
+        if xpdf is not None and len(xpdf):
+            for _, r in xpdf.iterrows():
+                key = pd.Timestamp(r[time_col]) if unit != "int" else r[time_col]
+                dyn_lookup[key] = r
+        future_ds = []
+        for step_i in range(1, h + 1):
+            ds = _py_time_plus(last_ds, unit, step * step_i)
+            future_ds.append(ds)
+        preds_by_model = {}
+        for mname, model in model_items:
+            buf = np.concatenate([y0, np.full(h, np.nan)])
+            kernels = {
+                fname: tfm.frontier_fn(lag)
+                for fname, (lag, tfm) in registry.items()
+            }
+            out = np.empty(h)
+            for step_i in range(1, h + 1):
+                hist = buf[: n0 + step_i - 1]
+                ds = future_ds[step_i - 1]
+                xrow = dyn_lookup.get(
+                    pd.Timestamp(ds) if unit != "int" else ds
+                )
+                vals = np.empty(len(specs))
+                for j, (kind, payload) in enumerate(specs):
+                    if kind == "tfm":
+                        v = kernels[payload](hist)
+                    elif kind == "static":
+                        v = statics_row[payload]
+                    elif kind == "dynamic":
+                        v = xrow[payload] if xrow is not None else np.nan
+                    elif kind == "date":
+                        v = _PD_DATE_FEATURES[payload](pd.Timestamp(ds))
+                    elif kind == "dummy":
+                        feat, want = payload
+                        v = int(_PD_DATE_FEATURES[feat](pd.Timestamp(ds)) == want)
+                    else:  # date_callable
+                        res = payload(pd.DatetimeIndex([ds]))
+                        if isinstance(res, pd.DataFrame):
+                            raise ValueError(
+                                "DataFrame-returning callable date features "
+                                "are not supported by engine='cogroup'."
+                            )
+                        v = pd.Series(res).iloc[0]
+                    try:
+                        vals[j] = np.float64(v) if v is not None else np.nan
+                    except (TypeError, ValueError) as e:
+                        raise ValueError(
+                            f"feature {specs[j]!r} is not numeric: {v!r}"
+                        ) from e
+                pred = float(np.asarray(model.predict(vals.reshape(1, -1)))[0])
+                buf[n0 + step_i - 1] = pred
+                out[step_i - 1] = pred
+            preds_by_model[mname] = out
+        if ds_is_date:
+            ds_out = [pd.Timestamp(d).date() for d in future_ds]
+        elif unit == "int":
+            ds_out = future_ds
+        else:
+            ds_out = [pd.Timestamp(d) for d in future_ds]
+        data = {id_col: [sid] * h, time_col: ds_out}
+        for mname, out in preds_by_model.items():
+            data[mname] = out
+        return pd.DataFrame(data)
+
+    if dyn_cols:
+        xsel = X_df.select(id_col, time_col, *dyn_cols)
+        if ids is not None:
+            xsel = xsel.filter(F.col(id_col).isin(list(ids)))
+
+        def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return rollout(left, right)
+
+        return (
+            state.groupBy(id_col)
+            .cogroup(xsel.groupBy(id_col))
+            .applyInPandas(run, schema=out_schema)
+        )
+
+    def run_solo(pdf: pd.DataFrame) -> pd.DataFrame:
+        return rollout(pdf, None)
+
+    return state.groupBy(id_col).applyInPandas(run_solo, schema=out_schema)

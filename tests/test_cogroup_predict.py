@@ -1,0 +1,204 @@
+"""Engine equality: predict(engine='cogroup') vs the lockstep Spark loop.
+
+The cogrouped engine (mlforecast_spark/local_predict.py) runs the whole
+h-step recursive rollout per series inside one applyInPandas job; the loop
+engine advances all series per step with Spark windows. Both must produce
+the same forecasts — these tests compare them on feature sets covering
+every frontier kernel (`_BaseLagTransform.frontier_fn`).
+"""
+
+import operator
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mlforecast_spark import MLForecast
+from mlforecast_spark.lag_transforms import (
+    Combine,
+    ExpandingMean,
+    ExpandingQuantile,
+    ExpandingStd,
+    ExponentiallyWeightedMean,
+    Lag,
+    Offset,
+    RollingMax,
+    RollingMean,
+    RollingMin,
+    RollingQuantile,
+    RollingStd,
+    SeasonalRollingMean,
+    SeasonalRollingStd,
+)
+from mlforecast_spark.models import LinearRegression, SeasonalNaive
+from mlforecast_spark.target_transforms import Differences, LocalStandardScaler
+
+
+def _compare(mf, h, **predict_kwargs):
+    loop = mf.predict(h, **predict_kwargs).toPandas()
+    cg = mf.predict(h, engine="cogroup", **predict_kwargs).toPandas()
+    assert sorted(loop.columns) == sorted(cg.columns)
+    key = ["unique_id", "ds"]
+    loop = loop.sort_values(key).reset_index(drop=True)
+    cg = cg[loop.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        loop[key], cg[key], check_dtype=False
+    )
+    for c in loop.columns:
+        if c in key:
+            continue
+        np.testing.assert_allclose(
+            loop[c].to_numpy(dtype="float64"),
+            cg[c].to_numpy(dtype="float64"),
+            rtol=1e-8,
+            atol=1e-10,
+            err_msg=f"column {c}",
+        )
+    return cg
+
+
+def test_all_kernels_equal(spark, panel):
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={
+            1: [
+                RollingMean(window_size=7),
+                RollingStd(window_size=7, min_samples=2),
+                RollingMin(window_size=5),
+                RollingMax(window_size=5),
+                RollingQuantile(p=0.5, window_size=9, min_samples=3),
+                ExpandingMean(),
+                ExpandingStd(),
+                ExpandingQuantile(p=0.25),
+                ExponentiallyWeightedMean(alpha=0.9),
+                Offset(RollingMean(window_size=3), 1),
+                Combine(Lag(1), Lag(7), operator.truediv),
+            ],
+            2: [SeasonalRollingMean(season_length=7, window_size=3, min_samples=1)],
+        },
+        date_features=["dayofweek", "month", "is_month_start"],
+    )
+    mf.fit(panel)
+    _compare(mf, 6)
+
+
+def test_seasonal_std_and_multi_model(spark, panel):
+    mf = MLForecast(
+        models=[LinearRegression(), SeasonalNaive(season_length=7)],
+        freq="D",
+        lags=[7],
+        lag_transforms={
+            1: [SeasonalRollingStd(season_length=7, window_size=4, min_samples=2)]
+        },
+    )
+    mf.fit(panel)
+    cg = _compare(mf, 10)
+    assert set(cg.columns) >= {"LinearRegression", "SeasonalNaive"}
+
+
+def test_statics_and_date_dummies(spark, panel_static):
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1],
+        lag_transforms={1: [RollingMean(window_size=4)]},
+        date_features=["dayofweek"],
+        date_features_as_dummies=True,
+    )
+    mf.fit(panel_static, static_features=["static_0", "static_1"])
+    _compare(mf, 4)
+
+
+def test_dynamic_exog(spark, panel):
+    from mlforecast_spark.utils import future_grid
+
+    p = panel.withColumn("price", (F.dayofmonth("ds") / 31.0))
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 2])
+    mf.fit(p, static_features=[])
+    X_df = future_grid(p, "D", 3).withColumn(
+        "price", (F.dayofmonth("ds") / 31.0)
+    )
+    _compare(mf, 3, X_df=X_df)
+
+
+def test_target_transforms_and_ids(spark, panel):
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        target_transforms=[Differences([1]), LocalStandardScaler()],
+    )
+    mf.fit(panel)
+    _compare(mf, 5, ids=["id_0", "id_2"])
+
+
+def test_callable_transform_fallback(spark, panel):
+    def diff_mean(x):
+        out = np.full(len(x), np.nan)
+        for i in range(1, len(x)):
+            window = x[max(0, i - 3) : i]
+            window = window[~np.isnan(window)]
+            if len(window):
+                out[i] = x[i] - window.mean() if not np.isnan(x[i]) else np.nan
+        return out
+
+    mf2 = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1],
+        lag_transforms={1: [diff_mean]},
+    )
+    mf2.fit(panel)
+    _compare(mf2, 3)
+
+
+def test_integer_freq(spark):
+    pdf = pd.DataFrame(
+        {
+            "unique_id": np.repeat(["a", "b"], 30),
+            "ds": np.tile(np.arange(30), 2),
+            "y": np.arange(60, dtype="float64") ** 1.1,
+        }
+    )
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq=1,
+        lags=[1, 3],
+        lag_transforms={1: [ExpandingMean()]},
+    )
+    mf.fit(spark.createDataFrame(pdf))
+    _compare(mf, 4)
+
+
+def test_pooled_feature_rejected(spark, panel):
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1],
+        lag_transforms={1: [RollingMean(window_size=7, global_=True)]},
+    )
+    mf.fit(panel)
+    with pytest.raises(ValueError, match="pooled"):
+        mf.predict(3, engine="cogroup")
+
+
+def test_callbacks_rejected(spark, panel):
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1])
+    mf.fit(panel)
+    with pytest.raises(ValueError, match="callback"):
+        mf.predict(3, engine="cogroup", before_predict_callback=lambda df: df)
+
+
+def test_new_df_warmup(spark, panel):
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7)]},
+    )
+    mf.fit(panel)
+    new_df = panel.filter(F.col("unique_id").isin(["id_1", "id_3"]))
+    _compare(mf, 4, new_df=new_df)
