@@ -1491,6 +1491,7 @@ class MLForecast:
         weight_col: Optional[str] = None,
         horizon_features: Optional[dict] = None,
         horizon_feature_templates: Optional[Sequence[str]] = None,
+        engine: str = "spark",
     ) -> DataFrame:
         """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
         per-series cutoffs relative to each series' own end; result is the
@@ -1499,7 +1500,11 @@ class MLForecast:
         ``weight_col`` / ``horizon_features`` / ``horizon_feature_templates``
         are forwarded into each window's fit so backtest models train exactly
         like the final model — required when fit(prediction_intervals=...)
-        delegates here, else the nested fits would silently reset them."""
+        delegates here, else the nested fits would silently reset them.
+
+        ``engine`` forwards to :meth:`predict` for each window's rollout —
+        with per-series features, ``'cogroup'`` turns the backtest's
+        n_windows × h sequential predict jobs into n_windows single jobs."""
         step_size = step_size or h
         w_last = Window.partitionBy(id_col)
         df = df.withColumn("_max_ds", F.max(time_col).over(w_last))
@@ -1540,7 +1545,7 @@ class MLForecast:
                 getattr(self, "horizon_cols_", [])
             )
             X_df = valid.drop(target_col) if future_cols else None
-            preds = self.predict(h, X_df=X_df)
+            preds = self.predict(h, X_df=X_df, engine=engine)
             merged = (
                 valid.select(id_col, time_col, target_col)
                 .join(preds, on=[id_col, time_col], how="inner")

@@ -192,6 +192,28 @@ def test_callbacks_rejected(spark, panel):
         mf.predict(3, engine="cogroup", before_predict_callback=lambda df: df)
 
 
+def test_cross_validation_engine(spark, panel):
+    def build():
+        return MLForecast(
+            models=[LinearRegression()],
+            freq="D",
+            lags=[1, 7],
+            lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+        )
+
+    key = ["unique_id", "ds", "cutoff"]
+    loop = build().cross_validation(panel, n_windows=2, h=4).toPandas()
+    cg = build().cross_validation(
+        panel, n_windows=2, h=4, engine="cogroup"
+    ).toPandas()
+    loop = loop.sort_values(key).reset_index(drop=True)
+    cg = cg[loop.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(loop[key], cg[key], check_dtype=False)
+    np.testing.assert_allclose(
+        loop["LinearRegression"], cg["LinearRegression"], rtol=1e-8
+    )
+
+
 def test_new_df_warmup(spark, panel):
     mf = MLForecast(
         models=[LinearRegression()],
