@@ -52,6 +52,47 @@ def test_stream_update_micro_batches(spark, tmp_path):
     assert preds["ds"].iloc[0] == 22
 
 
+def test_stream_forecast_emits_per_batch(spark, tmp_path):
+    """Each micro-batch appends to the state and writes an h-step forecast
+    for the updated series into its own batch_id partition; the forecast
+    after the stream drains must equal a fresh batch predict."""
+    from mlforecast_spark.streaming import stream_forecast
+
+    hist = spark.createDataFrame(
+        [(sid, t, float(t) + (0.0 if sid == "a" else 100.0))
+         for sid in ("a", "b") for t in range(20)],
+        "unique_id string, ds long, y double",
+    )
+    mf = MLForecast(models=[LinearRegression()], freq=1, lags=[1, 2])
+    mf.fit(hist)
+
+    new_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [("a", 20, 20.0), ("a", 21, 21.0)], "unique_id string, ds long, y double"
+    ).write.parquet(new_dir)
+
+    stream = spark.readStream.schema(
+        "unique_id string, ds long, y double"
+    ).parquet(new_dir)
+    fc_path = str(tmp_path / "forecasts")
+    q = stream_forecast(
+        mf, stream, h=3, forecast_path=fc_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(fc_path).toPandas()
+    assert set(out["unique_id"]) == {"a"}  # only the updated series
+    assert sorted(out["ds"]) == [22, 23, 24]  # h steps past the new tail
+    ref = mf.predict(3, ids=["a"], engine="cogroup").toPandas()
+    merged = out.sort_values("ds").reset_index(drop=True)
+    np.testing.assert_allclose(
+        merged["LinearRegression"],
+        ref.sort_values("ds")["LinearRegression"].to_numpy(),
+        rtol=1e-9,
+    )
+
+
 def test_stream_score_is_expression_only(spark, panel):
     from mlforecast_spark.streaming import stream_score
 
