@@ -178,7 +178,11 @@ class MLForecast:
         weight_col: Optional[str] = None,
         horizon_features: Optional[dict] = None,
         horizon_feature_templates: Optional[Sequence[str]] = None,
+        engine: str = "spark",
     ) -> "MLForecast":
+        # ``engine`` is forwarded to the conformal-calibration backtest
+        # (prediction_intervals): with per-series features 'cogroup' turns
+        # its n_windows x h sequential predict jobs into n_windows jobs.
         # Per-horizon exog convention (`/root/reference/mlforecast/forecast.py:296-421`):
         # template column `name_{s}` at a row with timestamp t carries the
         # exogenous information for time t+s-1 — i.e. the time that direct
@@ -207,6 +211,7 @@ class MLForecast:
                 weight_col=weight_col,
                 horizon_features=horizon_features,
                 horizon_feature_templates=horizon_feature_templates,
+                engine=engine,
             )
             self.cs_df_ = conformity_scores(
                 cv,

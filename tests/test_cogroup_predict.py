@@ -214,6 +214,31 @@ def test_cross_validation_engine(spark, panel):
     )
 
 
+def test_conformal_fit_engine(spark, panel):
+    """fit(engine='cogroup') routes the conformal-calibration backtest
+    through the cogrouped rollout; intervals must match the loop engine."""
+    from mlforecast_spark.conformal import PredictionIntervals
+
+    def run(engine):
+        mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+        mf.fit(
+            panel,
+            prediction_intervals=PredictionIntervals(n_windows=2, h=3),
+            engine=engine,
+        )
+        return (
+            mf.predict(3, level=[80])
+            .toPandas()
+            .sort_values(["unique_id", "ds"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run("spark"), run("cogroup")
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c], b[c], rtol=1e-8, err_msg=c)
+
+
 def test_new_df_warmup(spark, panel):
     mf = MLForecast(
         models=[LinearRegression()],
