@@ -177,7 +177,12 @@ class AutoMLForecast:
         time_col: str = "ds",
         target_col: str = "y",
         static_features: Optional[Sequence[str]] = None,
+        engine: str = "spark",
     ) -> "AutoMLForecast":
+        # ``engine='cogroup'`` routes every trial's backtest through the
+        # single-job rollout (local_predict.py); configs whose sampled
+        # features the cogroup engine refuses (pooled transforms) fall back
+        # to the lockstep loop for that trial instead of failing the study.
         rng = random.Random(self.seed)
         space = None
         if self.init_config is None:
@@ -214,15 +219,30 @@ class AutoMLForecast:
                 target_transforms=feat_cfg.get("target_transforms"),
             )
             try:
-                cv = mf.cross_validation(
-                    df,
-                    n_windows=n_windows,
-                    h=h,
-                    id_col=id_col,
-                    time_col=time_col,
-                    target_col=target_col,
-                    static_features=static_features,
-                ).cache()
+                try:
+                    cv = mf.cross_validation(
+                        df,
+                        n_windows=n_windows,
+                        h=h,
+                        id_col=id_col,
+                        time_col=time_col,
+                        target_col=target_col,
+                        static_features=static_features,
+                        engine=engine,
+                    ).cache()
+                except ValueError as ve:
+                    if engine == "spark" or "cogroup" not in str(ve):
+                        raise
+                    cv = mf.cross_validation(
+                        df,
+                        n_windows=n_windows,
+                        h=h,
+                        id_col=id_col,
+                        time_col=time_col,
+                        target_col=target_col,
+                        static_features=static_features,
+                        engine="spark",
+                    ).cache()
                 losses = {
                     name: self.loss(cv, name, target_col) for name in self.models
                 }

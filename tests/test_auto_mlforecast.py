@@ -27,6 +27,31 @@ def test_auto_mlforecast_study(spark, panel):
     assert preds["Ridge"].notna().all()
 
 
+def test_auto_mlforecast_cogroup_engine_same_study(spark, panel):
+    """engine='cogroup' must reproduce the default study exactly: same
+    trials, same losses, same winner (the rollouts are engine-equal)."""
+    import numpy as np
+
+    def run(engine):
+        auto = AutoMLForecast(
+            models=[AutoModel(Ridge, lambda rng: {"alpha": rng.choice([0.1, 1.0])})],
+            freq="D",
+            season_length=7,
+            num_samples=2,
+            seed=1,
+        )
+        auto.fit(panel, n_windows=2, h=3, engine=engine)
+        return auto
+
+    a, b = run("spark"), run("cogroup")
+    for ta, tb in zip(a.trials_, b.trials_):
+        assert ("losses" in ta) == ("losses" in tb)
+        if "losses" in ta:
+            np.testing.assert_allclose(
+                ta["losses"]["Ridge"], tb["losses"]["Ridge"], rtol=1e-8
+            )
+
+
 def test_update_validation(spark):
     hist = spark.createDataFrame(
         [("a", t, float(t)) for t in range(20)], "unique_id string, ds long, y double"
