@@ -38,7 +38,13 @@ class LightGBMCV:
         target_transforms: Optional[Sequence] = None,
         num_threads: int = 1,
         params: Optional[dict] = None,
+        predict_engine: str = "spark",
     ):
+        # predict_engine='cogroup' scores each eval stage with the
+        # single-job rollout (local_predict.py) instead of h sequential
+        # frontier jobs — per partial_fit call, per window; feature sets the
+        # cogroup engine refuses fall back to the loop permanently.
+        self.predict_engine = predict_engine
         self.freq = freq
         self.lags = lags
         self.lag_transforms = lag_transforms
@@ -148,7 +154,13 @@ class LightGBMCV:
             mf = wstate["mf"]
             mf.models_ = {"Booster": booster}
             mf.max_horizon_ = None
-            preds = mf.predict(self.h)
+            try:
+                preds = mf.predict(self.h, engine=self.predict_engine)
+            except ValueError as ve:
+                if self.predict_engine == "spark" or "cogroup" not in str(ve):
+                    raise
+                self.predict_engine = "spark"
+                preds = mf.predict(self.h)
             merged = wstate["valid"].join(preds, on=[id_col, time_col])
             y_c, p_c = F.col(f"`{target_col}`"), F.col("Booster")
             denom = F.abs(y_c) + F.abs(p_c)

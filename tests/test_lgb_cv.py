@@ -17,3 +17,18 @@ def test_lgb_cv_staged_training(spark, panel):
     n_series = panel.select("unique_id").distinct().count()
     assert len(preds) == 3 * n_series
     assert preds["GradientBoostedTrees"].notna().all()
+
+
+def test_lgb_cv_cogroup_scoring_matches(spark, panel):
+    """predict_engine='cogroup' must reproduce the loop engine's staged
+    metric history exactly (same boosters, engine-equal rollouts)."""
+    import numpy as np
+
+    def run(engine):
+        cv = LightGBMCV(
+            freq="D", lags=[1, 7], params={"max_depth": 3},
+            predict_engine=engine,
+        )
+        return cv.fit(panel, n_windows=2, h=3, num_iterations=20, eval_every=10)
+
+    np.testing.assert_allclose(run("spark"), run("cogroup"), rtol=1e-8)
