@@ -173,6 +173,30 @@ def test_integer_freq(spark):
     _compare(mf, 4)
 
 
+def test_generic_numpy_model(spark, panel):
+    """A model with only fit/predict (no Spark scorer): the loop engine
+    scores it via a broadcast pandas_udf, the cogroup engine calls predict
+    directly in the rollout — both must agree."""
+
+    class TinyKNN:
+        allow_driver_collect = True
+
+        def fit(self, X, y):
+            self.X, self.y = X, y
+            return self
+
+        def predict(self, X):
+            out = np.empty(len(X))
+            for i, row in enumerate(np.asarray(X, dtype="float64")):
+                d = ((self.X - row) ** 2).sum(axis=1)
+                out[i] = self.y[np.argsort(d)[:3]].mean()
+            return out
+
+    mf = MLForecast(models={"knn": TinyKNN()}, freq="D", lags=[1, 2])
+    mf.fit(panel)
+    _compare(mf, 3)
+
+
 def test_pooled_feature_rejected(spark, panel):
     mf = MLForecast(
         models=[LinearRegression()],
