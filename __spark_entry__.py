@@ -875,17 +875,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("SeasonalNaive", 6).alias("yhat"),
         )
 
+    def predict_linreg_lag7(spark, sf):
+        """The LINEAR Gram trainer under the hash gate: one feature (lag7)
+        on the integer count panel makes OLS DuckDB-expressible — all
+        normal-equation sums are fp-exact integers (< 2^53), so
+        b = (nΣxy − ΣxΣy)/(nΣxx − Σx²) and a = (Σy − bΣx)/n agree with
+        the Gram solve (`models.py:83`, JVM HashAggregate + numpy 2×2
+        solve) to ~1e-15 relative — far below the round(6) boundary at
+        count scale. h=10 exercises the rollout's feedback too: steps
+        8-10 predict from the loop's own step-(i-7) predictions, a
+        closed form (a + b·a + b²·x) in the oracle."""
+        from mlforecast_spark import MLForecast
+        from mlforecast_spark.models import LinearRegression
+
+        panel = _count_panel(spark, sf)
+        mf = MLForecast(models={"LR": LinearRegression()}, freq="D", lags=[7])
+        mf.fit(panel)
+        return mf.predict(10).select(
+            F.lit("linreg").alias("model"),
+            "unique_id",
+            "ds",
+            F.round("LR", 6).alias("yhat"),
+        )
+
     def predict_closed_forms(spark, sf):
         """Merged slot (the driver checks only the first 50 queries): the
         recursive predict engine under SeasonalNaive's positional closed
         form (h=10, incl. steps 8-10 feeding back the loop's own
         predictions) UNION the same rollout through the cogrouped
         single-job engine UNION the GBT trainer's per-weekday boosting
+        closed form UNION the linear Gram trainer's single-feature OLS
         closed form — all hash-exact against DuckDB."""
         return predict_snaive(spark, sf).unionByName(
             predict_cogroup_snaive(spark, sf)
         ).unionByName(
             predict_gbt_dow(spark, sf)
+        ).unionByName(
+            predict_linreg_lag7(spark, sf)
         )
 
     q["predict_snaive_gbt"] = predict_closed_forms
@@ -1711,7 +1737,31 @@ def oracle_sql() -> dict[str, str]:
         " cfut AS (SELECT unique_id, CAST(unnest(generate_series("
         "   CAST(last_ds AS TIMESTAMP) + INTERVAL 1 DAY,"
         "   CAST(last_ds AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds"
-        "  FROM clast)"
+        "  FROM clast),"
+        # single-feature OLS closed form: integer count panel -> all
+        # normal-equation sums fp-exact, so the explicit Cramer solution
+        # matches the engine's Gram solve far below round(6)
+        " cnums AS (SELECT unique_id, ds, y,"
+        "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,"
+        "  COUNT(*) OVER (PARTITION BY unique_id) AS n,"
+        "  MAX(ds) OVER (PARTITION BY unique_id) AS last_ds"
+        " FROM cpanel),"
+        " lpairs AS (SELECT a.y AS yv, b.y AS xv FROM cnums a JOIN cnums b"
+        "  ON a.unique_id = b.unique_id AND b.rn = a.rn - 7),"
+        " lstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(xv) AS sx,"
+        "  SUM(yv) AS sy, SUM(xv*yv) AS sxy, SUM(xv*xv) AS sxx FROM lpairs),"
+        " lcoef AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b,"
+        "  (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS a FROM lstats),"
+        " lsteps AS (SELECT unique_id, n, last_ds,"
+        "  unnest(generate_series(1, 10)) AS i"
+        "  FROM (SELECT DISTINCT unique_id, n, last_ds FROM cnums)),"
+        " lp1 AS (SELECT s.unique_id, s.i, s.last_ds, c.a + c.b * v.y AS yhat"
+        "  FROM lsteps s JOIN cnums v ON v.unique_id = s.unique_id"
+        "   AND v.rn = s.n + s.i - 7, lcoef c WHERE s.i <= 7),"
+        # steps 8-10 feed back the rollout's own step-(i-7) predictions
+        " lp2 AS (SELECT p.unique_id, p.i + 7 AS i, p.last_ds,"
+        "  c.a + c.b * p.yhat AS yhat FROM lp1 p, lcoef c WHERE p.i <= 3),"
+        " lpred AS (SELECT * FROM lp1 UNION ALL SELECT * FROM lp2)"
         " SELECT 'snaive' AS model, s.unique_id,"
         "  CAST(CAST(s.last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
         "  ROUND(v.y, 6) AS yhat"
@@ -1727,6 +1777,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL"
         " SELECT 'gbt' AS model, f.unique_id, f.ds, ROUND(it.c3, 6) AS yhat"
         " FROM cfut f JOIN it ON dayofweek(f.ds) = it.dow"
+        " UNION ALL"
+        " SELECT 'linreg' AS model, unique_id,"
+        "  CAST(CAST(last_ds AS TIMESTAMP) + i * INTERVAL 1 DAY AS DATE) AS ds,"
+        "  ROUND(yhat, 6) AS yhat FROM lpred"
     )
 
     # CV closed form: per window (backs 14, 7 days), predictions are the
