@@ -190,3 +190,26 @@ def test_pooled_global_rolling_quantile_is_hash_join(spark, panel):
     feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
     plan = _plan(feats)
     assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):
+    """predict(engine='cogroup') must plan as a single grouped-map pass over
+    the state: exactly one FlatMapGroupsInPandas, NO WindowExec and NO
+    per-step union cascade — the shape whose cost is one shuffle at any h."""
+    from mlforecast_spark import MLForecast
+    from mlforecast_spark.lag_transforms import RollingMean
+    from mlforecast_spark.models import LinearRegression
+
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+        date_features=["dayofweek"],
+    )
+    mf.fit(panel)
+    preds = mf.predict(7, engine="cogroup")
+    plan = _plan(preds)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Union" not in plan, plan[:2000]
