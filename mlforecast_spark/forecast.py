@@ -432,6 +432,7 @@ class MLForecast:
         before_predict_callback: Optional[Callable] = None,
         after_predict_callback: Optional[Callable] = None,
         engine: str = "spark",
+        cogroup_buckets: Optional[int] = None,
     ) -> DataFrame:
         """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
         from history each step — cheapest at short histories / local scale.
@@ -446,6 +447,10 @@ class MLForecast:
         ``applyInPandas`` job (``local_predict.py``) — the scale shape for
         per-series feature sets (one shuffle, no per-step barriers);
         equality with the loop is asserted in tests/test_cogroup_predict.py.
+        ``cogroup_buckets``: with millions of series, group the rollout by
+        ``hash(id) % cogroup_buckets`` (≈ a few × total cores) so the fixed
+        per-UDF-call cost amortizes across a bucket's series instead of
+        being paid per series; values are identical.
         """
         if engine not in ("spark", "cogroup"):
             raise ValueError("engine must be 'spark' or 'cogroup'")
@@ -469,7 +474,10 @@ class MLForecast:
                 )
             from .local_predict import predict_cogroup
 
-            results = predict_cogroup(self, h, X_df=X_df, ids=ids, state=state)
+            results = predict_cogroup(
+                self, h, X_df=X_df, ids=ids, state=state,
+                bucket_by=cogroup_buckets,
+            )
             results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
         else:

@@ -163,12 +163,20 @@ def predict_cogroup(
     X_df: Optional[DataFrame] = None,
     ids: Optional[Sequence[str]] = None,
     state: Optional[DataFrame] = None,
+    bucket_by: Optional[int] = None,
 ) -> DataFrame:
     """Run every model's h-step recursive rollout in one distributed pass.
 
     Returns the same (id, time, <model>...) frame as the default engine,
     BEFORE target-transform inversion (the caller applies that, shared with
     the loop path).
+
+    ``bucket_by``: group the pass by ``hash(id) % bucket_by`` instead of by
+    id, looping over the bucket's series inside each UDF call. With
+    millions of series, per-series groups pay a fixed Python-call + Arrow
+    batch cost per SERIES; bucketing amortizes it per BUCKET (pick
+    bucket_by ≈ a few × total cores). Values are identical either way —
+    the rollout never crosses series.
     """
     s = mf.schema_
     state = mf.state_ if state is None else state
@@ -273,21 +281,46 @@ def predict_cogroup(
             data[mname] = out
         return pd.DataFrame(data)
 
+    def rollout_many(pdf: pd.DataFrame, xpdf: Optional[pd.DataFrame]) -> pd.DataFrame:
+        """Bucketed path: one UDF call handles every series in the bucket."""
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        frames = []
+        xgroups = (
+            dict(tuple(xpdf.groupby(id_col, sort=False)))
+            if xpdf is not None and len(xpdf)
+            else {}
+        )
+        for sid, g in pdf.groupby(id_col, sort=False):
+            frames.append(rollout(g, xgroups.get(sid)))
+        return pd.concat(frames, ignore_index=True)
+
+    bucket_col = "_mlfs_bucket"
+    if bucket_by is not None:
+        state = state.withColumn(
+            bucket_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(bucket_by)))
+        )
+    group_key = bucket_col if bucket_by is not None else id_col
+
     if dyn_cols:
         xsel = X_df.select(id_col, time_col, *dyn_cols)
         if ids is not None:
             xsel = xsel.filter(F.col(id_col).isin(list(ids)))
+        if bucket_by is not None:
+            xsel = xsel.withColumn(
+                bucket_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(bucket_by)))
+            )
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            return rollout(left, right)
+            return rollout_many(left, right)
 
         return (
-            state.groupBy(id_col)
-            .cogroup(xsel.groupBy(id_col))
+            state.groupBy(group_key)
+            .cogroup(xsel.groupBy(group_key))
             .applyInPandas(run, schema=out_schema)
         )
 
     def run_solo(pdf: pd.DataFrame) -> pd.DataFrame:
-        return rollout(pdf, None)
+        return rollout_many(pdf, None)
 
-    return state.groupBy(id_col).applyInPandas(run_solo, schema=out_schema)
+    return state.groupBy(group_key).applyInPandas(run_solo, schema=out_schema)

@@ -173,6 +173,32 @@ def test_integer_freq(spark):
     _compare(mf, 4)
 
 
+def test_bucketed_rollout_identical(spark, panel):
+    """bucket_by groups series by hash bucket; values must be identical to
+    per-series groups (incl. with dynamic exog through the cogroup join)."""
+    from mlforecast_spark.utils import future_grid
+
+    p = panel.withColumn("price", (F.dayofmonth("ds") / 31.0))
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+    )
+    mf.fit(p, static_features=[])
+    X_df = future_grid(p, "D", 4).withColumn("price", (F.dayofmonth("ds") / 31.0))
+    key = ["unique_id", "ds"]
+    base = (
+        mf.predict(4, X_df=X_df, engine="cogroup")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    bucketed = (
+        mf.predict(4, X_df=X_df, engine="cogroup", cogroup_buckets=3)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, bucketed[base.columns])
+
+
 def test_generic_numpy_model(spark, panel):
     """A model with only fit/predict (no Spark scorer): the loop engine
     scores it via a broadcast pandas_udf, the cogroup engine calls predict
