@@ -173,6 +173,21 @@ def test_integer_freq(spark):
     _compare(mf, 4)
 
 
+def test_short_series_null_features(spark):
+    """A series shorter than the lag yields null features; both engines
+    must propagate that to null/NaN predictions identically."""
+    pdf = pd.DataFrame(
+        {
+            "unique_id": ["a"] * 3 + ["b"] * 30,
+            "ds": list(range(3)) + list(range(30)),
+            "y": [1.0, 2.0, 3.0] + [float(t) for t in range(30)],
+        }
+    )
+    mf = MLForecast(models=[LinearRegression()], freq=1, lags=[7])
+    mf.fit(spark.createDataFrame(pdf))
+    _compare(mf, 2)
+
+
 def test_bucketed_rollout_identical(spark, panel):
     """bucket_by groups series by hash bucket; values must be identical to
     per-series groups (incl. with dynamic exog through the cogroup join)."""
