@@ -1505,6 +1505,7 @@ class MLForecast:
         horizon_features: Optional[dict] = None,
         horizon_feature_templates: Optional[Sequence[str]] = None,
         engine: str = "spark",
+        cogroup_buckets: Optional[int] = None,
     ) -> DataFrame:
         """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
         per-series cutoffs relative to each series' own end; result is the
@@ -1558,7 +1559,9 @@ class MLForecast:
                 getattr(self, "horizon_cols_", [])
             )
             X_df = valid.drop(target_col) if future_cols else None
-            preds = self.predict(h, X_df=X_df, engine=engine)
+            preds = self.predict(
+                h, X_df=X_df, engine=engine, cogroup_buckets=cogroup_buckets
+            )
             merged = (
                 valid.select(id_col, time_col, target_col)
                 .join(preds, on=[id_col, time_col], how="inner")

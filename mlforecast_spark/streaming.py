@@ -160,6 +160,7 @@ def stream_forecast(
     engine: str = "cogroup",
     only_updated: bool = True,
     trigger_available_now: bool = True,
+    cogroup_buckets: "int | None" = None,
 ):
     """Continuous re-forecasting: each micro-batch of new observations is
     appended to the fitted pipeline's state (``mf.update``) and a fresh
@@ -193,7 +194,13 @@ def stream_forecast(
         ids = None
         if only_updated:
             ids = [r[0] for r in batch.select(s.id_col).distinct().collect()]
-        preds = mf.predict(h, ids=ids, engine=engine)
+        kwargs = {"cogroup_buckets": cogroup_buckets} if engine == "cogroup" else {}
+        try:
+            preds = mf.predict(h, ids=ids, engine=engine, **kwargs)
+        except ValueError as ve:
+            if engine == "spark" or "cogroup" not in str(ve):
+                raise
+            preds = mf.predict(h, ids=ids, engine="spark")
         preds.write.mode("overwrite").parquet(
             f"{forecast_path}/batch_id={int(batch_id)}"
         )
