@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .forecast import MLForecast
+from .local_predict import CogroupUnsupportedError
 from .lag_transforms import ExpandingMean, ExponentiallyWeightedMean, RollingMean
 from .target_transforms import Differences, GlobalSklearnTransformer
 
@@ -230,8 +231,8 @@ class AutoMLForecast:
                         static_features=static_features,
                         engine=engine,
                     ).cache()
-                except ValueError as ve:
-                    if engine == "spark" or "cogroup" not in str(ve):
+                except CogroupUnsupportedError:
+                    if engine == "spark":
                         raise
                     cv = mf.cross_validation(
                         df,

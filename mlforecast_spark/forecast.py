@@ -454,6 +454,14 @@ class MLForecast:
         """
         if engine not in ("spark", "cogroup"):
             raise ValueError("engine must be 'spark' or 'cogroup'")
+        if engine == "cogroup" and getattr(self, "max_horizon_", None) is not None:
+            from .local_predict import CogroupUnsupportedError
+
+            raise CogroupUnsupportedError(
+                "direct-mode predict (fit with max_horizon) is already a "
+                "single pass; engine='cogroup' applies to recursive mode "
+                "only — omit engine or use engine='spark'."
+            )
         s = self.schema_
         state, statics, tfms = self.state_, self.statics_, self.target_transforms
         if new_df is not None:
@@ -467,12 +475,13 @@ class MLForecast:
             results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
         elif engine == "cogroup":
+            from .local_predict import CogroupUnsupportedError, predict_cogroup
+
             if before_predict_callback is not None or after_predict_callback is not None:
-                raise ValueError(
+                raise CogroupUnsupportedError(
                     "predict callbacks run on Spark frames inside the lockstep "
                     "loop; use engine='spark' with callbacks."
                 )
-            from .local_predict import predict_cogroup
 
             results = predict_cogroup(
                 self, h, X_df=X_df, ids=ids, state=state,

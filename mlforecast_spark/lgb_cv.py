@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .forecast import MLForecast
+from .local_predict import CogroupUnsupportedError
 from .models_gbt import GradientBoostedTrees
 from .utils import time_plus
 
@@ -156,8 +157,8 @@ class LightGBMCV:
             mf.max_horizon_ = None
             try:
                 preds = mf.predict(self.h, engine=self.predict_engine)
-            except ValueError as ve:
-                if self.predict_engine == "spark" or "cogroup" not in str(ve):
+            except CogroupUnsupportedError:
+                if self.predict_engine == "spark":
                     raise
                 self.predict_engine = "spark"
                 preds = mf.predict(self.h)

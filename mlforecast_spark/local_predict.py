@@ -29,7 +29,17 @@ Semantics match the default engine exactly (asserted by
 propagation, same EWM recurrence (carried O(1) state), pandas-convention
 date features, dynamic exogenous lookups from ``X_df``. Unsupported —
 pooled/lookup transforms, Spark-side callbacks, DataFrame-returning callable
-date features — raise ``ValueError`` directing to ``engine='spark'``.
+date features — raise :class:`CogroupUnsupportedError` directing to
+``engine='spark'``; callers that degrade gracefully catch that type.
+
+One documented boundary: a GENERIC model (scored via pandas_udf in the
+loop engine) that returns float NaN predictions. Appended NaNs are treated
+as missing by this engine's window kernels (matching how the loop treats
+the NULLs that expression-scored models produce), while the loop's
+pandas_udf path stores them as non-null doubles that poison subsequent
+window aggregates — the loop's two scoring paths already disagree with
+each other there. Expression-scored models (every built-in) are identical
+across engines.
 """
 
 from __future__ import annotations
@@ -45,7 +55,14 @@ from pyspark.sql import types as T
 from .date_features import DUMMY_FEATURE_VALUES
 from .utils import parse_freq
 
-__all__ = ["predict_cogroup"]
+__all__ = ["CogroupUnsupportedError", "predict_cogroup"]
+
+
+class CogroupUnsupportedError(ValueError):
+    """The cogrouped engine cannot express this pipeline (pooled features,
+    callbacks, direct mode, ...). Callers that want graceful degradation
+    catch THIS type and rerun with ``engine='spark'`` — never match on the
+    message text."""
 
 
 # pandas-convention scalar date features; value parity with the Spark
@@ -91,10 +108,13 @@ def _py_time_plus(ts, unit: str, total: int):
     if unit == "second":
         return ts + pd.Timedelta(seconds=total)
     if unit == "month":
-        # pandas DateOffset clamps to month end like Spark add_months
-        return ts + pd.DateOffset(months=total)
+        # Spark's add_months operates on the DATE part (returns a date; the
+        # engine casts back, landing on midnight) and clamps to month end;
+        # pandas DateOffset clamps the same way — normalize() mirrors the
+        # date truncation so both engines stamp identical frontiers
+        return ts.normalize() + pd.DateOffset(months=total)
     if unit == "year":
-        return ts + pd.DateOffset(months=12 * total)
+        return ts.normalize() + pd.DateOffset(months=12 * total)
     raise AssertionError(unit)
 
 
@@ -116,7 +136,7 @@ def _compile_feature_specs(mf):
 
     for name, (lag, tfm) in registry.items():
         if tfm.is_pooled:
-            raise ValueError(
+            raise CogroupUnsupportedError(
                 f"predict(engine='cogroup') cannot compute pooled feature "
                 f"{name!r}: cross-series transforms need the lockstep loop — "
                 "use engine='spark'."
@@ -124,7 +144,7 @@ def _compile_feature_specs(mf):
         try:
             tfm.frontier_fn(lag)  # fail fast (LookupLag, exotic transforms)
         except NotImplementedError as e:
-            raise ValueError(
+            raise CogroupUnsupportedError(
                 f"predict(engine='cogroup') cannot compute feature {name!r}: {e}"
             ) from e
 
@@ -142,7 +162,7 @@ def _compile_feature_specs(mf):
             plan.date_features_as_dummies and col in DUMMY_FEATURE_VALUES
         ):
             if col not in _PD_DATE_FEATURES:
-                raise ValueError(
+                raise CogroupUnsupportedError(
                     f"predict(engine='cogroup') has no pandas kernel for date "
                     f"feature {col!r}; use engine='spark'."
                 )
@@ -150,7 +170,7 @@ def _compile_feature_specs(mf):
         elif col in callables:
             specs.append(("date_callable", callables[col]))
         else:
-            raise ValueError(
+            raise CogroupUnsupportedError(
                 f"predict(engine='cogroup') cannot source feature {col!r}; "
                 "use engine='spark'."
             )
@@ -190,7 +210,7 @@ def predict_cogroup(
     models = dict(mf.models_)
     for name, model in models.items():
         if not hasattr(model, "predict"):
-            raise ValueError(
+            raise CogroupUnsupportedError(
                 f"Model {name!r} has no driver-side `predict`; "
                 "use engine='spark'."
             )

@@ -20,6 +20,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .local_predict import CogroupUnsupportedError
+
 
 def _committed_batch_dirs_exist(spark, path: str) -> bool:
     """True iff ``path`` holds at least one COMMITTED per-batch parquet
@@ -63,6 +65,21 @@ def tumbling_aggregate(
     )
 
 
+def _replay_guard(mf, batch_id: int) -> bool:
+    """True iff this batch was already applied to ``mf``'s IN-PROCESS state.
+
+    foreachBatch may redeliver a batch after a failure between the state
+    update and the checkpoint commit; batch ids are monotone, so skipping
+    ids <= the last applied one makes the state append exactly-once within
+    a process. Across a restart the state is rebuilt at fit time and the
+    stream replays every uncommitted batch onto it exactly once."""
+    last = getattr(mf, "_stream_last_batch", None)
+    if last is not None and int(batch_id) <= last:
+        return True
+    mf._stream_last_batch = int(batch_id)
+    return False
+
+
 def stream_update(
     mf,
     stream_df: DataFrame,
@@ -76,6 +93,8 @@ def stream_update(
 
     def _update(batch: DataFrame, _batch_id: int):
         if batch.isEmpty():
+            return
+        if _replay_guard(mf, _batch_id):
             return
         mf.update(batch)
 
@@ -187,19 +206,27 @@ def stream_forecast(
     ``StreamingQuery``."""
     s = mf.schema_
 
+    eng = {"v": engine}
+
     def _process(batch: DataFrame, batch_id: int):
         if not batch.head(1):
             return
-        mf.update(batch)
+        if not _replay_guard(mf, batch_id):
+            mf.update(batch)
+        # a replayed batch skips the state append but still rewrites its
+        # forecast partition (overwrite makes that idempotent)
         ids = None
         if only_updated:
             ids = [r[0] for r in batch.select(s.id_col).distinct().collect()]
-        kwargs = {"cogroup_buckets": cogroup_buckets} if engine == "cogroup" else {}
+        kwargs = (
+            {"cogroup_buckets": cogroup_buckets} if eng["v"] == "cogroup" else {}
+        )
         try:
-            preds = mf.predict(h, ids=ids, engine=engine, **kwargs)
-        except ValueError as ve:
-            if engine == "spark" or "cogroup" not in str(ve):
+            preds = mf.predict(h, ids=ids, engine=eng["v"], **kwargs)
+        except CogroupUnsupportedError:
+            if eng["v"] == "spark":
                 raise
+            eng["v"] = "spark"  # remember: don't re-pay the refusal per batch
             preds = mf.predict(h, ids=ids, engine="spark")
         preds.write.mode("overwrite").parquet(
             f"{forecast_path}/batch_id={int(batch_id)}"

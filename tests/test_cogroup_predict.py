@@ -238,6 +238,65 @@ def test_generic_numpy_model(spark, panel):
     _compare(mf, 3)
 
 
+def test_monthly_freq_midday_timestamps(spark):
+    """Month stepping must match the loop exactly: Spark's add_months
+    truncates to the date (midnight on the cast back to timestamp), so the
+    cogroup engine must drop time-of-day too or every downstream join on ds
+    silently matches nothing."""
+    ts = pd.date_range("2020-01-15 06:00", periods=30, freq="MS") + pd.Timedelta(
+        hours=6
+    )
+    pdf = pd.DataFrame(
+        {
+            "unique_id": ["a"] * 30,
+            "ds": ts,
+            "y": np.arange(30, dtype="float64"),
+        }
+    )
+    mf = MLForecast(models=[LinearRegression()], freq="MS", lags=[1, 12])
+    mf.fit(spark.createDataFrame(pdf))
+    cg = _compare(mf, 4)
+    assert all(pd.Timestamp(d).hour == 0 for d in cg["ds"])
+
+
+def test_direct_mode_rejects_cogroup(spark, panel):
+    from mlforecast_spark.local_predict import CogroupUnsupportedError
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1])
+    mf.fit(panel, max_horizon=3)
+    with pytest.raises(CogroupUnsupportedError, match="direct-mode"):
+        mf.predict(3, engine="cogroup")
+
+
+def test_unsupported_raises_typed_error(spark, panel):
+    """Fallback call sites catch CogroupUnsupportedError by TYPE — the
+    refusals must all raise it (a plain ValueError would break them)."""
+    from mlforecast_spark.local_predict import CogroupUnsupportedError
+
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1],
+        lag_transforms={1: [RollingMean(window_size=7, global_=True)]},
+    )
+    mf.fit(panel)
+    with pytest.raises(CogroupUnsupportedError):
+        mf.predict(3, engine="cogroup")
+
+
+def test_stream_replay_guard():
+    from mlforecast_spark.streaming import _replay_guard
+
+    class MF:
+        pass
+
+    mf = MF()
+    assert not _replay_guard(mf, 0)  # first delivery: apply
+    assert _replay_guard(mf, 0)  # redelivery: skip
+    assert not _replay_guard(mf, 1)  # next batch: apply
+    assert _replay_guard(mf, 0)  # stale redelivery: skip
+
+
 def test_pooled_feature_rejected(spark, panel):
     mf = MLForecast(
         models=[LinearRegression()],
