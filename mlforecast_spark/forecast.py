@@ -451,9 +451,13 @@ class MLForecast:
         ``hash(id) % cogroup_buckets`` (≈ a few × total cores) so the fixed
         per-UDF-call cost amortizes across a bucket's series instead of
         being paid per series; values are identical.
+        'auto' picks 'cogroup' when the pipeline is eligible (recursive
+        mode, per-series features, no callbacks) and silently falls back
+        to the loop otherwise — the refusal is a driver-side plan check,
+        so 'auto' costs nothing at run time.
         """
-        if engine not in ("spark", "cogroup"):
-            raise ValueError("engine must be 'spark' or 'cogroup'")
+        if engine not in ("spark", "cogroup", "auto"):
+            raise ValueError("engine must be 'spark', 'cogroup' or 'auto'")
         if engine == "cogroup" and getattr(self, "max_horizon_", None) is not None:
             from .local_predict import CogroupUnsupportedError
 
@@ -468,26 +472,31 @@ class MLForecast:
             state, statics, tfms = self._history_warmup(new_df)
         if horizons is not None and getattr(self, "max_horizon_", None) is None:
             raise ValueError("`horizons` requires direct mode (fit with max_horizon)")
+        cogroup_results = None
+        if engine in ("cogroup", "auto") and getattr(self, "max_horizon_", None) is None:
+            from .local_predict import CogroupUnsupportedError, predict_cogroup
+
+            try:
+                if before_predict_callback is not None or after_predict_callback is not None:
+                    raise CogroupUnsupportedError(
+                        "predict callbacks run on Spark frames inside the "
+                        "lockstep loop; use engine='spark' with callbacks."
+                    )
+                cogroup_results = predict_cogroup(
+                    self, h, X_df=X_df, ids=ids, state=state,
+                    bucket_by=cogroup_buckets,
+                )
+            except CogroupUnsupportedError:
+                if engine == "cogroup":
+                    raise
         if getattr(self, "max_horizon_", None) is not None:
             results = self._predict_direct(
                 h, X_df=X_df, ids=ids, state=state, statics=statics, horizons=horizons
             )
             results = self._inverse_transforms(results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
-        elif engine == "cogroup":
-            from .local_predict import CogroupUnsupportedError, predict_cogroup
-
-            if before_predict_callback is not None or after_predict_callback is not None:
-                raise CogroupUnsupportedError(
-                    "predict callbacks run on Spark frames inside the lockstep "
-                    "loop; use engine='spark' with callbacks."
-                )
-
-            results = predict_cogroup(
-                self, h, X_df=X_df, ids=ids, state=state,
-                bucket_by=cogroup_buckets,
-            )
-            results = self._inverse_transforms(results, list(self.models_), tfms)
+        elif cogroup_results is not None:
+            results = self._inverse_transforms(cogroup_results, list(self.models_), tfms)
             results = results.orderBy(s.id_col, s.time_col)
         else:
             results = None

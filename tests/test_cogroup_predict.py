@@ -284,6 +284,28 @@ def test_unsupported_raises_typed_error(spark, panel):
         mf.predict(3, engine="cogroup")
 
 
+def test_engine_auto(spark, panel):
+    """'auto' routes eligible pipelines through the cogroup rollout and
+    silently falls back to the loop for pooled features / callbacks."""
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(panel)
+    auto = mf.predict(3, engine="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # took the cogroup path
+
+    pooled = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1],
+        lag_transforms={1: [RollingMean(window_size=7, global_=True)]},
+    )
+    pooled.fit(panel)
+    out = pooled.predict(2, engine="auto")  # must NOT raise
+    assert out.count() > 0
+    cb = mf.predict(2, engine="auto", before_predict_callback=lambda df: df)
+    assert cb.count() > 0  # callback forces the loop, silently
+
+
 def test_stream_replay_guard():
     from mlforecast_spark.streaming import _replay_guard
 
