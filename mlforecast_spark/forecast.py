@@ -1517,13 +1517,21 @@ class MLForecast:
         step_size: Optional[int] = None,
         static_features: Optional[Sequence[str]] = None,
         dropna: bool = True,
-        refit: bool = True,
+        refit: "bool | int" = True,
         max_horizon: Optional[int] = None,
         weight_col: Optional[str] = None,
         horizon_features: Optional[dict] = None,
         horizon_feature_templates: Optional[Sequence[str]] = None,
         engine: str = "spark",
         cogroup_buckets: Optional[int] = None,
+        keep_last_n: Optional[int] = None,
+        input_size: Optional[int] = None,
+        horizons: Optional[Sequence[int]] = None,
+        before_predict_callback: Optional[Callable] = None,
+        after_predict_callback: Optional[Callable] = None,
+        prediction_intervals=None,
+        level: Optional[Sequence[float]] = None,
+        fitted: bool = False,
     ) -> DataFrame:
         """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
         per-series cutoffs relative to each series' own end; result is the
@@ -1536,15 +1544,37 @@ class MLForecast:
 
         ``engine`` forwards to :meth:`predict` for each window's rollout —
         with per-series features, ``'cogroup'`` turns the backtest's
-        n_windows × h sequential predict jobs into n_windows single jobs."""
+        n_windows × h sequential predict jobs into n_windows single jobs.
+
+        Reference-parity extras (`/root/reference/mlforecast/forecast.py:1859-2077`):
+        ``refit`` may be an int — refit every ``refit`` windows, reusing the
+        previous window's models in between (state still advances).
+        ``input_size`` trims each window's training set to the last N rows
+        per series; ``keep_last_n`` forwards to fit. ``horizons`` /
+        callbacks / ``prediction_intervals`` / ``level`` forward to the
+        per-window fit/predict. ``fitted=True`` stores each window's
+        in-sample predictions (``cross_validation_fitted_values()``)."""
+        if fitted and max_horizon is not None:
+            raise ValueError(
+                "fitted=True with direct mode is not supported in "
+                "cross_validation yet."
+            )
         step_size = step_size or h
         w_last = Window.partitionBy(id_col)
         df = df.withColumn("_max_ds", F.max(time_col).over(w_last))
         results = []
+        self.cv_fitted_values_ = [] if fitted else None
         for i in range(n_windows):
             back = h + (n_windows - 1 - i) * step_size
             cutoff_col = time_plus(F.col("_max_ds"), self.freq, -back)
             train = df.filter(F.col(time_col) <= cutoff_col).drop("_max_ds")
+            if input_size is not None:
+                w_in = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
+                train = (
+                    train.withColumn("_rn_in", F.row_number().over(w_in))
+                    .filter(F.col("_rn_in") <= input_size)
+                    .drop("_rn_in")
+                )
             valid = df.filter(
                 (F.col(time_col) > cutoff_col)
                 & (F.col(time_col) <= time_plus(cutoff_col, self.freq, h))
@@ -1552,7 +1582,14 @@ class MLForecast:
             cutoffs = (
                 df.select(id_col, cutoff_col.alias("cutoff")).distinct()
             )
-            if refit or i == 0:
+            # reference cadence (`forecast.py:1940`): window 0 always fits;
+            # int refit=k refits every k-th window; True==1, False==0
+            should_fit = i == 0 or (refit > 0 and i % refit == 0)
+            if should_fit:
+                # fit(prediction_intervals=...) runs a NESTED backtest for
+                # calibration, which re-enters this method and resets
+                # cv_fitted_values_ — shield the outer accumulator
+                outer_fv = self.cv_fitted_values_
                 self.fit(
                     train,
                     id_col=id_col,
@@ -1560,11 +1597,14 @@ class MLForecast:
                     target_col=target_col,
                     static_features=static_features,
                     dropna=dropna,
+                    keep_last_n=keep_last_n,
                     max_horizon=max_horizon,
+                    prediction_intervals=prediction_intervals,
                     weight_col=weight_col,
                     horizon_features=horizon_features,
                     horizon_feature_templates=horizon_feature_templates,
                 )
+                self.cv_fitted_values_ = outer_fv
             else:
                 if self.target_transforms:
                     raise ValueError(
@@ -1572,21 +1612,68 @@ class MLForecast:
                     )
                 self.transformed_panel_ = train
                 self._capture_state(train, id_col, time_col, target_col)
+                if fitted:
+                    # models are reused but the train window advanced —
+                    # refresh the feature matrix the in-sample scoring reads
+                    self._fitted_feats = self.preprocess(
+                        train,
+                        id_col=id_col,
+                        time_col=time_col,
+                        target_col=target_col,
+                        static_features=static_features,
+                        dropna=dropna,
+                        fit_transforms=False,
+                    )
+            if fitted:
+                fv = self.forecast_fitted_values().withColumn("fold", F.lit(i))
+                self.cv_fitted_values_.append(fv)
             # future exog for this window comes from the held-out rows
             future_cols = list(self.dynamic_cols_) + list(
                 getattr(self, "horizon_cols_", [])
             )
             X_df = valid.drop(target_col) if future_cols else None
             preds = self.predict(
-                h, X_df=X_df, engine=engine, cogroup_buckets=cogroup_buckets
+                h,
+                X_df=X_df,
+                engine=engine,
+                cogroup_buckets=cogroup_buckets,
+                horizons=horizons,
+                level=level,
+                before_predict_callback=before_predict_callback,
+                after_predict_callback=after_predict_callback,
             )
+            extra_pred_cols = [
+                c
+                for c in preds.columns
+                if c not in (id_col, time_col) and c not in self.models_
+            ]
             merged = (
                 valid.select(id_col, time_col, target_col)
                 .join(preds, on=[id_col, time_col], how="inner")
                 .join(cutoffs, on=id_col, how="left")
-                .select(id_col, time_col, "cutoff", target_col, *self.models_.keys())
+                .select(
+                    id_col, time_col, "cutoff", target_col,
+                    *self.models_.keys(), *extra_pred_cols,
+                )
             )
             results.append(merged)
         from functools import reduce
 
         return reduce(DataFrame.unionByName, results)
+
+    def cross_validation_fitted_values(self) -> DataFrame:
+        """Per-window in-sample predictions stored by
+        ``cross_validation(fitted=True)``
+        (`/root/reference/mlforecast/forecast.py:2079-2087`): (id, ds, fold,
+        y, one column per model)."""
+        if not getattr(self, "cv_fitted_values_", None):
+            raise ValueError(
+                "Please run cross_validation with fitted=True first."
+            )
+        from functools import reduce
+
+        out = reduce(DataFrame.unionByName, self.cv_fitted_values_)
+        s = self.schema_
+        first = [s.id_col, s.time_col, "fold", s.target_col]
+        rest = [c for c in out.columns if c not in first]
+        return out.select(*first, *rest)
