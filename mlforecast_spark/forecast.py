@@ -433,6 +433,7 @@ class MLForecast:
         after_predict_callback: Optional[Callable] = None,
         engine: str = "spark",
         cogroup_buckets: Optional[int] = None,
+        transfer_conformal=None,
     ) -> DataFrame:
         """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
         from history each step — cheapest at short histories / local scale.
@@ -458,6 +459,31 @@ class MLForecast:
         """
         if engine not in ("spark", "cogroup", "auto"):
             raise ValueError("engine must be 'spark', 'cogroup' or 'auto'")
+        if transfer_conformal is not None:
+            # reference surface (`forecast.py:1459-1468`): intervals for a
+            # low-history target panel, calibrated by transfer from this
+            # (source) pipeline instead of its own cs_df_
+            from .transfer_conformal import TransferConformal, transfer_intervals
+
+            if new_df is None:
+                raise ValueError(
+                    "transfer_conformal requires `new_df` (the target panel)."
+                )
+            if level is None:
+                raise ValueError("transfer_conformal requires `level`.")
+            tc = (
+                TransferConformal(method=transfer_conformal)
+                if isinstance(transfer_conformal, str)
+                else transfer_conformal
+            )
+            return transfer_intervals(
+                self,
+                new_df,
+                h,
+                list(level),
+                method=tc.method,
+                n_windows=tc.n_windows if tc.n_windows is not None else 2,
+            )
         if engine == "cogroup" and getattr(self, "max_horizon_", None) is not None:
             from .local_predict import CogroupUnsupportedError
 

@@ -43,6 +43,36 @@ VALID_TRANSFER_METHODS = (
 )
 
 
+class TransferConformal:
+    """Predict-time configuration for transfer conformal prediction,
+    mirroring the reference's config object
+    (`/root/reference/mlforecast/conformal_prediction.py:62-122`): pass to
+    ``MLForecast.predict(transfer_conformal=...)``; a plain string is
+    shorthand for ``TransferConformal(method=<str>)``."""
+
+    def __init__(
+        self,
+        method: str = "recalibrate",
+        n_windows: Optional[int] = None,
+        dre_estimator: str = "logistic",
+    ):
+        if method not in VALID_TRANSFER_METHODS:
+            raise ValueError(
+                f"TransferConformal.method must be one of "
+                f"{VALID_TRANSFER_METHODS}, got {method!r}"
+            )
+        if dre_estimator != "logistic":
+            raise ValueError(
+                "this engine estimates density ratios with distributed IRLS "
+                "logistic regression only; dre_estimator must be 'logistic'"
+            )
+        if n_windows is not None and n_windows < 1:
+            raise ValueError(f"n_windows must be >= 1, got {n_windows}")
+        self.method = method
+        self.n_windows = n_windows
+        self.dre_estimator = dre_estimator
+
+
 def _pooled_step_quantiles(
     cs_df: DataFrame, model_names: Sequence[str], level: Sequence[float]
 ) -> DataFrame:

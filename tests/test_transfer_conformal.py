@@ -129,3 +129,36 @@ def test_weighted_transfer_reacts_to_covariate_shift(spark, source_mf, target_pa
     assert ws.notna().all() and (ws > 0).all()
     assert ws.std() > 0  # covariate shift (10x scale) ⇒ non-constant weights
     assert w_test > 0
+
+
+def test_predict_transfer_conformal_wiring(spark, source_mf, target_panel):
+    """The reference's predict-time surface: predict(transfer_conformal=...)
+    with new_df + level must equal the direct transfer_intervals call; a
+    plain string is shorthand for TransferConformal(method=...)."""
+    from mlforecast_spark.transfer_conformal import TransferConformal
+
+    direct = transfer_intervals(
+        source_mf, target_panel, h=3, level=[80], method="scale_aligned"
+    ).toPandas().sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    via_str = source_mf.predict(
+        3, new_df=target_panel, level=[80], transfer_conformal="scale_aligned"
+    ).toPandas().sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    via_obj = source_mf.predict(
+        3,
+        new_df=target_panel,
+        level=[80],
+        transfer_conformal=TransferConformal(method="scale_aligned"),
+    ).toPandas().sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(direct, via_str[direct.columns])
+    pd.testing.assert_frame_equal(direct, via_obj[direct.columns])
+
+    with pytest.raises(ValueError, match="new_df"):
+        source_mf.predict(3, level=[80], transfer_conformal="scale_aligned")
+    with pytest.raises(ValueError, match="level"):
+        source_mf.predict(
+            3, new_df=target_panel, transfer_conformal="scale_aligned"
+        )
+    with pytest.raises(ValueError, match="dre_estimator|logistic"):
+        TransferConformal(dre_estimator="gradient_boosting")
