@@ -174,15 +174,44 @@ class MLForecast:
         dropna: bool = True,
         keep_last_n: Optional[int] = None,
         max_horizon: Optional[int] = None,
+        horizons: Optional[Sequence[int]] = None,
         prediction_intervals=None,
         weight_col: Optional[str] = None,
         horizon_features: Optional[dict] = None,
         horizon_feature_templates: Optional[Sequence[str]] = None,
         engine: str = "spark",
+        models_fit_kwargs: Optional[dict] = None,
+        validate_data: bool = False,
+        cache_train_df: bool = True,
     ) -> "MLForecast":
         # ``engine`` is forwarded to the conformal-calibration backtest
         # (prediction_intervals): with per-series features 'cogroup' turns
         # its n_windows x h sequential predict jobs into n_windows jobs.
+        # ``horizons`` (reference `forecast.py:1132`): train ONLY those direct
+        # horizon steps — the rest stay None and predict demands a matching
+        # `horizons=` subset. ``models_fit_kwargs`` maps model name -> extra
+        # fit kwargs. ``validate_data`` runs the panel validator up front
+        # (off by default: one extra pass over the panel — a deliberate
+        # at-scale default, unlike the reference's eager True).
+        # ``cache_train_df`` controls caching the feature matrix (uncache to
+        # trade refit speed for executor memory on huge panels).
+        if horizons is not None:
+            if max_horizon is None:
+                max_horizon = max(horizons)
+            bad_h = [x for x in horizons if not (1 <= x <= max_horizon)]
+            if bad_h:
+                raise ValueError(
+                    f"horizons must lie in [1, max_horizon]; got {bad_h}"
+                )
+        self.trained_horizons_ = sorted(set(horizons)) if horizons is not None else None
+        self.models_fit_kwargs_ = dict(models_fit_kwargs or {})
+        if validate_data:
+            from .data_validation import validate_panel
+
+            validate_panel(
+                df, id_col, time_col, target_col, freq=self.freq,
+                raise_on_invalid=True,
+            )
         # Per-horizon exog convention (`/root/reference/mlforecast/forecast.py:296-421`):
         # template column `name_{s}` at a row with timestamp t carries the
         # exogenous information for time t+s-1 — i.e. the time that direct
@@ -237,13 +266,17 @@ class MLForecast:
             keep_last_n=keep_last_n,
         )
         self.max_horizon_ = max_horizon
-        feats = feats.cache()
+        if cache_train_df:
+            feats = feats.cache()
         self._fitted_feats = feats
         try:
             if max_horizon is None:
                 self.models_ = {}
                 for name, model in self.models.items():
-                    self.models_[name] = self._fit_one(model, feats, target_col)
+                    self.models_[name] = self._fit_one(
+                        model, feats, target_col,
+                        fit_kwargs=self.models_fit_kwargs_.get(name),
+                    )
             else:
                 # direct multi-horizon: one model per horizon on lead targets
                 # (`/root/reference/mlforecast/core.py:1061-1186`)
@@ -261,13 +294,26 @@ class MLForecast:
                     extra = list(self.horizon_features_.get(h + 1, []))
                     extra += [t.format(h=h + 1) for t in self.horizon_feature_templates_]
                     self.horizon_orders_[h] = base_order + extra
+                trained = (
+                    set(self.trained_horizons_)
+                    if self.trained_horizons_ is not None
+                    else set(range(1, max_horizon + 1))
+                )
                 self.models_ = {}
                 for name, model in self.models.items():
                     per_h = []
                     for h in range(max_horizon):
+                        if h + 1 not in trained:
+                            per_h.append(None)  # sparse horizons: untrained
+                            continue
                         sub = leads.filter(F.col(lead_cols[h]).isNotNull())
                         self.features_order_ = self.horizon_orders_[h]
-                        per_h.append(self._fit_one(model, sub, lead_cols[h], clone_of=model))
+                        per_h.append(
+                            self._fit_one(
+                                model, sub, lead_cols[h], clone_of=model,
+                                fit_kwargs=self.models_fit_kwargs_.get(name),
+                            )
+                        )
                     self.models_[name] = per_h
                 self.features_order_ = base_order
         finally:
@@ -314,14 +360,17 @@ class MLForecast:
         )
         self.cs_df_ = weighted.localCheckpoint(eager=True)
 
-    def _fit_one(self, model, feats: DataFrame, target_col: str, clone_of=None):
+    def _fit_one(
+        self, model, feats: DataFrame, target_col: str, clone_of=None,
+        fit_kwargs: Optional[dict] = None,
+    ):
         import copy
         import inspect
 
         model = copy.deepcopy(model)
         weight_col = getattr(self, "weight_col_", None)
         if hasattr(model, "fit_spark"):
-            kwargs = {}
+            kwargs = dict(fit_kwargs or {})
             if weight_col is not None:
                 if "weight_col" not in inspect.signature(model.fit_spark).parameters:
                     raise ValueError(
@@ -356,7 +405,7 @@ class MLForecast:
             ).toPandas()
             X = pdf[self.features_order_].to_numpy()
             y = pdf[target_col].to_numpy()
-            model.fit(X, y)
+            model.fit(X, y, **(fit_kwargs or {}))
         return model
 
     # ------------------------------------------------------------------
@@ -847,6 +896,12 @@ class MLForecast:
             per_h_frames = []
             for step in steps:
                 model = per_h_models[step - 1]
+                if model is None:
+                    raise ValueError(
+                        f"horizon {step} was not trained; fit(horizons=...) "
+                        f"trained only {self.trained_horizons_} — pass a "
+                        "matching `horizons=` subset to predict."
+                    )
                 self.features_order_ = getattr(self, "horizon_orders_", {}).get(
                     step - 1, base_order
                 )
@@ -1030,6 +1085,11 @@ class MLForecast:
                 self.features_order_ = getattr(self, "horizon_orders_", {}).get(
                     h - 1, base_order
                 )
+                if per_h_models[h - 1] is None:
+                    raise ValueError(
+                        f"horizon {h} was not trained; fit(horizons=...) "
+                        f"trained only {self.trained_horizons_}."
+                    )
                 sel.append(self._score_col(per_h_models[h - 1]).alias(name))
                 self.features_order_ = base_order
             scored = feats.select(*sel)
