@@ -80,6 +80,15 @@ class MLForecast:
             self.lags, self.lag_transforms, namer=lag_transforms_namer
         )
 
+    @classmethod
+    def from_cv(cls, cv) -> "MLForecast":
+        """Build a pipeline from a fitted :class:`LightGBMCV` study with the
+        discovered iteration count
+        (`/root/reference/mlforecast/forecast.py:224-236`)."""
+        if not hasattr(cv, "best_iteration_"):
+            raise ValueError("LightGBMCV object must be fitted first.")
+        return cv.to_mlforecast()
+
     # ------------------------------------------------------------------
     def _build_plan(self, schema: PanelSchema) -> FeaturePlan:
         return FeaturePlan(

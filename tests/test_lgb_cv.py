@@ -1,6 +1,7 @@
 """LightGBMCV-analog: staged boosting with early stopping over CV windows."""
 
 import numpy as np
+import pytest
 
 from mlforecast_spark.lgb_cv import LightGBMCV
 
@@ -32,3 +33,16 @@ def test_lgb_cv_cogroup_scoring_matches(spark, panel):
         return cv.fit(panel, n_windows=2, h=3, num_iterations=20, eval_every=10)
 
     np.testing.assert_allclose(run("spark"), run("cogroup"), rtol=1e-8)
+
+
+def test_from_cv_classmethod(spark, panel):
+    """Reference surface MLForecast.from_cv(cv) == cv.to_mlforecast()."""
+    from mlforecast_spark import MLForecast
+
+    cv = LightGBMCV(freq="D", lags=[1, 7], params={"max_depth": 3})
+    with pytest.raises(ValueError, match="fitted"):
+        MLForecast.from_cv(cv)
+    cv.fit(panel, n_windows=2, h=3, num_iterations=10, eval_every=10)
+    mf = MLForecast.from_cv(cv)
+    mf.fit(panel)
+    assert mf.predict(2).count() > 0
