@@ -8,6 +8,7 @@ distributed sufficient statistics and score as JVM expressions.
 
 from .forecast import MLForecast
 from .core import FeaturePlan, PanelSchema
+from .local_predict import CogroupUnsupportedError
 from . import lag_transforms, target_transforms, models, utils
 
 __version__ = "0.1.0"
@@ -16,6 +17,7 @@ __all__ = [
     "MLForecast",
     "FeaturePlan",
     "PanelSchema",
+    "CogroupUnsupportedError",
     "lag_transforms",
     "target_transforms",
     "models",
