@@ -205,6 +205,8 @@ class MLForecast:
         # ``cache_train_df`` controls caching the feature matrix (uncache to
         # trade refit speed for executor memory on huge panels).
         if horizons is not None:
+            if len(list(horizons)) == 0:
+                raise ValueError("horizons must be a non-empty sequence")
             if max_horizon is None:
                 max_horizon = max(horizons)
             bad_h = [x for x in horizons if not (1 <= x <= max_horizon)]
@@ -212,8 +214,6 @@ class MLForecast:
                 raise ValueError(
                     f"horizons must lie in [1, max_horizon]; got {bad_h}"
                 )
-        self.trained_horizons_ = sorted(set(horizons)) if horizons is not None else None
-        self.models_fit_kwargs_ = dict(models_fit_kwargs or {})
         if validate_data:
             from .data_validation import validate_panel
 
@@ -250,6 +250,7 @@ class MLForecast:
                 horizon_features=horizon_features,
                 horizon_feature_templates=horizon_feature_templates,
                 engine=engine,
+                models_fit_kwargs=models_fit_kwargs,
             )
             self.cs_df_ = conformity_scores(
                 cv,
@@ -259,7 +260,13 @@ class MLForecast:
                 target_col,
                 prediction_intervals.method,
             ).localCheckpoint(eager=True)
-        # set after the backtest: the inner fits reset it to None
+        # set AFTER the backtest: the calibration windows re-enter fit(),
+        # which resets these instance attributes (same hazard the
+        # prediction_intervals_ assignment below already guards against)
+        self.trained_horizons_ = (
+            sorted(set(horizons)) if horizons is not None else None
+        )
+        self.models_fit_kwargs_ = dict(models_fit_kwargs or {})
         self.prediction_intervals_ = prediction_intervals
         self._needs_conformal_weights = (
             prediction_intervals is not None
@@ -529,18 +536,27 @@ class MLForecast:
                 )
             if level is None:
                 raise ValueError("transfer_conformal requires `level`.")
+            ignored = {
+                "X_df": X_df,
+                "ids": ids,
+                "horizons": horizons,
+                "before_predict_callback": before_predict_callback,
+                "after_predict_callback": after_predict_callback,
+            }
+            bad = [k for k, v in ignored.items() if v is not None]
+            if bad:
+                raise ValueError(
+                    f"transfer_conformal does not support {bad}: the transfer "
+                    "path re-forecasts the target via new_df warm-up only."
+                )
             tc = (
                 TransferConformal(method=transfer_conformal)
                 if isinstance(transfer_conformal, str)
                 else transfer_conformal
             )
+            extra = {} if tc.n_windows is None else {"n_windows": tc.n_windows}
             return transfer_intervals(
-                self,
-                new_df,
-                h,
-                list(level),
-                method=tc.method,
-                n_windows=tc.n_windows if tc.n_windows is not None else 2,
+                self, new_df, h, list(level), method=tc.method, **extra
             )
         if engine == "cogroup" and getattr(self, "max_horizon_", None) is not None:
             from .local_predict import CogroupUnsupportedError
@@ -871,6 +887,11 @@ class MLForecast:
         if h > self.max_horizon_:
             raise ValueError(f"h={h} exceeds max_horizon={self.max_horizon_}")
         steps = list(horizons) if horizons is not None else list(range(1, h + 1))
+        if horizons is not None and steps and max(steps) > h:
+            raise ValueError(
+                f"horizons {steps} exceed the requested h={h}; intervals and "
+                "time stamps are only defined up to h."
+            )
         if horizons is not None and max(steps) > self.max_horizon_:
             raise ValueError("horizons exceed max_horizon")
         state = self.state_ if state is None else state
@@ -1627,6 +1648,7 @@ class MLForecast:
         prediction_intervals=None,
         level: Optional[Sequence[float]] = None,
         fitted: bool = False,
+        models_fit_kwargs: Optional[dict] = None,
     ) -> DataFrame:
         """Rolling-origin backtest (`/root/reference/mlforecast/forecast.py:1859-2077`):
         per-series cutoffs relative to each series' own end; result is the
@@ -1698,6 +1720,8 @@ class MLForecast:
                     weight_col=weight_col,
                     horizon_features=horizon_features,
                     horizon_feature_templates=horizon_feature_templates,
+                    engine=engine,
+                    models_fit_kwargs=models_fit_kwargs,
                 )
                 self.cv_fitted_values_ = outer_fv
             else:
@@ -1717,10 +1741,15 @@ class MLForecast:
                         target_col=target_col,
                         static_features=static_features,
                         dropna=dropna,
+                        keep_last_n=keep_last_n,
                         fit_transforms=False,
                     )
             if fitted:
-                fv = self.forecast_fitted_values().withColumn("fold", F.lit(i))
+                fv = (
+                    self.forecast_fitted_values()
+                    .drop("h")
+                    .withColumn("fold", F.lit(i))
+                )
                 self.cv_fitted_values_.append(fv)
             # future exog for this window comes from the held-out rows
             future_cols = list(self.dynamic_cols_) + list(

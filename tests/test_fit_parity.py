@@ -71,3 +71,68 @@ def test_cache_train_df_off(spark, panel):
     mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
     mf.fit(panel, cache_train_df=False)
     assert mf.predict(2).count() > 0
+
+
+def test_sparse_horizons_survive_conformal_calibration(spark, panel):
+    """fit(horizons=..., prediction_intervals=...) must stay sparse: the
+    nested calibration backtest re-enters fit and must not clobber the
+    outer call's trained_horizons_/models_fit_kwargs_."""
+    from mlforecast_spark.conformal import PredictionIntervals
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(
+        panel,
+        horizons=[2, 4],
+        prediction_intervals=PredictionIntervals(n_windows=2, h=2),
+    )
+    assert mf.trained_horizons_ == [2, 4]
+    per_h = mf.models_["LinearRegression"]
+    assert per_h[0] is None and per_h[1] is not None
+
+
+def test_models_fit_kwargs_survive_conformal_calibration(spark, panel):
+    from mlforecast_spark.conformal import PredictionIntervals
+
+    calls = []
+
+    class Spy(LinearRegression):
+        def fit_spark(self, df, cols, target, tag=None):
+            calls.append(tag)
+            return super().fit_spark(df, cols, target)
+
+    mf = MLForecast(models={"spy": Spy()}, freq="D", lags=[1, 7])
+    mf.fit(
+        panel,
+        models_fit_kwargs={"spy": {"tag": "outer"}},
+        prediction_intervals=PredictionIntervals(n_windows=2, h=2),
+    )
+    # calibration fits AND the final fit all receive the kwargs
+    assert calls and all(t == "outer" for t in calls)
+
+
+def test_empty_horizons_rejected(spark, panel):
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1])
+    with pytest.raises(ValueError, match="non-empty"):
+        mf.fit(panel, horizons=[])
+
+
+def test_predict_horizons_beyond_h_rejected(spark, panel):
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(panel, max_horizon=4)
+    with pytest.raises(ValueError, match="exceed the requested h"):
+        mf.predict(2, horizons=[4]).count()
+
+
+def test_transfer_conformal_rejects_ignored_params(spark, panel):
+    from mlforecast_spark.conformal import PredictionIntervals
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(panel, prediction_intervals=PredictionIntervals(n_windows=2, h=2))
+    with pytest.raises(ValueError, match="does not support"):
+        mf.predict(
+            2,
+            new_df=panel,
+            level=[80],
+            transfer_conformal="scale_aligned",
+            ids=["id_0"],
+        )
