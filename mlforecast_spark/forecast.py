@@ -1564,6 +1564,7 @@ class MLForecast:
             "horizon_features": getattr(self, "horizon_features_", {}),
             "horizon_feature_templates": getattr(self, "horizon_feature_templates_", []),
             "weight_col": getattr(self, "weight_col_", None),
+            "trained_horizons": getattr(self, "trained_horizons_", None),
         }
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
@@ -1609,6 +1610,7 @@ class MLForecast:
         mf.horizon_features_ = meta.get("horizon_features", {})
         mf.horizon_feature_templates_ = meta.get("horizon_feature_templates", [])
         mf.weight_col_ = meta.get("weight_col")
+        mf.trained_horizons_ = meta.get("trained_horizons")
         mf.plan_ = mf._build_plan(mf.schema_)
         mf.state_ = spark.read.parquet(os.path.join(path, "state")).localCheckpoint(
             eager=True

@@ -136,3 +136,27 @@ def test_transfer_conformal_rejects_ignored_params(spark, panel):
             transfer_conformal="scale_aligned",
             ids=["id_0"],
         )
+
+
+def test_sparse_horizons_save_load_roundtrip(spark, panel, tmp_path):
+    import numpy as np
+
+    mf = MLForecast(models=[LinearRegression()], freq="D", lags=[1, 7])
+    mf.fit(panel, horizons=[2, 4])
+    before = mf.predict(4, horizons=[2, 4]).toPandas().sort_values(
+        ["unique_id", "ds"]
+    )
+    path = str(tmp_path / "sparse_pipeline")
+    mf.save(path)
+    mf2 = MLForecast.load(path, spark)
+    assert mf2.trained_horizons_ == [2, 4]
+    after = mf2.predict(4, horizons=[2, 4]).toPandas().sort_values(
+        ["unique_id", "ds"]
+    )
+    np.testing.assert_allclose(
+        before["LinearRegression"].to_numpy(),
+        after["LinearRegression"].to_numpy(),
+        rtol=1e-12,
+    )
+    with pytest.raises(ValueError, match="was not trained"):
+        mf2.predict(4).count()
