@@ -195,11 +195,14 @@ def predict_cogroup(
     id, looping over the bucket's series inside each UDF call. With
     millions of series, per-series groups pay a fixed Python-call + Arrow
     batch cost per SERIES; bucketing amortizes it per BUCKET (pick
-    bucket_by ≈ a few × total cores). Values are identical either way —
-    the rollout never crosses series. Measured on local[32], 20k series ×
-    h=7: 22 s per-series → 3.2 s with bucket_by=128 (7×; 12× vs the
-    original per-series-per-step scoring) — the step-synchronous batched
-    ``model.predict`` in ``rollout_many`` does one call per (group, step).
+    bucket_by ≈ a few × total cores). The rollout never crosses series, so
+    results are independent of the grouping; exactness caveat: the batched
+    ``model.predict`` sees an (n×k) matrix instead of 1×k rows, so a model
+    whose predict uses blocked/threaded BLAS may differ in the last ulp by
+    batch shape (the in-repo models are row-independent and exact).
+    Measured on local[32], 20k series × h=7: 22 s per-series → 3.2 s with
+    bucket_by=128 (7×; 12× vs the original per-series-per-step scoring) —
+    the step-synchronous batching does one predict call per (group, step).
     """
     s = mf.schema_
     state = mf.state_ if state is None else state
