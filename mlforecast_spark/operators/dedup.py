@@ -486,8 +486,11 @@ def connected_components(
         .select("_lu", "_lv")
         .filter(F.col("_lu") != F.col("_lv"))
         .distinct()
-        .cache()
     )
+    # materialize the contracted edge set BEFORE releasing sym: an eager
+    # unpersist here would force the first action on `contracted` to re-run
+    # the whole upstream candidate-pair pipeline (the dominant job cost)
+    contracted = contracted.localCheckpoint(eager=True)
     sym.unpersist()
     csym = contracted.select(
         F.col("_lu").alias("_u"), F.col("_lv").alias("_v")
@@ -565,7 +568,10 @@ def simhash_candidates(
     it explicitly (e.g. 1000) as the 100 TB guard against one degenerate
     chunk value turning the self-join quadratic (see ``_cap_buckets``)."""
     # both self-join sides read the fingerprints: cache them (one 8-byte
-    # hash + id per doc) or the full tokenize+aggregate pipeline runs twice
+    # hash + id per doc) or the full tokenize+aggregate pipeline runs twice.
+    # The cache lives until Spark evicts it (LRU) — long-lived sessions
+    # looping over many corpora should unpersist the returned plan's inputs
+    # (or checkpoint fps themselves) between corpora.
     fps = fps.cache()
     chunks = fps.select(
         F.col(id_col),

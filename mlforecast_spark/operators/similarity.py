@@ -358,8 +358,11 @@ def ivf_search(
     )
 
     id_type = dict(q.dtypes)["query_id"]
+    # neighbor ids come from the INDEX side — their type need not match the
+    # query id type (e.g. long corpus ids probed by string-keyed queries)
+    nbr_type = dict(assigned.dtypes)["neighbor_id"]
     out_schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        f"query_id {id_type}, neighbor_id {nbr_type}, cosine double"
     )
     k_local = int(k)
     rt = int(round_to)
@@ -377,7 +380,12 @@ def ivf_search(
         nn = np.linalg.norm(N, axis=1)
         qn[qn == 0] = 1.0
         nn[nn == 0] = 1.0
-        cos = np.round((Q @ N.T) / np.outer(qn, nn), rt)
+        raw = (Q @ N.T) / np.outer(qn, nn)
+        # HALF_UP like Spark F.round / DuckDB ROUND — np.round's banker's
+        # rounding diverges on exact .5 ties, which would break the
+        # brute-force-oracle hash parity and could flip a top-k boundary
+        scale = 10.0 ** rt
+        cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
         qids = qpdf["query_id"].to_numpy()
         nids = npdf["neighbor_id"].to_numpy()
         frames = []

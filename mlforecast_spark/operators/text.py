@@ -154,8 +154,11 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprint: md5 of the lowercased alphanumeric-normalized
-    text (same value computable in any engine with md5 + regexp_replace)."""
+    """Document fingerprint: md5 of the lowercased alphanumeric TOKEN
+    STREAM joined by single spaces (see ``_fingerprint_col`` — reproducible
+    in any engine as ``md5(array_to_string(regexp_extract_all(lower(text),
+    '[a-z0-9]+'), ' '))``; NOT the old character-deletion regexp_replace
+    form, which merges tokens across punctuation)."""
     return df.select(F.col(id_col), _fingerprint_col(F.col(text_col)))
 
 

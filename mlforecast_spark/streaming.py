@@ -26,7 +26,12 @@ from .local_predict import CogroupUnsupportedError
 def _committed_batch_dirs_exist(spark, path: str) -> bool:
     """True iff ``path`` holds at least one COMMITTED per-batch parquet
     directory (``batch_id=*/_SUCCESS``), via the Hadoop FS API — so a
-    transient read error or corrupt index is never mistaken for "absent"."""
+    transient read error or corrupt index is never mistaken for "absent".
+
+    Refuses a pre-batch-layout (flat parquet) directory outright: silently
+    treating it as "absent" would skip cross-corpus dedup against the whole
+    existing index AND corrupt the directory into a mixed layout on the
+    next write."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -34,7 +39,16 @@ def _committed_batch_dirs_exist(spark, path: str) -> bool:
         return False
     glob = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=*/_SUCCESS")
     statuses = fs.globStatus(glob)
-    return statuses is not None and len(statuses) > 0
+    if statuses is not None and len(statuses) > 0:
+        return True
+    flat = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/*.parquet"))
+    if flat is not None and len(flat) > 0:
+        raise ValueError(
+            f"{path} holds flat parquet files from a pre-batch-id layout; "
+            "migrate them into a batch_id=0/ subdirectory (one `mv`) before "
+            "resuming the stream, or point at a fresh path."
+        )
+    return False
 
 
 def tumbling_aggregate(
