@@ -187,9 +187,11 @@ def ivf_topk(
     max_iter: int = 10,
     round_to: int = 6,
     train_fraction: float | None = None,
+    trainer: str = "sample",
+    max_train_points: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    (Spark MLlib, distributed) partitions vectors into ``n_lists`` inverted
+    (see :func:`build_ivf_index`) partitions vectors into ``n_lists`` inverted
     lists; each query probes its ``nprobe`` nearest centroids and ranks only
     those lists' vectors exactly. The candidate join is an equi-join on the
     list id — per query it touches ~``nprobe/n_lists`` of the corpus, the
@@ -214,6 +216,8 @@ def ivf_topk(
         seed=seed,
         max_iter=max_iter,
         train_fraction=train_fraction,
+        trainer=trainer,
+        max_train_points=max_train_points,
     )
     return ivf_search(
         index, queries, k=k, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
@@ -250,6 +254,54 @@ class IVFIndex:
         )
 
 
+def _kmeans_numpy(X, k: int, seed: int, max_iter: int):
+    """Seeded k-means++ init + Lloyd iterations on a driver-side sample.
+
+    The sample is bounded (see ``build_ivf_index``), so the whole fit is
+    one BLAS loop on the driver — the FAISS coarse-quantizer recipe (its
+    defaults train on <=256 points per centroid regardless of corpus
+    size). Deterministic for a given (sample, seed): numpy RandomState
+    init, ties in the assignment argmin break to the lowest list id, and
+    empty clusters reseed to the point farthest from its center."""
+    import numpy as np
+
+    n = len(X)
+    rng = np.random.RandomState(seed)
+    if n < k:
+        # fewer sample points than lists: every point is a center, the
+        # remainder duplicate existing centers (their lists end up empty)
+        reps = -(-k // n)
+        return np.tile(X, (reps, 1))[:k].copy()
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot > 0:
+            probs = d2 / tot
+            centers[j] = X[rng.choice(n, p=probs)]
+        else:
+            centers[j] = X[rng.randint(n)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    x_sq = (X**2).sum(axis=1)
+    labels = None
+    for _ in range(max_iter):
+        dist = x_sq[:, None] - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)
+        new_labels = dist.argmin(axis=1)
+        if labels is not None and (new_labels == labels).all():
+            break
+        labels = new_labels
+        for j in range(k):
+            members = X[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+            else:
+                # reseed to the globally worst-fit point
+                worst = dist.min(axis=1).argmax()
+                centers[j] = X[worst]
+    return centers
+
+
 def build_ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -258,15 +310,33 @@ def build_ivf_index(
     seed: int = 7,
     max_iter: int = 10,
     train_fraction: float | None = None,
+    trainer: str = "sample",
+    max_train_points: int | None = None,
 ) -> IVFIndex:
-    """Train the coarse quantizer (Spark MLlib k-means, optionally on a
-    seeded sample — see :func:`ivf_topk`) and assign every vector to its
-    inverted list."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Train the coarse quantizer and assign every vector to its inverted
+    list.
 
+    ``trainer='sample'`` (default): collect a bounded, seeded,
+    deterministically-ordered sample to the driver (cap =
+    ``max_train_points``, default ``min(max(256 * n_lists, 16384),
+    131072)`` — FAISS's 256-points-per-centroid practice), run seeded
+    k-means++ + Lloyd in numpy there, then assign the full corpus in ONE
+    Arrow pass (a BLAS argmin pandas UDF against the broadcast centroid
+    matrix). Two jobs total regardless of ``max_iter`` — at 100 TB the
+    centroids never needed more than a sliver of the data, and on a warm
+    cluster this removes the per-iteration job latency of a distributed
+    fit. ``train_fraction`` additionally pre-samples before the cap (cheap
+    scan-side Bernoulli filter, useful when the corpus is huge and the
+    TakeOrdered over it would dominate).
+
+    ``trainer='mllib'``: the previous behavior — Spark MLlib distributed
+    k-means (kmeans|| init; one job per init/Lloyd pass). Use when the
+    training set genuinely must exceed driver memory, i.e. you have reason
+    to believe a 131k-point sample cannot represent the corpus."""
     if n_lists < 1:
         raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    if trainer not in ("sample", "mllib"):
+        raise ValueError(f"trainer must be 'sample' or 'mllib', got {trainer!r}")
     if n_lists == 1:
         # degenerate single-list index (== brute force at search time);
         # MLlib KMeans rejects k=1, and no clustering is needed anyway
@@ -287,24 +357,71 @@ def build_ivf_index(
         return IVFIndex(cdf, assigned)
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    feats = vectors.select(
-        F.col(id_col).alias("vec_id_"),
-        F.col(vec_col).alias("embedding_"),
-        array_to_vector(vd).alias("_feat"),
+    if trainer == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = vectors.select(
+            F.col(id_col).alias("vec_id_"),
+            F.col(vec_col).alias("embedding_"),
+            array_to_vector(vd).alias("_feat"),
+        )
+        train = feats
+        if train_fraction is not None and train_fraction < 1.0:
+            train = feats.sample(fraction=train_fraction, seed=seed)
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
+        model = km.fit(train)
+        assigned = model.transform(feats).select(
+            F.col("vec_id_").alias("vec_id"),
+            F.col("embedding_").alias("embedding"),
+            F.col("prediction").alias("list_id"),
+        )
+        centers = [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        cdf = vectors.sparkSession.createDataFrame(
+            centers, "list_id int, center array<double>"
+        )
+        return IVFIndex(cdf, assigned)
+
+    import numpy as np
+
+    cap = max_train_points
+    if cap is None:
+        cap = min(max(256 * n_lists, 16384), 131072)
+    train = vectors.select(
+        vd.alias("_v"), F.xxhash64(F.col(id_col)).alias("_h")
     )
-    train = feats
     if train_fraction is not None and train_fraction < 1.0:
-        train = feats.sample(fraction=train_fraction, seed=seed)
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
-    model = km.fit(train)
-    assigned = model.transform(feats).select(
-        F.col("vec_id_").alias("vec_id"),
-        F.col("embedding_").alias("embedding"),
-        F.col("prediction").alias("list_id"),
+        train = train.sample(fraction=train_fraction, seed=seed)
+    # hash-ordered TakeOrdered: a deterministic, corpus-independent sample
+    # order (no full sort — planned as TakeOrderedAndProject), ONE job
+    rows = train.orderBy("_h").limit(int(cap)).select("_v").collect()
+    if not rows:
+        raise ValueError("build_ivf_index: no vectors to train on")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    centers_np = _kmeans_numpy(X, n_lists, seed=seed, max_iter=max_iter)
+    c_t = centers_np.T.copy()
+    c_sq = (centers_np**2).sum(axis=1)
+
+    def _assign_fn(col):
+        import numpy as np
+        import pandas as pd
+
+        Xb = np.stack(col.to_numpy()).astype(np.float64)
+        # argmin ||x-c||^2 == argmin (-2 x.c + ||c||^2); ||x||^2 constant
+        d = Xb @ c_t * (-2.0) + c_sq
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    _assign = F.pandas_udf(_assign_fn, "int")
+
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _assign(vd).alias("list_id"),
     )
-    centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers_np)]
     cdf = vectors.sparkSession.createDataFrame(
         centers, "list_id int, center array<double>"
     )
@@ -476,6 +593,8 @@ def semantic_dedup(
     train_fraction: float | None = None,
     keep_policy: str = "min_id",
     target_list_size: int = 1024,
+    trainer: str = "sample",
+    max_train_points: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, call two documents
@@ -529,6 +648,8 @@ def semantic_dedup(
         seed=seed,
         max_iter=max_iter,
         train_fraction=train_fraction,
+        trainer=trainer,
+        max_train_points=max_train_points,
     )
     assigned = index.assigned.select(
         F.col("vec_id").alias(id_col),

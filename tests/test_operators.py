@@ -2147,3 +2147,80 @@ def test_jpeg_decode_422_subsampling():
     assert out.shape == img.shape
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() < 3.0, err.mean()
+
+
+def test_ivf_sampled_trainer_deterministic_and_bounded(spark):
+    """trainer='sample' (default): the driver-side k-means must be
+    deterministic for a fixed seed, honor max_train_points, and assign the
+    FULL corpus (the cap bounds training only)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_ivf_index
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 8) * 6
+    rows = [
+        (i, (centers[i % 3] + rng.randn(8) * 0.1).astype(float).tolist())
+        for i in range(90)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = build_ivf_index(vecs, n_lists=3, seed=5, max_train_points=40)
+    b = build_ivf_index(vecs, n_lists=3, seed=5, max_train_points=40)
+    pa = a.assigned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pb = b.assigned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert pa["list_id"].tolist() == pb["list_id"].tolist()
+    assert len(pa) == 90  # full corpus assigned despite the 40-point cap
+    # the three planted blobs should land in three distinct lists
+    assert pa["list_id"].nunique() == 3
+    blob = pa.assign(src=pa["vec_id"] % 3).groupby("src")["list_id"].nunique()
+    assert (blob == 1).all()
+
+    ca = [list(c) for c in a.centroids.toPandas().sort_values("list_id")["center"]]
+    cb = [list(c) for c in b.centroids.toPandas().sort_values("list_id")["center"]]
+    assert ca == cb
+
+
+def test_ivf_sampled_trainer_fewer_points_than_lists(spark):
+    """n < k sample: every point becomes a center, surplus lists stay empty,
+    and search still works."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.randn(4).astype(float).tolist()) for i in range(3)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = build_ivf_index(vecs, n_lists=8, seed=1)
+    assigned = index.assigned.toPandas()
+    assert len(assigned) == 3
+    out = ivf_search(index, vecs, k=2, nprobe=8).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 2).all()
+
+
+def test_ivf_trainer_validation_and_mllib_parity(spark):
+    """Unknown trainer rejected at plan time; trainer='mllib' still builds a
+    working index whose full-probe search matches the sampled trainer's
+    (full probe == brute force, independent of the quantizer)."""
+    import numpy as np
+    import pytest as _pytest
+    from mlforecast_spark.operators.similarity import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(6).astype(float).tolist()) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="trainer"):
+        build_ivf_index(vecs, n_lists=4, trainer="faiss")
+
+    q = vecs.filter(F.col("vec_id") < 5)
+    key = ["query_id", "rank"]
+    got = {}
+    for tr in ("sample", "mllib"):
+        idx = build_ivf_index(vecs, n_lists=4, seed=7, trainer=tr)
+        got[tr] = (
+            ivf_search(idx, q, k=3, nprobe=4)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+    assert got["sample"]["neighbor_id"].tolist() == got["mllib"]["neighbor_id"].tolist()
+    assert got["sample"]["cosine"].tolist() == got["mllib"]["cosine"].tolist()
