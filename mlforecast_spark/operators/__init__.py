@@ -1,6 +1,7 @@
-from . import dedup, lm, multimodal, packing, sampling, similarity, text
+from . import bpe, dedup, lm, multimodal, packing, sampling, similarity, text
 
 __all__ = [
+    "bpe",
     "dedup",
     "lm",
     "multimodal",
