@@ -1079,7 +1079,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repeated_spans"] = repeated_spans_q
 
+    def bpe_counts_q(spark, sf):
+        """Rows-only tail entry: learned-BPE token counts (train on the
+        corpus word histogram, apply distributed). The learned merge replay
+        has no SQL oracle; the corpus-scale step (the word histogram) is
+        DuckDB-parity-pinned by tests/test_bpe.py, and the learner by a
+        naive-reference parity test."""
+        from mlforecast_spark.operators.bpe import train_bpe
+
+        docs = _docs(spark, sf)
+        tok = train_bpe(docs, num_merges=200, max_words=5000)
+        return tok.token_counts(docs)
+
+    q["bpe_token_counts"] = bpe_counts_q
+
     rows_only = [
+        "bpe_token_counts",
         "doc_repetition_stats",
         "semantic_dedup_embeddings",
         "doc_quality_scores",

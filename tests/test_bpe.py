@@ -155,14 +155,42 @@ def test_train_bpe_on_documents_table(spark):
     assert len(tok.merges) > 50
     out = tok.token_counts(docs.limit(50)).toPandas()
     assert (out["n_tokens"] > 0).all()
-    # learned-vocab counts must be >= the pre-tokenizer piece lower bound
-    # divided by piece length... just sanity: more tokens than whitespace
-    # words is impossible to violate only for OOV-free text; assert the
-    # count is at least the whitespace word count (BPE splits words, never
-    # joins across whitespace)
+    # BPE splits words and never joins across whitespace, so the learned
+    # count is bounded below by the whitespace word count
     ws = docs.limit(50).select(
         F.col("doc_id"),
         F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("nw"),
     ).toPandas().set_index("doc_id")["nw"]
     got = out.set_index("doc_id")["n_tokens"]
     assert (got >= ws.loc[got.index]).all()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF_DIR), reason="driver testdata absent"
+)
+def test_word_histogram_matches_duckdb(spark, duck):
+    """The corpus-scale step of train_bpe, pinned EXACTLY against an
+    independent SQL engine: whitespace split -> unnest -> count -> top-K by
+    (count desc, word asc)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = (
+        word_histogram(docs, max_words=300)
+        .toPandas()
+        .sort_values(["n", "word"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    want = duck.execute(
+        f"""
+        SELECT word, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 300
+        """
+    ).df()
+    assert got["word"].tolist() == want["word"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
