@@ -34,6 +34,181 @@ class AutoModel:
         return self.model_cls(**self.config(rng))
 
 
+# ---------------------------------------------------------------------------
+# reference parameter spaces (`/root/reference/mlforecast/auto.py:49-124`),
+# re-expressed over a seeded random.Random instead of an optuna trial (the
+# optimization shim drives either — see optimization.py)
+# ---------------------------------------------------------------------------
+
+def _log_uniform(rng: random.Random, lo: float, hi: float) -> float:
+    import math
+
+    return math.exp(rng.uniform(math.log(lo), math.log(hi)))
+
+
+def linear_regression_space(rng: random.Random) -> dict:
+    return {"fit_intercept": rng.choice([True, False])}
+
+
+def ridge_space(rng: random.Random) -> dict:
+    return {
+        "fit_intercept": rng.choice([True, False]),
+        "alpha": rng.uniform(0.001, 10.0),
+    }
+
+
+def lasso_space(rng: random.Random) -> dict:
+    return {
+        "fit_intercept": rng.choice([True, False]),
+        "alpha": rng.uniform(0.001, 10.0),
+    }
+
+
+def elastic_net_space(rng: random.Random) -> dict:
+    return {
+        "fit_intercept": rng.choice([True, False]),
+        "alpha": rng.uniform(0.001, 10.0),
+        "l1_ratio": rng.uniform(0.0, 1.0),
+    }
+
+
+def random_forest_space(rng: random.Random) -> dict:
+    return {
+        "n_estimators": rng.randint(50, 1000),
+        "max_depth": rng.randint(1, 10),
+        "min_samples_split": rng.randint(2, 100),
+        "max_features": rng.uniform(0.5, 1.0),
+    }
+
+
+def gbt_space(rng: random.Random) -> dict:
+    """Space for the in-repo histogram GBT — the reference's lightgbm space
+    translated to GradientBoostedTrees' surface."""
+    return {
+        "learning_rate": 0.05,
+        "n_estimators": int(round(_log_uniform(rng, 20, 1000))),
+        "reg_lambda": _log_uniform(rng, 1e-8, 10.0),
+        "max_depth": rng.randint(3, 12),
+        "min_child_samples": rng.randint(5, 100),
+    }
+
+
+def lightgbm_space(rng: random.Random) -> dict:
+    return {
+        "bagging_freq": 1,
+        "learning_rate": 0.05,
+        "verbosity": -1,
+        "n_estimators": int(round(_log_uniform(rng, 20, 1000))),
+        "lambda_l1": _log_uniform(rng, 1e-8, 10.0),
+        "lambda_l2": _log_uniform(rng, 1e-8, 10.0),
+        "num_leaves": int(round(_log_uniform(rng, 2, 4096))),
+        "feature_fraction": rng.uniform(0.5, 1.0),
+        "bagging_fraction": rng.uniform(0.5, 1.0),
+        "objective": rng.choice(["l1", "l2"]),
+    }
+
+
+def xgboost_space(rng: random.Random) -> dict:
+    return {
+        "n_estimators": rng.randint(20, 1000),
+        "max_depth": rng.randint(1, 10),
+        "learning_rate": _log_uniform(rng, 1e-3, 0.2),
+        "subsample": rng.uniform(0.1, 1.0),
+        "colsample_bytree": rng.uniform(0.1, 1.0),
+        "reg_lambda": _log_uniform(rng, 1e-8, 1.0),
+        "reg_alpha": _log_uniform(rng, 1e-8, 1.0),
+        "min_child_weight": rng.randint(2, 10),
+    }
+
+
+def catboost_space(rng: random.Random) -> dict:
+    return {
+        "silent": True,
+        "n_estimators": rng.randint(50, 1000),
+        "depth": rng.randint(1, 10),
+        "learning_rate": _log_uniform(rng, 1e-3, 0.2),
+        "subsample": rng.uniform(0.1, 1.0),
+        "colsample_bylevel": rng.uniform(0.1, 1.0),
+        "min_data_in_leaf": rng.uniform(1, 100),
+    }
+
+
+class AutoLinearRegression(AutoModel):
+    def __init__(self, config: Optional[Callable] = None):
+        from .models import LinearRegression
+
+        super().__init__(LinearRegression, config or linear_regression_space)
+
+
+class AutoRidge(AutoModel):
+    def __init__(self, config: Optional[Callable] = None):
+        from .models import Ridge
+
+        super().__init__(Ridge, config or ridge_space)
+
+
+class AutoLasso(AutoModel):
+    def __init__(self, config: Optional[Callable] = None):
+        from .models import Lasso
+
+        super().__init__(Lasso, config or lasso_space)
+
+
+class AutoElasticNet(AutoModel):
+    def __init__(self, config: Optional[Callable] = None):
+        from .models import ElasticNet
+
+        super().__init__(ElasticNet, config or elastic_net_space)
+
+
+class AutoRandomForest(AutoModel):
+    def __init__(self, config: Optional[Callable] = None):
+        from .models_gbt import RandomForest
+
+        super().__init__(RandomForest, config or random_forest_space)
+
+
+class AutoGBT(AutoModel):
+    """The in-container boosted-tree preset (no external libs needed)."""
+
+    def __init__(self, config: Optional[Callable] = None):
+        from .models_gbt import GradientBoostedTrees
+
+        super().__init__(GradientBoostedTrees, config or gbt_space)
+
+
+class AutoLightGBM(AutoModel):
+    """LightGBM-over-Spark preset — needs synapseml + lightgbm at fit time
+    (`models_external.SparkLGBMForecast`); use :class:`AutoGBT` where the
+    libraries are unavailable."""
+
+    def __init__(self, config: Optional[Callable] = None):
+        from .models_external import SparkLGBMForecast
+
+        super().__init__(SparkLGBMForecast, config or lightgbm_space)
+
+
+class AutoXGBoost(AutoModel):
+    """XGBoost-over-Spark preset — needs xgboost>=1.7 at fit time
+    (`models_external.SparkXGBForecast`)."""
+
+    def __init__(self, config: Optional[Callable] = None):
+        from .models_external import SparkXGBForecast
+
+        super().__init__(SparkXGBForecast, config or xgboost_space)
+
+
+class AutoCatboost(AutoModel):
+    """CatBoost preset — raises ImportError unless catboost is installed
+    (the reference constructs ``CatBoostRegressor`` the same way)."""
+
+    def __init__(self, config: Optional[Callable] = None):
+        import importlib
+
+        mod = importlib.import_module("catboost")
+        super().__init__(mod.CatBoostRegressor, config or catboost_space)
+
+
 def smape_loss(cv_df, model_name: str, target_col: str = "y") -> float:
     """Symmetric MAPE over a collected CV frame (the reference's default
     metric family, `tests/test_m4.py`)."""

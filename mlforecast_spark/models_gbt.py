@@ -92,10 +92,14 @@ class GradientBoostedTrees:
         (feature, bin, gain) of the best variance-reduction split."""
         lam = self.reg_lambda
         n_nodes, n_features, n_bins = hist_g.shape
+        # RandomForest hooks: per-tree feature subsampling and a parent-side
+        # split floor; both default to no-ops for plain boosting
+        allowed = getattr(self, "_allowed_features", None)
+        min_split = getattr(self, "min_samples_split", 2)
         best = []
         for node in range(n_nodes):
             G, N = node_g[node], node_n[node]
-            if N < 2 * self.min_child_samples:
+            if N < max(2 * self.min_child_samples, min_split):
                 best.append(None)
                 continue
             parent = (G * G) / (N + lam)
@@ -107,6 +111,10 @@ class GradientBoostedTrees:
                 gain = (gl * gl) / (nl + lam) + (gr * gr) / (nr + lam) - parent
             valid = (nl >= self.min_child_samples) & (nr >= self.min_child_samples)
             gain = np.where(valid, gain, -np.inf)
+            if allowed is not None:
+                mask = np.full(n_features, True)
+                mask[allowed] = False
+                gain[mask, :] = -np.inf
             j, b = np.unravel_index(np.argmax(gain), gain.shape)
             best.append((int(j), int(b), float(gain[j, b])) if gain[j, b] > 1e-12 else None)
         return best
@@ -445,3 +453,287 @@ def _apply_serialized(tree_root, Xb):
         stack.append((nd.left, idx[go_left]))
         stack.append((nd.right, idx[~go_left]))
     return out
+
+
+# Poisson(1) inverse-CDF thresholds for hash-derived bootstrap weights:
+# weight k is drawn when u lands in [cdf(k-1), cdf(k))
+_POISSON1_CDF = None
+
+
+def _poisson1_cdf():
+    global _POISSON1_CDF
+    if _POISSON1_CDF is None:
+        import math
+
+        pmf = [math.exp(-1.0)]
+        for k in range(1, 16):
+            pmf.append(pmf[-1] / k)
+        _POISSON1_CDF = np.cumsum(pmf)
+    return _POISSON1_CDF
+
+
+def _bootstrap_weights(row_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-(row, tree) Poisson(1) bootstrap weights — the
+    standard distributed-bagging substitute for an explicit bootstrap
+    resample (the multiset a bootstrap draws per row IS Poisson(1) in the
+    n→∞ limit). splitmix64-style hash of (row_id, seed) → uniform →
+    inverse CDF; identical on every pass that sees the row, so the level
+    passes of one tree agree on its bootstrap."""
+    salt = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    with np.errstate(over="ignore"):
+        z = (row_ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+    z ^= z >> np.uint64(27)
+    with np.errstate(over="ignore"):
+        z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    u = z.astype(np.float64) / float(2**64)
+    return np.searchsorted(_poisson1_cdf(), u).astype(np.float64)
+
+
+class RandomForest(GradientBoostedTrees):
+    """Bagged histogram trees: per-tree Poisson(1) bootstrap, per-tree
+    feature subsampling (``max_features`` fraction), variance-reduction
+    splits, mean-leaf values, averaged prediction. sklearn-compatible
+    surface for the reference's AutoRandomForest space
+    (`/root/reference/mlforecast/auto.py:115-124`): ``n_estimators``,
+    ``max_depth``, ``min_samples_split``, ``max_features``.
+
+    Scale shape matches the GBT: the local path collects once under
+    ``collect_threshold``; the distributed path keeps the quantile-binned
+    frame on executors and runs one ``mapInPandas`` histogram pass per
+    (tree, level) where only the (nodes × features × bins) partials reach
+    the driver. Bagging never materializes a resample — each pass derives
+    the row's Poisson weight from a hash of its row id and the tree seed,
+    so trees are independent, deterministic, and cost no extra storage.
+    Unlike boosting there is no carried prediction column, so trees need
+    no per-tree update/checkpoint pass and could even train concurrently."""
+
+    def __init__(
+        self,
+        n_estimators: int = 100,
+        max_depth: int = 10,
+        max_bins: int = 64,
+        min_samples_split: int = 2,
+        min_child_samples: int = 1,
+        max_features: float = 1.0,
+        criterion: str = "squared_error",
+        collect_threshold: int = 2_000_000,
+        random_state: int = 0,
+    ):
+        if criterion != "squared_error":
+            # reference space also offers absolute_error; histogram splits
+            # are variance-reduction (squared error) here
+            raise ValueError(
+                "RandomForest supports criterion='squared_error' only"
+            )
+        super().__init__(
+            n_estimators=n_estimators,
+            learning_rate=1.0,
+            max_depth=max_depth,
+            max_bins=max_bins,
+            min_child_samples=min_child_samples,
+            reg_lambda=0.0,
+            collect_threshold=collect_threshold,
+            random_state=random_state,
+        )
+        self.min_samples_split = int(min_samples_split)
+        self.max_features = max_features
+        self.criterion = criterion
+
+    def _feature_subset(self, rng: np.ndarray, n_features: int):
+        k = max(1, int(round(float(self.max_features) * n_features)))
+        if k >= n_features:
+            return None
+        return np.sort(rng.choice(n_features, size=k, replace=False))
+
+    # ------------------------------------------------------------- local
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self._fit_bins(X)
+        Xb = self._bin(X)
+        rng = np.random.RandomState(self.random_state)
+        n, nf = X.shape
+        self.base_score_ = 0.0
+        self.trees_ = []
+        try:
+            for _t in range(self.n_estimators):
+                idx = rng.randint(0, n, size=n)  # bootstrap resample
+                self._allowed_features = self._feature_subset(rng, nf)
+                self.trees_.append(self._grow_tree_local(Xb[idx], y[idx]))
+        finally:
+            self._allowed_features = None
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        Xb = self._bin(X)
+        out = np.zeros(len(Xb))
+        for tree in self.trees_:
+            out += self._apply_tree(tree, Xb)
+        return out / max(len(self.trees_), 1)
+
+    # ------------------------------------------------------- distributed
+    def fit_spark(self, df, feature_cols: Sequence[str], target_col: str):
+        from pyspark.sql import functions as F
+
+        feature_cols = list(feature_cols)
+        sel = [
+            qcol(c).cast("double").alias(f"_f{i}")
+            for i, c in enumerate(feature_cols)
+        ]
+        sel.append(qcol(target_col).cast("double").alias("_t"))
+        data = df.select(*sel).na.drop()
+        n_rows = data.count()
+        if n_rows <= self.collect_threshold:
+            pdf = data.toPandas()
+            X = pdf[[f"_f{i}" for i in range(len(feature_cols))]].to_numpy()
+            y = pdf["_t"].to_numpy()
+            return self.fit(X, y)
+        return self._fit_spark_forest(data, len(feature_cols), n_rows)
+
+    def _fit_spark_forest(self, data, n_features: int, n_rows: int):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        frac = min(1.0, 500_000 / max(n_rows, 1))
+        data = data.withColumn(
+            "_r", F.monotonically_increasing_id()
+        ).cache()
+        sample = data.sample(fraction=frac, seed=self.random_state).toPandas()
+        Xs = sample[[f"_f{i}" for i in range(n_features)]].to_numpy()
+        self._fit_bins(Xs)
+        edges = self.bin_edges_
+
+        def bin_rows(batches):
+            for pdf in batches:
+                X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(
+                    dtype="float64"
+                )
+                out = {}
+                for j, e in enumerate(edges):
+                    out[f"_b{j}"] = np.searchsorted(
+                        e, np.nan_to_num(X[:, j]), side="right"
+                    )
+                out["_t"] = pdf["_t"].to_numpy(dtype="float64")
+                out["_r"] = pdf["_r"].to_numpy(dtype="int64")
+                yield pd.DataFrame(out)
+
+        schema = (
+            ", ".join(f"_b{j} long" for j in range(n_features))
+            + ", _t double, _r long"
+        )
+        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(
+            eager=True
+        )
+        data.unpersist()
+        self.base_score_ = 0.0
+        self.trees_ = []
+        rng = np.random.RandomState(self.random_state)
+        try:
+            for t in range(self.n_estimators):
+                self._allowed_features = self._feature_subset(rng, n_features)
+                self.trees_.append(
+                    self._grow_tree_spark_bagged(
+                        binned, n_features, tree_seed=self.random_state + 1 + t
+                    )
+                )
+        finally:
+            self._allowed_features = None
+        return self
+
+    def _grow_tree_spark_bagged(self, data, n_features: int, tree_seed: int):
+        """One forest tree: level-wise weighted histograms where each row's
+        bootstrap multiplicity comes from its hashed (_r, tree_seed)."""
+        import pandas as pd
+
+        root = _TreeNode()
+        nodes = [root]
+        mb = self.max_bins
+
+        for _depth in range(self.max_depth):
+            act = [
+                i
+                for i, nd in enumerate(nodes)
+                if nd.feature == -1 and nd.left is None
+            ]
+            if not act:
+                break
+            tree_struct = _serialize_nodes(nodes)
+            act_set = {v: k for k, v in enumerate(act)}
+            state = {"cur_tree": tree_struct, "act": act_set}
+
+            def partials(
+                batches, state=state, n_features=n_features, mb=mb, ts=tree_seed
+            ):
+                import pandas as pd
+
+                hg = np.zeros((len(state["act"]), n_features, mb))
+                hn = np.zeros((len(state["act"]), n_features, mb))
+                for pdf in batches:
+                    Xb = np.column_stack(
+                        [
+                            pdf[f"_b{j}"].to_numpy(dtype="int64")
+                            for j in range(n_features)
+                        ]
+                    )
+                    w = _bootstrap_weights(
+                        pdf["_r"].to_numpy(dtype="int64"), ts
+                    )
+                    yv = pdf["_t"].to_numpy(dtype="float64")
+                    node_of = _assign_serialized(state["cur_tree"], Xb)
+                    compact = np.array(
+                        [state["act"].get(v, -1) for v in range(node_of.max() + 1)]
+                    )[node_of]
+                    selm = (compact >= 0) & (w > 0)
+                    cc = compact[selm]
+                    wv = w[selm]
+                    gy = wv * yv[selm]
+                    for j in range(n_features):
+                        key = cc * mb + Xb[selm, j]
+                        ml = len(state["act"]) * mb
+                        hg[:, j, :] += np.bincount(
+                            key, weights=gy, minlength=ml
+                        ).reshape(-1, mb)
+                        hn[:, j, :] += np.bincount(
+                            key, weights=wv, minlength=ml
+                        ).reshape(-1, mb)
+                yield pd.DataFrame(
+                    {"hg": [hg.ravel().tobytes()], "hn": [hn.ravel().tobytes()]}
+                )
+
+            rows = data.mapInPandas(partials, schema="hg binary, hn binary").collect()
+            shape = (len(act), n_features, mb)
+            hist_g = np.zeros(shape)
+            hist_n = np.zeros(shape)
+            for r in rows:
+                hist_g += np.frombuffer(r["hg"]).reshape(shape)
+                hist_n += np.frombuffer(r["hn"]).reshape(shape)
+            node_g = hist_g[:, 0, :].sum(axis=1)
+            node_n = hist_n[:, 0, :].sum(axis=1)
+            splits = self._best_splits(hist_g, hist_n, node_g, node_n)
+            any_split = False
+            for k, node_id in enumerate(act):
+                nd = nodes[node_id]
+                sp = splits[k]
+                if sp is None:
+                    if node_n[k] > 0:
+                        nd.value = float(node_g[k] / node_n[k])
+                    continue
+                j, b, _g = sp
+                nd.feature, nd.bin_threshold = j, b
+                nd.left, nd.right = _TreeNode(), _TreeNode()
+                nodes.extend([nd.left, nd.right])
+                gl = hist_g[k, j, : b + 1].sum()
+                nl = hist_n[k, j, : b + 1].sum()
+                if nl > 0:
+                    nd.left.value = float(gl / nl)
+                nr = node_n[k] - nl
+                if nr > 0:
+                    nd.right.value = float((node_g[k] - gl) / nr)
+                any_split = True
+            if not any_split:
+                break
+        return root
