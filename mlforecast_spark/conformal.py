@@ -253,3 +253,49 @@ def add_interval_columns(
             out = out.withColumn(f"{m}-hi-{lv}", F.col(m) + F.col(f"_q_{m}_{lv}"))
             out = out.drop(f"_q_{m}_{lv}")
     return out.drop("_step")
+
+
+def get_conformal_method(method: str):
+    """Reference-name parity (`conformal_prediction.py:749-755`): validate an
+    interval method name and resolve it to the score builder used at predict
+    time (a partial of :func:`conformity_scores`)."""
+    import functools
+
+    if method not in PredictionIntervals._METHODS:
+        raise ValueError(
+            f"prediction intervals method {method} not supported "
+            f"please choose one of {', '.join(PredictionIntervals._METHODS)}"
+        )
+    return functools.partial(conformity_scores, method=method)
+
+
+def compute_conformity_scores(
+    cv_results: DataFrame,
+    model_names: Sequence[str],
+    target_col: str,
+    feature_cols: Optional[Sequence[str]] = None,
+    signed: bool = False,
+) -> DataFrame:
+    """Reference-signature conformity scores (`conformal_prediction.py:
+    758-786`): replace each model column with its error vs the target, drop
+    the target, optionally move ``feature_cols`` to the end. Pure
+    projection — no shuffle, no action."""
+    model_set = set(model_names)
+    exprs = []
+    for c in cv_results.columns:
+        if c == target_col:
+            continue
+        if c in model_set:
+            err = (
+                (F.col(target_col) - F.col(c))
+                if signed
+                else F.abs(F.col(c) - F.col(target_col))
+            )
+            exprs.append(err.alias(c))
+        else:
+            exprs.append(F.col(c))
+    out = cv_results.select(*exprs)
+    if feature_cols is not None:
+        keep = [c for c in out.columns if c not in set(feature_cols)]
+        out = out.select(*keep, *feature_cols)
+    return out

@@ -41,6 +41,25 @@ def get_default_pip_requirements():
     return ["pyspark", "pandas", "numpy"]
 
 
+def get_default_conda_env():
+    """Reference-name parity (`flavor.py`): a conda env spec wrapping the
+    default pip requirements — built without importing mlflow so the name
+    resolves even where mlflow is absent (mlflow users can pass it to
+    ``log_model(conda_env=...)``)."""
+    import sys
+
+    py = f"{sys.version_info.major}.{sys.version_info.minor}"
+    return {
+        "name": "mlforecast-spark-env",
+        "channels": ["conda-forge"],
+        "dependencies": [
+            f"python={py}",
+            "pip",
+            {"pip": get_default_pip_requirements()},
+        ],
+    }
+
+
 def save_model(
     model: MLForecast,
     path: str,

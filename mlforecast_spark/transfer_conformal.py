@@ -26,6 +26,7 @@ Implemented methods:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -339,3 +340,49 @@ def _frozen_backtest_scores(
     from functools import reduce
 
     return reduce(DataFrame.unionByName, frames)
+
+
+@dataclass
+class TransferResult:
+    """Reference-name parity (`conformal_prediction.py:800-813`): the value a
+    transfer method hands to predict — conformity scores plus optional
+    weights/scales — instead of mutating interval config state."""
+
+    cs_df: DataFrame
+    weights: Optional[object] = None
+    target_scales: Optional[dict] = None
+    target_weights: Optional[object] = None
+    signed: bool = False
+
+
+@dataclass
+class _TransferMethodSpec:
+    """Capability flags per transfer method (reference ``:789-797``)."""
+
+    method: str
+    needs_source_cs: bool = False
+    runs_target_cv: bool = False
+    weighted: bool = False
+
+
+_TRANSFER_METHOD_SPECS = {
+    "recalibrate": _TransferMethodSpec("recalibrate", runs_target_cv=True),
+    "scale_aligned": _TransferMethodSpec("scale_aligned", needs_source_cs=True),
+    "error_scaled": _TransferMethodSpec("error_scaled", needs_source_cs=True),
+    "scale_aligned_weighted": _TransferMethodSpec(
+        "scale_aligned_weighted", needs_source_cs=True, weighted=True
+    ),
+    "weighted_conformal": _TransferMethodSpec(
+        "weighted_conformal", needs_source_cs=True, weighted=True
+    ),
+}
+
+
+def get_transfer_method_spec(method: str) -> _TransferMethodSpec:
+    """Reference-name parity (`conformal_prediction.py:1107-1113`)."""
+    if method not in _TRANSFER_METHOD_SPECS:
+        raise ValueError(
+            f"transfer conformal method {method} not supported "
+            f"please choose one of {', '.join(VALID_TRANSFER_METHODS)}"
+        )
+    return _TRANSFER_METHOD_SPECS[method]
