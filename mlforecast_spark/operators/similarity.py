@@ -13,6 +13,9 @@
   :class:`IVFIndex` (build once, search per query batch).
 - ``quantize_embeddings``: int8 scalar quantization (SQ8) for 4-8x smaller
   embedding storage/shuffles.
+- ``build_pq_index``/``pq_search``: product quantization + ADC scan
+  (FAISS PQ) — 30-60x smaller than floats; search reads only the codes.
+  Compose with IVF via a vec_id join for IVFPQ.
 - ``semantic_dedup``: SemDeDup-style semantic deduplication — k-means
   clusters confine the quadratic pairwise pass, connected components pick
   one survivor per duplicate group.
@@ -254,6 +257,30 @@ class IVFIndex:
         )
 
 
+def _collect_train_sample(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap: int,
+    seed: int,
+    train_fraction,
+    caller: str,
+):
+    """Bounded, deterministic training sample for driver-side quantizer
+    fits: optional Bernoulli pre-sample, then hash-ordered TakeOrdered
+    (planned as TakeOrderedAndProject — no full sort), ONE job."""
+    import numpy as np
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    train = vectors.select(vd.alias("_v"), F.xxhash64(F.col(id_col)).alias("_h"))
+    if train_fraction is not None and train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    rows = train.orderBy("_h").limit(int(cap)).select("_v").collect()
+    if not rows:
+        raise ValueError(f"{caller}: no vectors to train on")
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
 def _kmeans_numpy(X, k: int, seed: int, max_iter: int):
     """Seeded k-means++ init + Lloyd iterations on a driver-side sample.
 
@@ -385,22 +412,12 @@ def build_ivf_index(
         )
         return IVFIndex(cdf, assigned)
 
-    import numpy as np
-
     cap = max_train_points
     if cap is None:
         cap = min(max(256 * n_lists, 16384), 131072)
-    train = vectors.select(
-        vd.alias("_v"), F.xxhash64(F.col(id_col)).alias("_h")
+    X = _collect_train_sample(
+        vectors, id_col, vec_col, cap, seed, train_fraction, "build_ivf_index"
     )
-    if train_fraction is not None and train_fraction < 1.0:
-        train = train.sample(fraction=train_fraction, seed=seed)
-    # hash-ordered TakeOrdered: a deterministic, corpus-independent sample
-    # order (no full sort — planned as TakeOrderedAndProject), ONE job
-    rows = train.orderBy("_h").limit(int(cap)).select("_v").collect()
-    if not rows:
-        raise ValueError("build_ivf_index: no vectors to train on")
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
     centers_np = _kmeans_numpy(X, n_lists, seed=seed, max_iter=max_iter)
     c_t = centers_np.T.copy()
     c_sq = (centers_np**2).sum(axis=1)
@@ -796,4 +813,239 @@ def pool_chunk_embeddings(
         F.when(
             vn > 0, F.transform(F.col(vec_col), lambda x: x / vn)
         ).otherwise(F.col(vec_col)).alias(vec_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS PQ/ADC): the 100 TB memory story — m per-
+# subspace codebooks of k codewords compress each vector to m small codes
+# (8 bytes at m=8, k=256 vs 256+ bytes of floats), and search scans CODES
+# against a per-query lookup table (asymmetric distance computation), never
+# touching the original floats.
+# ---------------------------------------------------------------------------
+
+class PQIndex:
+    """Product-quantization index: per-subspace codebooks (tiny numpy
+    tensor, broadcast at search time) + the corpus encoded as ``m`` small
+    codes per vector. Persists as two parquet tables like
+    :class:`IVFIndex`; ``codes`` is what a 100 TB deployment stores and
+    scans — compressing embeddings 30-60× is the difference between an
+    in-memory scan and a disk-bound one. Compose with IVF by joining
+    ``codes`` to ``IVFIndex.assigned`` on ``vec_id`` (both partition-
+    prunable by the same key): probe lists with the coarse quantizer,
+    ADC-rank inside the probed lists (FAISS IVFPQ)."""
+
+    def __init__(self, codebooks, codes: DataFrame, normalize: bool):
+        import numpy as np
+
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+        self.codes = codes  # vec_id, code array<int> length m
+        self.normalize = bool(normalize)
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        m, k, dsub = self.codebooks.shape
+        spark = self.codes.sparkSession
+        rows = [
+            (int(j), int(c), [float(x) for x in self.codebooks[j, c]])
+            for j in range(m)
+            for c in range(k)
+        ]
+        cb = spark.createDataFrame(
+            rows, "subspace int, code int, center array<double>"
+        ).withColumn("_normalize", F.lit(self.normalize))
+        cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        import numpy as np
+
+        cb = spark.read.parquet(f"{path}/codebooks")
+        rows = cb.collect()
+        m = max(r["subspace"] for r in rows) + 1
+        k = max(r["code"] for r in rows) + 1
+        dsub = len(rows[0]["center"])
+        books = np.zeros((m, k, dsub))
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["center"]
+        normalize = bool(rows[0]["_normalize"])
+        return cls(books, spark.read.parquet(f"{path}/codes"), normalize)
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    seed: int = 7,
+    max_iter: int = 10,
+    train_fraction: float | None = None,
+    max_train_points: int | None = None,
+    normalize: bool = True,
+) -> PQIndex:
+    """Train ``m`` per-subspace codebooks (seeded k-means on a bounded
+    driver-side sample, exactly like :func:`build_ivf_index`'s default
+    trainer — FAISS trains PQ on a sample too) and encode the full corpus
+    in ONE Arrow pass (per-subspace BLAS argmin).
+
+    ``normalize=True`` unit-normalizes vectors before training/encoding so
+    ADC inner product approximates cosine (the embedding-search default);
+    ``normalize=False`` quantizes raw vectors for L2 search. The corpus-
+    size-dependent work is the single encode pass; training is bounded by
+    ``max_train_points`` (default ≤131072)."""
+    import numpy as np
+    import pandas as pd
+
+    if m < 1 or k < 2:
+        raise ValueError(f"need m >= 1 subspaces and k >= 2 codes, got {m=}, {k=}")
+    cap = max_train_points
+    if cap is None:
+        cap = min(max(64 * k, 16384), 131072)
+    X = _collect_train_sample(
+        vectors, id_col, vec_col, cap, seed, train_fraction, "build_pq_index"
+    )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    if normalize:
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        X = X / n[:, None]
+    k_eff = min(k, len(X))
+    books = np.stack(
+        [
+            _kmeans_numpy(X[:, j * dsub : (j + 1) * dsub], k_eff, seed + j, max_iter)
+            for j in range(m)
+        ]
+    )
+    if k_eff < k:  # pad so code values stay in [0, k) with stable shapes
+        pad = np.repeat(books[:, -1:, :], k - k_eff, axis=1)
+        books = np.concatenate([books, pad], axis=1)
+
+    books_local = books
+    norm_flag = bool(normalize)
+
+    def encode_fn(col):
+        import numpy as np
+        import pandas as pd
+
+        Xb = np.stack(col.to_numpy()).astype(np.float64)
+        if norm_flag:
+            nn = np.linalg.norm(Xb, axis=1)
+            nn[nn == 0] = 1.0
+            Xb = Xb / nn[:, None]
+        out = np.empty((len(Xb), books_local.shape[0]), dtype=np.int64)
+        for j in range(books_local.shape[0]):
+            sub = Xb[:, j * dsub : (j + 1) * dsub]
+            C = books_local[j]
+            d = sub @ C.T * (-2.0) + (C**2).sum(axis=1)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    encode = F.pandas_udf(encode_fn, "array<long>")
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = vectors.select(
+        F.col(id_col).alias("vec_id"), encode(vd).alias("code")
+    )
+    return PQIndex(books, codes, normalize)
+
+
+def pq_search(
+    index: PQIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k over PQ codes: build each query's
+    ``m × n_codes`` lookup table once on the driver (the query batch is the
+    bounded small side, as in FAISS), broadcast it into ONE ``mapInPandas``
+    scan of the codes, keep a per-batch top-k per query (numpy
+    argpartition), and resolve the global top-k with a window over the
+    ``batches × queries × k`` sliver. The corpus floats are never read —
+    at 100 TB the scan touches only the ~8-byte codes.
+
+    Scores: ``normalize=True`` ranks by ADC inner product (approximate
+    cosine, desc); ``normalize=False`` ranks by ADC squared L2 (asc).
+    Ties break on neighbor id. Exact when every subvector is itself a
+    codeword (pinned in tests); otherwise recall depends on m/k."""
+    import numpy as np
+    import pandas as pd
+
+    books = index.codebooks  # (m, k, dsub)
+    m, kcodes, dsub = books.shape
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    if qpdf.empty:
+        raise ValueError("pq_search: empty query batch")
+    Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+    if index.normalize:
+        nn = np.linalg.norm(Q, axis=1)
+        nn[nn == 0] = 1.0
+        Q = Q / nn[:, None]
+    # LUT[q, j, c] = score contribution of codeword c in subspace j
+    if index.normalize:
+        lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+        sign = -1.0  # rank desc by ip == asc by -ip
+    else:
+        qsub = Q.reshape(len(Q), m, dsub)
+        lut = (
+            (qsub**2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("qjd,jcd->qjc", qsub, books)
+            + (books**2).sum(axis=2)[None, :, :]
+        )
+        sign = 1.0
+    qids = qpdf["query_id"].to_numpy()
+    k_local = int(k)
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            nids = pdf["vec_id"].to_numpy()
+            # gather per subspace: scores (nq, n)
+            scores = np.zeros((len(qids), len(codes)))
+            for j in range(m):
+                scores += lut[:, j, :][:, codes[:, j]]
+            keyed = sign * scores
+            kk = min(k_local, len(codes))
+            idx = np.argpartition(keyed, kk - 1, axis=1)[:, :kk]
+            frames = []
+            for qi in range(len(qids)):
+                sel = idx[qi]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nids[sel],
+                            "score": scores[qi, sel],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    nbr_type = dict(index.codes.dtypes)["vec_id"]
+    qid_type = dict(
+        queries.select(F.col(id_col).alias("query_id")).dtypes
+    )["query_id"]
+    out_schema = f"query_id {qid_type}, neighbor_id {nbr_type}, score double"
+    cand = index.codes.mapInPandas(scan, schema=out_schema)
+    order = (
+        F.col("score").desc() if index.normalize else F.col("score").asc()
+    )
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )

@@ -2224,3 +2224,111 @@ def test_ivf_trainer_validation_and_mllib_parity(spark):
         )
     assert got["sample"]["neighbor_id"].tolist() == got["mllib"]["neighbor_id"].tolist()
     assert got["sample"]["cosine"].tolist() == got["mllib"]["cosine"].tolist()
+
+
+def test_pq_adc_exact_when_subvectors_are_codewords(spark):
+    """Vectors assembled from codewords quantize losslessly, so ADC == the
+    exact L2 ranking."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import PQIndex, build_pq_index, pq_search
+
+    rng = np.random.RandomState(4)
+    m, kcodes, dsub = 2, 4, 3
+    words = rng.randn(m, kcodes, dsub) * 3
+    picks = rng.randint(0, kcodes, size=(60, m))
+    X = np.concatenate([words[j][picks[:, j]] for j in range(m)], axis=1)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(len(X))]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") < 5)
+
+    idx = build_pq_index(
+        vecs, m=m, k=kcodes, normalize=False, seed=11, max_iter=25
+    )
+    got = pq_search(idx, q, k=4).toPandas()
+    for qi in range(5):
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((np.arange(len(X)), np.round(d, 9)))[:4]
+        mine = (
+            got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        )
+        want_d = sorted(np.round(d[order], 6))
+        mine_d = sorted(
+            np.round(((X[mine] - X[qi]) ** 2).sum(axis=1), 6)
+        )
+        assert want_d == mine_d, (qi, want_d, mine_d)
+
+
+def test_pq_cosine_recall_on_clustered_corpus(spark):
+    import numpy as np
+    from mlforecast_spark.operators.similarity import (
+        build_pq_index,
+        cosine_topk,
+        pq_search,
+    )
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(5, 16) * 4
+    rows = []
+    for i in range(300):
+        c = i % 5
+        rows.append((i, (centers[c] + rng.randn(16) * 0.3).astype(float).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") < 10)
+
+    exact = cosine_topk(vecs, q, k=10).toPandas()
+    idx = build_pq_index(vecs, m=4, k=64, seed=3)
+    approx = pq_search(idx, q, k=10).toPandas()
+
+    # within a tight cluster the top-10 are near-ties (cosine ~0.999+), so
+    # set recall is the wrong bar for ADC — measure retrieval QUALITY: the
+    # true cosine of what PQ returned must match the exact top-10's
+    X = np.stack([np.array(r[1]) for r in rows])
+    U = X / np.linalg.norm(X, axis=1)[:, None]
+    for qi in range(10):
+        got_ids = approx[approx["query_id"] == qi]["neighbor_id"].to_numpy()
+        want_ids = exact[exact["query_id"] == qi]["neighbor_id"].to_numpy()
+        got_cos = (U[got_ids] @ U[qi]).mean()
+        want_cos = (U[want_ids] @ U[qi]).mean()
+        assert got_cos >= want_cos - 0.005, (qi, got_cos, want_cos)
+        # and every retrieved neighbor comes from the query's own cluster
+        assert set(got_ids % 5) == {qi % 5}
+
+
+def test_pq_index_save_load_and_determinism(spark, tmp_path):
+    import numpy as np
+    from mlforecast_spark.operators.similarity import PQIndex, build_pq_index, pq_search
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = build_pq_index(vecs, m=2, k=8, seed=5)
+    b = build_pq_index(vecs, m=2, k=8, seed=5)
+    assert np.array_equal(a.codebooks, b.codebooks)
+    ca = a.codes.toPandas().sort_values("vec_id").reset_index(drop=True)
+    cb = b.codes.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert [list(c) for c in ca["code"]] == [list(c) for c in cb["code"]]
+
+    path = str(tmp_path / "pq")
+    a.save(path)
+    loaded = PQIndex.load(spark, path)
+    assert np.allclose(loaded.codebooks, a.codebooks)
+    assert loaded.normalize == a.normalize
+    q = vecs.filter(F.col("vec_id") < 3)
+    key = ["query_id", "rank"]
+    r1 = pq_search(a, q, k=5).toPandas().sort_values(key)
+    r2 = pq_search(loaded, q, k=5).toPandas().sort_values(key)
+    assert r1["neighbor_id"].tolist() == r2["neighbor_id"].tolist()
+
+
+def test_pq_validation(spark):
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_pq_index
+
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.randn(10).astype(float).tolist()) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="divisible"):
+        build_pq_index(vecs, m=3, k=4)
+    with pytest.raises(ValueError, match="m >= 1"):
+        build_pq_index(vecs, m=0, k=4)
