@@ -1093,7 +1093,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_token_counts"] = bpe_counts_q
 
+    def ann_pq_q(spark, sf):
+        """Rows-only tail entry: PQ/ADC top-k over the embeddings table —
+        the 100 TB memory path (search scans only the m-byte codes).
+        Codeword-exactness and retrieval quality pinned by test_pq_*."""
+        from mlforecast_spark.operators.similarity import build_pq_index, pq_search
+
+        embs = _embs(spark, sf)
+        idx = build_pq_index(embs, m=8, k=64, seed=7, max_iter=5)
+        qdf = embs.filter(F.col("vec_id") < 20)
+        return pq_search(idx, qdf, k=10).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
+    q["ann_pq_topk"] = ann_pq_q
+
     rows_only = [
+        "ann_pq_topk",
         "bpe_token_counts",
         "doc_repetition_stats",
         "semantic_dedup_embeddings",
