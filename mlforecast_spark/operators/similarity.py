@@ -1049,3 +1049,53 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivfpq_search(
+    ivf: IVFIndex,
+    pq: PQIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """FAISS IVFPQ: coarse-quantizer probing bounds WHICH codes are scanned,
+    product quantization bounds HOW MUCH each scanned row costs. The two
+    indexes share ``vec_id``, so the composition is one broadcast semi-join
+    (codes pruned to the probed lists — partition-pruned when ``assigned``
+    was written partitioned by ``list_id``) followed by :func:`pq_search`'s
+    ADC scan over that sliver. At 100 TB this reads ``nprobe/n_lists`` of
+    an already 30-60x-compressed table.
+
+    Exactness caveat (standard IVFPQ): scores are ADC approximations of
+    the probed lists' true distances; ranking quality is governed by
+    (m, k) and coverage by ``nprobe``."""
+    import numpy as np
+
+    cdf = ivf.centroids.select(
+        F.col("list_id").alias("_list"), F.col("center").alias("_center")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    diff = F.zip_with(qv, F.col("_center"), lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+    w_probe = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("_list"))
+    probed_lists = (
+        q.join(F.broadcast(cdf), how="cross")
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("_list")
+        .distinct()
+    )
+    # probed ids come from a partition-pruned scan of `assigned` (broadcast
+    # the tiny list set, never the id set — at scale the probed ids are a
+    # corpus-sized fraction, so codes meet them in a shuffled semi-join)
+    probed_ids = (
+        ivf.assigned.select(F.col("vec_id"), F.col("list_id").alias("_list"))
+        .join(F.broadcast(probed_lists), on="_list", how="left_semi")
+        .select("vec_id")
+    )
+    pruned = pq.codes.join(probed_ids, on="vec_id", how="left_semi")
+    sliver = PQIndex(pq.codebooks, pruned, pq.normalize)
+    return pq_search(sliver, queries, k=k, id_col=id_col, vec_col=vec_col)

@@ -2332,3 +2332,38 @@ def test_pq_validation(spark):
         build_pq_index(vecs, m=3, k=4)
     with pytest.raises(ValueError, match="m >= 1"):
         build_pq_index(vecs, m=0, k=4)
+
+
+def test_ivfpq_search_composes(spark):
+    """IVFPQ == PQ ADC restricted to the probed lists: with nprobe ==
+    n_lists it must equal flat pq_search; with nprobe=1 every result's
+    neighbor must come from the query's own (clustered) region."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        ivfpq_search,
+        pq_search,
+    )
+
+    rng = np.random.RandomState(6)
+    centers = rng.randn(4, 8) * 6
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(8) * 0.2).astype(float).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") < 6)
+
+    ivf = build_ivf_index(vecs, n_lists=4, seed=7)
+    pq = build_pq_index(vecs, m=4, k=32, seed=7)
+
+    key = ["query_id", "rank"]
+    full = ivfpq_search(ivf, pq, q, k=5, nprobe=4).toPandas().sort_values(key)
+    flat = pq_search(pq, q, k=5).toPandas().sort_values(key)
+    assert full["neighbor_id"].tolist() == flat["neighbor_id"].tolist()
+
+    one = ivfpq_search(ivf, pq, q, k=5, nprobe=1).toPandas()
+    assert (one.groupby("query_id").size() == 5).all()
+    # clusters are planted on vec_id % 4; nprobe=1 must stay in-cluster
+    assert (one["neighbor_id"] % 4 == one["query_id"] % 4).all()
