@@ -194,3 +194,21 @@ def test_word_histogram_matches_duckdb(spark, duck):
     ).df()
     assert got["word"].tolist() == want["word"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF_DIR), reason="driver testdata absent"
+)
+def test_bpe_counts_feed_sequence_packing(spark):
+    """Tokenizer-aware packing: learned-BPE counts drive pack_sequences, and
+    the packed slices account for every token exactly."""
+    from mlforecast_spark.operators.bpe import train_bpe
+    from mlforecast_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    tok = train_bpe(docs, num_merges=100, max_words=2000)
+    counted = tok.token_counts(docs)
+    packed = pack_sequences(counted, max_tokens=256, token_count_col="n_tokens")
+    total_slices = packed.agg(F.sum("slice_tokens")).collect()[0][0]
+    total_tokens = counted.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_slices == total_tokens
