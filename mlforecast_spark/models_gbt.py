@@ -737,3 +737,49 @@ class RandomForest(GradientBoostedTrees):
             if not any_split:
                 break
         return root
+
+
+def _tree_to_column(node, xs, bin_edges):
+    """Binned tree walk as a JVM CASE cascade on RAW values: binning is
+    monotone, so ``bin(x) <= b``  ⇔  ``x < edges[b]`` (searchsorted
+    side='right' counts edges <= x), and the per-row Python walk becomes a
+    codegen-able expression."""
+    from pyspark.sql import functions as F
+
+    if node.left is None:
+        return F.lit(float(node.value))
+    edges = bin_edges[node.feature]
+    left = _tree_to_column(node.left, xs, bin_edges)
+    right = _tree_to_column(node.right, xs, bin_edges)
+    b = node.bin_threshold
+    if b >= len(edges):
+        return left  # every binned value fits: the split is degenerate-true
+    return F.when(xs[node.feature] < float(edges[b]), left).otherwise(right)
+
+
+def _score_columns(model, feature_cols):
+    """JVM scoring expressions for a tree ensemble; nulls and NaNs map to
+    0.0 exactly like the numpy path's nan_to_num (bit-exact equivalence is
+    pinned in tests).
+
+    NOT the default scoring path, on purpose — measured NEGATIVE result
+    (local[32], 1.3M rows, 50 trees × depth 5): the CASE cascade scores in
+    6.2 s warm vs 0.7 s for the Arrow pandas-UDF numpy walk, because the
+    ~1550-WHEN method exceeds janino's 64KB codegen limit and falls back
+    to interpreted expression evaluation, while the numpy path bins once
+    and walks all trees vectorized. Use only where Python workers are
+    unavailable or the ensemble is tiny (e.g. exporting a depth-2 stump
+    ensemble into a pure-SQL pipeline)."""
+    from pyspark.sql import functions as F
+
+    from .utils import qcol
+
+    xs = []
+    for c in feature_cols:
+        x = qcol(c).cast("double")
+        xs.append(
+            F.when(x.isNull() | F.isnan(x), F.lit(0.0)).otherwise(x)
+        )
+    return [
+        _tree_to_column(t, xs, model.bin_edges_) for t in model.trees_
+    ]

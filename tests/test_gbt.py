@@ -46,3 +46,44 @@ def test_gbt_in_forecast_pipeline(spark, panel):
     # sanity: predictions in the data's ballpark
     ymax = panel.agg({"y": "max"}).collect()[0][0]
     assert preds["GradientBoostedTrees"].abs().max() < 3 * ymax
+
+
+def test_tree_expression_scoring_bit_exact(spark):
+    """_score_columns (opt-in JVM CASE-cascade scoring) must reproduce the
+    numpy tree walk exactly, including null/NaN -> 0.0 binning semantics.
+    It is NOT the default path — see the measured negative result in its
+    docstring."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mlforecast_spark.models_gbt import (
+        GradientBoostedTrees,
+        RandomForest,
+        _score_columns,
+    )
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, (2500, 3))
+    y = np.where(X[:, 0] > 0, 3.0, -1.0) + 0.5 * X[:, 1] + rng.normal(0, 0.1, 2500)
+    Xn = X.copy()
+    Xn[::17, 1] = np.nan
+
+    gbt = GradientBoostedTrees(n_estimators=12, max_depth=4).fit(X, y)
+    rf = RandomForest(n_estimators=7, max_depth=4, random_state=3).fit(X, y)
+    pdf = pd.DataFrame({f"f{j}": Xn[:, j] for j in range(3)})
+    df = spark.createDataFrame(pdf)
+    feats = ["f0", "f1", "f2"]
+
+    expr = F.lit(gbt.base_score_)
+    for c in _score_columns(gbt, feats):
+        expr = expr + F.lit(gbt.learning_rate) * c
+    got = np.array(df.select(expr.alias("p")).toPandas()["p"])
+    assert np.abs(got - gbt.predict(Xn)).max() == 0.0
+
+    cols = _score_columns(rf, feats)
+    expr = F.lit(0.0)
+    for c in cols:
+        expr = expr + c
+    got = np.array(df.select((expr / len(cols)).alias("p")).toPandas()["p"])
+    assert np.abs(got - rf.predict(Xn)).max() == 0.0
