@@ -839,7 +839,7 @@ class PQIndex:
         import numpy as np
 
         self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
-        self.codes = codes  # vec_id, code array<int> length m
+        self.codes = codes  # vec_id, code binary (m bytes; 2m when k > 256)
         self.normalize = bool(normalize)
 
     def save(self, path: str) -> None:
@@ -928,6 +928,11 @@ def build_pq_index(
 
     books_local = books
     norm_flag = bool(normalize)
+    # codes pack to a BINARY column: one byte per subspace for k <= 256
+    # (FAISS's default), two little-endian bytes beyond — the column a
+    # 100 TB deployment actually stores is m (or 2m) bytes per vector,
+    # not an array of 8-byte longs
+    code_dtype = "<u1" if k <= 256 else "<u2"
 
     def encode_fn(col):
         import numpy as np
@@ -938,15 +943,15 @@ def build_pq_index(
             nn = np.linalg.norm(Xb, axis=1)
             nn[nn == 0] = 1.0
             Xb = Xb / nn[:, None]
-        out = np.empty((len(Xb), books_local.shape[0]), dtype=np.int64)
+        out = np.empty((len(Xb), books_local.shape[0]), dtype=code_dtype)
         for j in range(books_local.shape[0]):
             sub = Xb[:, j * dsub : (j + 1) * dsub]
             C = books_local[j]
             d = sub @ C.T * (-2.0) + (C**2).sum(axis=1)
             out[:, j] = d.argmin(axis=1)
-        return pd.Series(list(out))
+        return pd.Series([row.tobytes() for row in out])
 
-    encode = F.pandas_udf(encode_fn, "array<long>")
+    encode = F.pandas_udf(encode_fn, "binary")
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = vectors.select(
         F.col(id_col).alias("vec_id"), encode(vd).alias("code")
@@ -1010,7 +1015,12 @@ def pq_search(
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            dt = "<u1" if kcodes <= 256 else "<u2"
+            codes = (
+                np.frombuffer(b"".join(pdf["code"]), dtype=dt)
+                .reshape(len(pdf), m)
+                .astype(np.int64)
+            )
             nids = pdf["vec_id"].to_numpy()
             # gather per subspace: scores (nq, n)
             scores = np.zeros((len(qids), len(codes)))
