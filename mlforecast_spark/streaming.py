@@ -451,3 +451,136 @@ def stream_near_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _dir_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def stream_semantic_dedup(
+    vectors: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 1,
+    seed: int = 7,
+    max_iter: int = 10,
+    trigger_available_now: bool = True,
+):
+    """SEMANTIC near-dedup of an embedding stream against a persistent
+    index — the continuous-ingest shape of the batch ``semantic_dedup``
+    (the embedding analog of :func:`stream_near_dedup`). Per micro-batch:
+
+    1. batch-internal ``semantic_dedup`` (its quadratic term is confined to
+       the batch's own inverted lists — tiny);
+    2. probe the persisted corpus index: the FIRST batch trains the coarse
+       quantizer (seeded, deterministic for a replay) and persists its
+       centroids; every later batch assigns to the SAME centroids, so the
+       cross-batch check is one :func:`ivf_search` top-1 at ``nprobe``
+       lists — a doc is dropped when its best indexed neighbor has
+       ``cosine >= 1 - eps``. Sharing centroids is what keeps the probe
+       list-local at any corpus size (the SemDeDup boundary caveat
+       applies: near-dups straddling a list boundary need ``nprobe > 1``);
+    3. append survivors' embeddings (+ list ids) to the index and the
+       surviving rows to the output, each into a ``batch_id=N/`` directory
+       with mode=overwrite — a replayed batch REPLACES its own earlier
+       partial write (same idempotence contract as ``stream_near_dedup``).
+
+    State is two parquet tables (centroids once, one index row per kept
+    vector); the streaming state store holds nothing (foreachBatch).
+    Returns the ``StreamingQuery``."""
+    from .operators.similarity import (
+        IVFIndex,
+        build_ivf_index,
+        ivf_search,
+        semantic_dedup,
+    )
+
+    spark = vectors.sparkSession
+    centroids_path = f"{index_path}/centroids"
+    lists_path = f"{index_path}/lists"
+
+    def process(batch: DataFrame, _batch_id: int):
+        if not batch.head(1):
+            return
+        # (1) batch-internal semantic dedup
+        flags = semantic_dedup(
+            batch, eps=eps, id_col=id_col, vec_col=vec_col,
+            n_lists=n_lists, seed=seed, max_iter=max_iter,
+        )
+        kept = batch.join(
+            flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+        # (2) coarse quantizer: first committed batch trains it; replays and
+        # later batches reuse it so list geometry never drifts
+        if _dir_exists(spark, f"{centroids_path}/_SUCCESS"):
+            centroids = spark.read.parquet(centroids_path)
+        else:
+            trained = build_ivf_index(
+                batch, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+                seed=seed, max_iter=max_iter,
+            )
+            trained.centroids.write.mode("overwrite").parquet(centroids_path)
+            centroids = spark.read.parquet(centroids_path)
+        # assign THIS batch's survivors to the shared lists
+        batch_index = _assign_to_centroids(
+            kept, centroids, id_col=id_col, vec_col=vec_col
+        )
+        if _committed_batch_dirs_exist(spark, lists_path):
+            index_rows = spark.read.parquet(lists_path).filter(
+                F.col("batch_id") < F.lit(int(_batch_id))
+            )
+            idx = IVFIndex(
+                centroids,
+                index_rows.select("vec_id", "embedding", "list_id"),
+            )
+            hits = ivf_search(
+                idx, kept, k=1, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+            ).filter(F.col("cosine") >= 1.0 - eps)
+            drop = hits.select(F.col("query_id").alias(id_col)).distinct()
+            kept = kept.join(drop, id_col, "left_anti")
+            batch_index = batch_index.join(drop, id_col, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        # (3) idempotent per-batch writes
+        kept.write.mode("overwrite").parquet(f"{output_path}/batch_id={_batch_id}")
+        batch_index.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "list_id",
+        ).write.mode("overwrite").parquet(f"{lists_path}/batch_id={_batch_id}")
+
+    writer = vectors.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid list assignment via the broadcast centroid join
+    (same ordering contract as ivf_search's probe)."""
+    from pyspark.sql import Window as _W
+
+    cdf = centroids.select(
+        F.col("list_id").alias("_list"), F.col("center").alias("_center")
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    diff = F.zip_with(vd, F.col("_center"), lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+    w = _W.partitionBy(id_col).orderBy(dist.asc(), F.col("_list"))
+    return (
+        df.join(F.broadcast(cdf), how="cross")
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") == 1)
+        .select(df["*"], F.col("_list").alias("list_id"))
+    )

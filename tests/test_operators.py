@@ -2367,3 +2367,65 @@ def test_ivfpq_search_composes(spark):
     assert (one.groupby("query_id").size() == 5).all()
     # clusters are planted on vec_id % 4; nprobe=1 must stay in-cluster
     assert (one["neighbor_id"] % 4 == one["query_id"] % 4).all()
+
+
+def test_stream_semantic_dedup(spark, tmp_path):
+    """Streaming embedding near-dedup: batch-internal semantic dups
+    collapse, later batches probe the persisted index under SHARED
+    centroids, novel vectors survive, and the index grows only with
+    survivors."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from mlforecast_spark.streaming import stream_semantic_dedup
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(8)
+    b = rng.randn(8)
+
+    def v(x, noise=0.0):
+        arr = x + noise * rng.randn(8) * 0.001
+        return [float(t) for t in arr]
+
+    def run_batch(rows):
+        if rows:
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        q = stream_semantic_dedup(
+            stream, idx, out, ckpt, eps=0.01, n_lists=2, nprobe=2
+        )
+        q.awaitTermination(180)
+
+    # batch 1: a + its twin (internal dup) + a distinct direction
+    run_batch([(1, v(a)), (2, v(a, noise=1)), (3, v(b))])
+    got1 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert set(got1.vec_id) == {1, 3}
+
+    # batch 2: a near-dup of batch 1's `a` drops against the index; a novel
+    # direction survives
+    c = rng.randn(8)
+    run_batch([(10, v(a, noise=1)), (11, v(c))])
+    got2 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert set(got2.vec_id) == {1, 3, 11}
+    idx_df = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/lists/batch_id=*/*.parquet")]
+    )
+    assert set(idx_df.vec_id) == {1, 3, 11}
+    # the shared centroids were written exactly once
+    assert os.path.isdir(f"{idx}/centroids")
