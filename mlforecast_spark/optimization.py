@@ -96,11 +96,13 @@ def mlforecast_objective(
     n_windows: int,
     h: int,
     step_size: Optional[int] = None,
+    input_size: Optional[int] = None,
     refit: Union[bool, int] = False,
     id_col: str = "unique_id",
     time_col: str = "ds",
     target_col: str = "y",
     weight_col: Optional[str] = None,
+    cv_splits: Optional[list] = None,
 ) -> Callable:
     """Build ``objective(trial) -> float`` evaluating one hyperparameter
     configuration by cross-validation, mirroring the reference's optuna
@@ -108,7 +110,15 @@ def mlforecast_objective(
     ``{"model_params", "mlf_init_params", "mlf_fit_params"}``; a
     configuration with no features at all (lags, lag_transforms and
     date_features all None) scores ``inf`` without training, and the full
-    config is recorded on the trial as user attr ``"config"``."""
+    config is recorded on the trial as user attr ``"config"``.
+
+    ``cv_splits``: optional precomputed ``(cutoffs, train, valid)`` frame
+    tuples reused across trials (the reference caches splits the same
+    way); each split is evaluated fit-or-warm-up per the ``refit``
+    cadence, with per-split ``trial.report`` + pruning when the trial
+    object supports it. ``input_size`` trims each window's training
+    history (passes through to ``cross_validation`` when splits are
+    derived internally)."""
 
     def objective(trial) -> float:
         config = copy.deepcopy(config_fn(trial))
@@ -121,21 +131,82 @@ def mlforecast_objective(
         mdl = _apply_model_params(model, config.get("model_params", {}))
         mlf = MLForecast(models={"model": mdl}, freq=freq, **init)
         fit_params = dict(config.get("mlf_fit_params", {}))
-        cv = mlf.cross_validation(
-            df,
-            n_windows=n_windows,
-            h=h,
-            id_col=id_col,
-            time_col=time_col,
-            target_col=target_col,
-            step_size=step_size,
-            refit=refit,
-            weight_col=weight_col,
-            **fit_params,
-        ).cache()
-        try:
-            return float(loss(cv, "model"))
-        finally:
-            cv.unpersist()
+        if cv_splits is None:
+            cv = mlf.cross_validation(
+                df,
+                n_windows=n_windows,
+                h=h,
+                id_col=id_col,
+                time_col=time_col,
+                target_col=target_col,
+                step_size=step_size,
+                input_size=input_size,
+                refit=refit,
+                weight_col=weight_col,
+                **fit_params,
+            ).cache()
+            try:
+                return float(loss(cv, "model"))
+            finally:
+                cv.unpersist()
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        metrics = []
+        for i, (_, train, valid) in enumerate(list(cv_splits)):
+            should_fit = i == 0 or (refit > 0 and i % refit == 0)
+            if should_fit:
+                mlf.fit(
+                    train,
+                    id_col=id_col,
+                    time_col=time_col,
+                    target_col=target_col,
+                    weight_col=weight_col,
+                    **fit_params,
+                )
+            # dynamic exog in the valid frame ride through X_df, like the
+            # reference's dynamic-column detection
+            static_cols = list(getattr(mlf, "static_cols_", []) or [])
+            base_cols = {id_col, time_col, target_col}
+            if weight_col is not None:
+                base_cols.add(weight_col)
+            dynamic = [
+                c for c in valid.columns if c not in base_cols.union(static_cols)
+            ]
+            X_df = (
+                valid.drop(target_col, *static_cols) if dynamic else None
+            )
+            new_df = None if should_fit else (
+                train.drop(weight_col) if weight_col is not None else train
+            )
+            preds = mlf.predict(h=h, X_df=X_df, new_df=new_df)
+            result = valid.select(id_col, time_col, target_col).join(
+                preds, on=[id_col, time_col]
+            )
+            n_result = result.cache().count()
+            if n_result < valid.count():
+                result.unpersist()
+                raise ValueError(
+                    "Cross validation result produced less results than "
+                    "expected. Please verify that the passed frequency (freq) "
+                    "matches your series' and that there aren't any missing "
+                    "periods."
+                )
+            try:
+                metric = float(loss(result, "model"))
+            finally:
+                result.unpersist()
+            metrics.append(metric)
+            if hasattr(trial, "report"):
+                trial.report(metric, step=i)
+                if hasattr(trial, "should_prune") and trial.should_prune():
+                    try:
+                        import optuna
+
+                        raise optuna.TrialPruned()
+                    except ImportError:
+                        break
+        return float(np.mean(metrics))
 
     return objective

@@ -85,3 +85,50 @@ def test_objective_applies_model_params(spark, opt_panel):
     val = objective(trial)
     assert np.isfinite(val)
     assert 0.1 <= trial.params["alpha"] <= 1.0
+
+
+def test_objective_with_precomputed_cv_splits(spark, opt_panel):
+    """cv_splits branch (reference optimization.py:120-190): precomputed
+    (cutoffs, train, valid) tuples reused across trials, refit cadence
+    respected (i==0 fits; later splits warm up via new_df), per-split
+    trial.report observed."""
+    from pyspark.sql import functions as F
+
+    cut1, cut2 = 33, 36
+    splits = []
+    for cut in (cut1, cut2):
+        train = opt_panel.filter(F.col("ds") <= cut)
+        valid = opt_panel.filter((F.col("ds") > cut) & (F.col("ds") <= cut + 3))
+        cutoffs = train.groupBy("unique_id").agg(F.max("ds").alias("cutoff"))
+        splits.append((cutoffs, train, valid))
+
+    objective = mlforecast_objective(
+        opt_panel,
+        _config_fn,
+        smape_loss,
+        LinearRegression(),
+        freq=1,
+        n_windows=2,
+        h=3,
+        refit=False,
+        cv_splits=splits,
+    )
+
+    class ReportingTrial(RandomTrial):
+        def __init__(self, rng, number=0):
+            super().__init__(rng, number=number)
+            self.reports = []
+
+        def report(self, value, step):
+            self.reports.append((step, value))
+
+        def should_prune(self):
+            return False
+
+    rng = random.Random(1)
+    trial = ReportingTrial(rng)
+    val = objective(trial)
+    assert np.isfinite(val) and val >= 0
+    assert [s for s, _ in trial.reports] == [0, 1]
+    # the returned value is the mean of the per-split metrics
+    assert abs(val - np.mean([v for _, v in trial.reports])) < 1e-12
