@@ -1061,3 +1061,48 @@ def minhash_recall_estimate(
     exact.unpersist()
     cands.unpersist()
     return out
+
+
+def optimal_bands(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+) -> tuple:
+    """Choose ``(num_bands, rows_per_band)`` for the banded MinHash join by
+    minimizing the weighted false-positive/false-negative area of the LSH
+    S-curve ``P(candidate | jaccard=s) = 1 - (1 - s^r)^b`` around
+    ``threshold`` (the standard datasketch/MMDS tuning rule). Driver-side
+    arithmetic only — use it to pick ``num_bands`` for
+    :func:`minhash_lsh_candidates` / :func:`dedup_corpus`, then verify the
+    achieved recall empirically with :func:`minhash_recall_estimate`.
+
+    ``fp_weight`` trades candidate-set size (false positives = wasted join
+    work at 100 TB) against missed near-dups (false negatives); 0.5 weighs
+    them equally."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError(f"fp_weight must be in [0, 1], got {fp_weight}")
+    fn_weight = 1.0 - fp_weight
+    steps = 200
+    best = None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r == 0 or b * r > num_hashes:
+            continue
+
+        # integrate the S-curve below/above the threshold (midpoint rule)
+        fp = 0.0
+        for i in range(steps):
+            s = threshold * (i + 0.5) / steps
+            fp += 1.0 - (1.0 - s**r) ** b
+        fp *= threshold / steps
+        fn = 0.0
+        for i in range(steps):
+            s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+            fn += 1.0 - (1.0 - (1.0 - s**r) ** b)
+        fn *= (1.0 - threshold) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

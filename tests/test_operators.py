@@ -2429,3 +2429,25 @@ def test_stream_semantic_dedup(spark, tmp_path):
     assert set(idx_df.vec_id) == {1, 3, 11}
     # the shared centroids were written exactly once
     assert os.path.isdir(f"{idx}/centroids")
+
+
+def test_optimal_bands_s_curve():
+    """The chosen (b, r) must put the S-curve's steep zone at the threshold:
+    high candidate probability just above it, low just below; and higher
+    thresholds must select more rows per band (fewer bands)."""
+    from mlforecast_spark.operators.dedup import optimal_bands
+
+    b, r = optimal_bands(128, 0.5)
+    assert b * r <= 128
+    p = lambda s: 1.0 - (1.0 - s**r) ** b
+    assert p(0.7) > 0.9
+    assert p(0.3) < 0.35
+    b_hi, r_hi = optimal_bands(128, 0.9)
+    assert r_hi >= r  # stricter threshold -> longer bands
+    b_fp, r_fp = optimal_bands(128, 0.5, fp_weight=0.95)
+    assert r_fp >= r  # punishing false positives -> longer bands
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        optimal_bands(128, 1.5)
