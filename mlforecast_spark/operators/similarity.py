@@ -577,15 +577,22 @@ def quantize_embeddings(
     # stage the O(dim) max-abs scan as an attribute: higher-order functions
     # run interpreted, where re-evaluating the aggregate per reference (it
     # appears in scale, the guard and the divisor) is not CSE'd away
-    staged = df.select(F.col(id_col), v.alias("_v"), amax.alias("_amax"))
+    # branch on the SCALE, not amax: a subnormal amax (~5e-324) is > 0 yet
+    # amax/127 underflows to exactly 0.0, which would divide-by-zero under
+    # ANSI (hypothesis-found); such vectors quantize to zeros like amax==0
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (amax / F.lit(127.0)).alias("_scale"),
+    )
     return staged.select(
         F.col(id_col),
-        (F.col("_amax") / F.lit(127.0)).alias("scale"),
+        F.col("_scale").alias("scale"),
         F.when(
-            F.col("_amax") > 0,
+            F.col("_scale") > 0,
             F.transform(
                 F.col("_v"),
-                lambda x: F.round(x / (F.col("_amax") / 127.0)).cast("byte"),
+                lambda x: F.round(x / F.col("_scale")).cast("byte"),
             ),
         )
         .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("byte")))
