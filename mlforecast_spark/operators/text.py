@@ -674,3 +674,43 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-row corpus profile via sketches — the numbers a 100 TB ingest
+    budgets by, in ONE aggregation pass over the token stream plus one over
+    the docs: doc count, total/whitespace token count, approx distinct
+    vocabulary (HyperLogLog++, ``approx_count_distinct`` with relative
+    error ``rsd``), type-token ratio estimate, and per-doc token-length
+    quantiles (``percentile_approx`` — Greenwald-Khanna, bounded memory).
+    Exact distinct-vocab at corpus scale is a full shuffle of every token;
+    the sketches keep this a map-side-combinable aggregate."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    token_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.approx_count_distinct("word", rsd=rsd).alias("approx_vocab"),
+    )
+    doc_tokens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    doc_stats = doc_tokens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("_n", [0.5, 0.9, 0.99], 10_000).alias("_qs"),
+        F.avg("_n").alias("mean_doc_tokens"),
+    )
+    return token_stats.crossJoin(doc_stats).select(
+        "n_docs",
+        "n_tokens",
+        "approx_vocab",
+        (F.col("approx_vocab") / F.col("n_tokens")).alias("type_token_ratio_est"),
+        "mean_doc_tokens",
+        F.col("_qs")[0].alias("p50_doc_tokens"),
+        F.col("_qs")[1].alias("p90_doc_tokens"),
+        F.col("_qs")[2].alias("p99_doc_tokens"),
+    )

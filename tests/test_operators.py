@@ -2451,3 +2451,25 @@ def test_optimal_bands_s_curve():
 
     with _pytest.raises(ValueError, match="threshold"):
         optimal_bands(128, 1.5)
+
+
+def test_corpus_stats_sketches(spark):
+    """Sketch-based corpus profile: exact counts where exact, HLL vocab
+    within its error bound, quantiles bracketed by the data."""
+    rows = [
+        (0, "a b c d e"),
+        (1, "a a a b"),
+        (2, " ".join(f"w{i}" for i in range(20))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mlforecast_spark.operators.text import corpus_stats
+
+    out = corpus_stats(df).toPandas().iloc[0]
+    assert out["n_docs"] == 3  # the null-text doc has no tokens
+    assert out["n_tokens"] == 5 + 4 + 20
+    true_vocab = 5 + 1 + 20 - 1  # 'a' and 'b' shared between docs 0/1
+    assert abs(out["approx_vocab"] - true_vocab) <= max(2, 0.1 * true_vocab)
+    assert out["p50_doc_tokens"] in (4, 5)
+    assert out["p99_doc_tokens"] == 20
+    assert 0 < out["type_token_ratio_est"] <= 1.001
