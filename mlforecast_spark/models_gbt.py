@@ -87,15 +87,19 @@ class GradientBoostedTrees:
         return out
 
     # -------------------------------------------------------- split finder
-    def _best_splits(self, hist_g, hist_n, node_g, node_n):
+    def _best_splits(
+        self, hist_g, hist_n, node_g, node_n,
+        allowed_features=None, min_samples_split=2,
+    ):
         """hist_g/hist_n: (n_nodes, n_features, n_bins). Returns per node the
-        (feature, bin, gain) of the best variance-reduction split."""
+        (feature, bin, gain) of the best variance-reduction split.
+        ``allowed_features``/``min_samples_split`` are RandomForest's
+        per-tree hooks, passed as PARAMETERS so the shared split finder
+        stays stateless (independent trees can train concurrently)."""
         lam = self.reg_lambda
         n_nodes, n_features, n_bins = hist_g.shape
-        # RandomForest hooks: per-tree feature subsampling and a parent-side
-        # split floor; both default to no-ops for plain boosting
-        allowed = getattr(self, "_allowed_features", None)
-        min_split = getattr(self, "min_samples_split", 2)
+        allowed = allowed_features
+        min_split = min_samples_split
         best = []
         for node in range(n_nodes):
             G, N = node_g[node], node_n[node]
@@ -135,7 +139,10 @@ class GradientBoostedTrees:
             pred += self.learning_rate * self._apply_tree(tree, Xb)
         return self
 
-    def _grow_tree_local(self, Xb: np.ndarray, resid: np.ndarray):
+    def _grow_tree_local(
+        self, Xb: np.ndarray, resid: np.ndarray,
+        allowed_features=None, min_samples_split=2,
+    ):
         n, n_features = Xb.shape
         node_idx = np.zeros(n, dtype=np.int32)
         root = _TreeNode()
@@ -163,7 +170,11 @@ class GradientBoostedTrees:
                 )
             node_g = hist_g[:, 0, :].sum(axis=1)
             node_n = hist_n[:, 0, :].sum(axis=1)
-            splits = self._best_splits(hist_g, hist_n, node_g, node_n)
+            splits = self._best_splits(
+                hist_g, hist_n, node_g, node_n,
+                allowed_features=allowed_features,
+                min_samples_split=min_samples_split,
+            )
             new_assign = node_idx.copy()
             any_split = False
             for k, node_id in enumerate(act):
@@ -248,22 +259,23 @@ class GradientBoostedTrees:
         self._boost_spark(binned, n_features, self.n_estimators, update_last=False)
         return self
 
-    def prepare_spark_state(self, data, n_features: int, n_rows: int):
-        """Bin rows + initialize the carried prediction column WITHOUT growing
-        trees — the shared prep for ``fit_spark`` and staged boosting
-        (LightGBMCV). Returns the checkpointed binned frame for
-        ``boost_spark``."""
-        import pandas as pd
-
-        # bin edges from an executor-side sample
+    def _fit_bins_from_sample(self, data, n_features: int, n_rows: int):
+        """Quantile bin edges from an executor-side sample of the (cached)
+        training frame — the shared first step of every distributed path."""
         frac = min(1.0, 500_000 / max(n_rows, 1))
-        data = data.cache()
         sample = data.sample(fraction=frac, seed=self.random_state).toPandas()
         Xs = sample[[f"_f{i}" for i in range(n_features)]].to_numpy()
         self._fit_bins(Xs)
-        self.base_score_ = float(data.agg({"_t": "avg"}).collect()[0][0] or 0.0)
+
+    def _binned_frame(self, data, n_features: int, extra: dict):
+        """Bin the frame once on executors (mapInPandas + eager checkpoint).
+        ``extra`` maps an output column name to either a constant float
+        (boosting's carried prediction ``_p``) or the name of an input
+        column to carry through as int64 (the forest's row id ``_r``) —
+        the ONE difference between the boosting and bagging preps."""
+        import pandas as pd
+
         edges = self.bin_edges_
-        base = self.base_score_
 
         def bin_rows(batches):
             for pdf in batches:
@@ -276,16 +288,27 @@ class GradientBoostedTrees:
                         e, np.nan_to_num(X[:, j]), side="right"
                     )
                 out["_t"] = pdf["_t"].to_numpy(dtype="float64")
-                out["_p"] = np.full(len(pdf), base)
+                for name, spec in extra.items():
+                    if isinstance(spec, str):
+                        out[name] = pdf[spec].to_numpy(dtype="int64")
+                    else:
+                        out[name] = np.full(len(pdf), float(spec))
                 yield pd.DataFrame(out)
 
-        schema = (
-            ", ".join(f"_b{j} long" for j in range(n_features))
-            + ", _t double, _p double"
-        )
-        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(
-            eager=True
-        )
+        schema = ", ".join(f"_b{j} long" for j in range(n_features)) + ", _t double"
+        for name, spec in extra.items():
+            schema += f", {name} " + ("long" if isinstance(spec, str) else "double")
+        return data.mapInPandas(bin_rows, schema=schema).localCheckpoint(eager=True)
+
+    def prepare_spark_state(self, data, n_features: int, n_rows: int):
+        """Bin rows + initialize the carried prediction column WITHOUT growing
+        trees — the shared prep for ``fit_spark`` and staged boosting
+        (LightGBMCV). Returns the checkpointed binned frame for
+        ``boost_spark``."""
+        data = data.cache()
+        self._fit_bins_from_sample(data, n_features, n_rows)
+        self.base_score_ = float(data.agg({"_t": "avg"}).collect()[0][0] or 0.0)
+        binned = self._binned_frame(data, n_features, {"_p": self.base_score_})
         data.unpersist()
         self.trees_ = []
         return binned
@@ -558,13 +581,16 @@ class RandomForest(GradientBoostedTrees):
         n, nf = X.shape
         self.base_score_ = 0.0
         self.trees_ = []
-        try:
-            for _t in range(self.n_estimators):
-                idx = rng.randint(0, n, size=n)  # bootstrap resample
-                self._allowed_features = self._feature_subset(rng, nf)
-                self.trees_.append(self._grow_tree_local(Xb[idx], y[idx]))
-        finally:
-            self._allowed_features = None
+        for _t in range(self.n_estimators):
+            idx = rng.randint(0, n, size=n)  # bootstrap resample
+            self.trees_.append(
+                self._grow_tree_local(
+                    Xb[idx],
+                    y[idx],
+                    allowed_features=self._feature_subset(rng, nf),
+                    min_samples_split=self.min_samples_split,
+                )
+            )
         return self
 
     def predict(self, X) -> np.ndarray:
@@ -595,56 +621,32 @@ class RandomForest(GradientBoostedTrees):
         return self._fit_spark_forest(data, len(feature_cols), n_rows)
 
     def _fit_spark_forest(self, data, n_features: int, n_rows: int):
-        import pandas as pd
         from pyspark.sql import functions as F
 
-        frac = min(1.0, 500_000 / max(n_rows, 1))
-        data = data.withColumn(
-            "_r", F.monotonically_increasing_id()
-        ).cache()
-        sample = data.sample(fraction=frac, seed=self.random_state).toPandas()
-        Xs = sample[[f"_f{i}" for i in range(n_features)]].to_numpy()
-        self._fit_bins(Xs)
-        edges = self.bin_edges_
-
-        def bin_rows(batches):
-            for pdf in batches:
-                X = pdf[[f"_f{i}" for i in range(n_features)]].to_numpy(
-                    dtype="float64"
-                )
-                out = {}
-                for j, e in enumerate(edges):
-                    out[f"_b{j}"] = np.searchsorted(
-                        e, np.nan_to_num(X[:, j]), side="right"
-                    )
-                out["_t"] = pdf["_t"].to_numpy(dtype="float64")
-                out["_r"] = pdf["_r"].to_numpy(dtype="int64")
-                yield pd.DataFrame(out)
-
-        schema = (
-            ", ".join(f"_b{j} long" for j in range(n_features))
-            + ", _t double, _r long"
-        )
-        binned = data.mapInPandas(bin_rows, schema=schema).localCheckpoint(
-            eager=True
-        )
+        data = data.withColumn("_r", F.monotonically_increasing_id()).cache()
+        self._fit_bins_from_sample(data, n_features, n_rows)
+        # shared binning prep with the boosting path; the forest carries a
+        # stable row id (for hash-derived bootstrap weights) instead of a
+        # running prediction
+        binned = self._binned_frame(data, n_features, {"_r": "_r"})
         data.unpersist()
         self.base_score_ = 0.0
         self.trees_ = []
         rng = np.random.RandomState(self.random_state)
-        try:
-            for t in range(self.n_estimators):
-                self._allowed_features = self._feature_subset(rng, n_features)
-                self.trees_.append(
-                    self._grow_tree_spark_bagged(
-                        binned, n_features, tree_seed=self.random_state + 1 + t
-                    )
+        for t in range(self.n_estimators):
+            self.trees_.append(
+                self._grow_tree_spark_bagged(
+                    binned,
+                    n_features,
+                    tree_seed=self.random_state + 1 + t,
+                    allowed_features=self._feature_subset(rng, n_features),
                 )
-        finally:
-            self._allowed_features = None
+            )
         return self
 
-    def _grow_tree_spark_bagged(self, data, n_features: int, tree_seed: int):
+    def _grow_tree_spark_bagged(
+        self, data, n_features: int, tree_seed: int, allowed_features=None
+    ):
         """One forest tree: level-wise weighted histograms where each row's
         bootstrap multiplicity comes from its hashed (_r, tree_seed)."""
         import pandas as pd
@@ -713,7 +715,11 @@ class RandomForest(GradientBoostedTrees):
                 hist_n += np.frombuffer(r["hn"]).reshape(shape)
             node_g = hist_g[:, 0, :].sum(axis=1)
             node_n = hist_n[:, 0, :].sum(axis=1)
-            splits = self._best_splits(hist_g, hist_n, node_g, node_n)
+            splits = self._best_splits(
+                hist_g, hist_n, node_g, node_n,
+                allowed_features=allowed_features,
+                min_samples_split=self.min_samples_split,
+            )
             any_split = False
             for k, node_id in enumerate(act):
                 nd = nodes[node_id]

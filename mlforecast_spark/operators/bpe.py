@@ -221,10 +221,15 @@ class BPETokenizer:
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         toks = self.tokens_col(F.col(text_col))
+        # size(NULL) is -1 under default sizeOfNull semantics; null text
+        # must count as NULL (matching token_counts), not -1. nullif keeps
+        # the UDF referenced twice (tokens + size), not three times — a
+        # real token list is never size -1
+        n = F.nullif(F.size(toks).cast("long"), F.lit(-1))
         return df.select(
             F.col(id_col),
             toks.alias("tokens"),
-            F.size(toks).cast("long").alias("n_tokens"),
+            n.alias("n_tokens"),
         )
 
     def token_counts(

@@ -318,14 +318,18 @@ def _kmeans_numpy(X, k: int, seed: int, max_iter: int):
         if labels is not None and (new_labels == labels).all():
             break
         labels = new_labels
+        # DISTINCT worst-fit points for empty-cluster reseeds: handing every
+        # empty cluster the same argmax point would leave duplicate centers
+        # (argmin ties go to the lowest id, so the others stay empty forever)
+        worst_order = np.argsort(-dist.min(axis=1))
+        next_worst = 0
         for j in range(k):
             members = X[labels == j]
             if len(members):
                 centers[j] = members.mean(axis=0)
             else:
-                # reseed to the globally worst-fit point
-                worst = dist.min(axis=1).argmax()
-                centers[j] = X[worst]
+                centers[j] = X[worst_order[min(next_worst, n - 1)]]
+                next_worst += 1
     return centers
 
 
@@ -445,6 +449,32 @@ def build_ivf_index(
     return IVFIndex(cdf, assigned)
 
 
+def _centroid_probe(
+    df: DataFrame,
+    centroids: DataFrame,
+    key_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Attach each row's ``nprobe`` nearest centroid lists (broadcast
+    centroid cross-join + L2 rank, ties to the lower list id) — the shared
+    probe step of ivf_search / ivfpq_search / streaming list assignment.
+    Output: the input columns plus ``_list`` (one row per probed list)."""
+    cdf = centroids.select(
+        F.col("list_id").alias("_list"), F.col("center").alias("_center")
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    diff = F.zip_with(vd, F.col("_center"), lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy(key_col).orderBy(dist.asc(), F.col("_list"))
+    return (
+        df.join(F.broadcast(cdf), how="cross")
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_center", "_pr")
+    )
+
+
 def ivf_search(
     index: IVFIndex,
     queries: DataFrame,
@@ -476,20 +506,10 @@ def ivf_search(
         F.col("embedding").alias("_nv"),
         F.col("list_id").alias("_list"),
     )
-    cdf = index.centroids.select(
-        F.col("list_id").alias("_list"), F.col("center").alias("_center")
-    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
-    diff = F.zip_with(qv, F.col("_center"), lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-    w_probe = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("_list"))
-    probes = (
-        q.join(F.broadcast(cdf), how="cross")
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", "_list")
-    )
+    probes = _centroid_probe(
+        q, index.centroids, "query_id", "_qv", nprobe
+    ).select("query_id", "_qv", "_list")
 
     id_type = dict(q.dtypes)["query_id"]
     # neighbor ids come from the INDEX side — their type need not match the
@@ -966,6 +986,37 @@ def build_pq_index(
     return PQIndex(books, codes, normalize)
 
 
+def _pq_query_lut(index: PQIndex, queries: DataFrame, id_col, vec_col, caller):
+    """Collect the (bounded) query batch and build the per-query ADC lookup
+    table: LUT[q, j, c] = subspace-j contribution of codeword c. Returns
+    (query ids, LUT, sort sign) — sign maps 'best' to ascending order."""
+    import numpy as np
+
+    books = index.codebooks  # (m, k, dsub)
+    m, _, dsub = books.shape
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    if qpdf.empty:
+        raise ValueError(f"{caller}: empty query batch")
+    Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+    if index.normalize:
+        nn = np.linalg.norm(Q, axis=1)
+        nn[nn == 0] = 1.0
+        Q = Q / nn[:, None]
+        lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+        sign = -1.0  # rank desc by inner product == asc by -ip
+    else:
+        qsub = Q.reshape(len(Q), m, dsub)
+        lut = (
+            (qsub**2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("qjd,jcd->qjc", qsub, books)
+            + (books**2).sum(axis=2)[None, :, :]
+        )
+        sign = 1.0
+    return qpdf["query_id"].to_numpy(), lut, sign
+
+
 def pq_search(
     index: PQIndex,
     queries: DataFrame,
@@ -985,34 +1036,9 @@ def pq_search(
     cosine, desc); ``normalize=False`` ranks by ADC squared L2 (asc).
     Ties break on neighbor id. Exact when every subvector is itself a
     codeword (pinned in tests); otherwise recall depends on m/k."""
-    import numpy as np
-    import pandas as pd
-
-    books = index.codebooks  # (m, k, dsub)
+    qids, lut, sign = _pq_query_lut(index, queries, id_col, vec_col, "pq_search")
+    books = index.codebooks
     m, kcodes, dsub = books.shape
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).toPandas()
-    if qpdf.empty:
-        raise ValueError("pq_search: empty query batch")
-    Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
-    if index.normalize:
-        nn = np.linalg.norm(Q, axis=1)
-        nn[nn == 0] = 1.0
-        Q = Q / nn[:, None]
-    # LUT[q, j, c] = score contribution of codeword c in subspace j
-    if index.normalize:
-        lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
-        sign = -1.0  # rank desc by ip == asc by -ip
-    else:
-        qsub = Q.reshape(len(Q), m, dsub)
-        lut = (
-            (qsub**2).sum(axis=2)[:, :, None]
-            - 2.0 * np.einsum("qjd,jcd->qjc", qsub, books)
-            + (books**2).sum(axis=2)[None, :, :]
-        )
-        sign = 1.0
-    qids = qpdf["query_id"].to_numpy()
     k_local = int(k)
 
     def scan(batches):
@@ -1034,21 +1060,35 @@ def pq_search(
             for j in range(m):
                 scores += lut[:, j, :][:, codes[:, j]]
             keyed = sign * scores
-            kk = min(k_local, len(codes))
-            idx = np.argpartition(keyed, kk - 1, axis=1)[:, :kk]
             frames = []
             for qi in range(len(qids)):
-                sel = idx[qi]
+                # self-match masked BEFORE the batch cut (matching
+                # ivf_search) — masking after truncation would silently
+                # drop the true k-th neighbor whenever the query is in the
+                # corpus, and a post-hoc SQL filter would force a cast
+                # between possibly-different query/corpus id types
+                mask = nids != qids[qi]
+                cand_keys = keyed[qi][mask]
+                cand_ids = nids[mask]
+                cand_scores = scores[qi][mask]
+                kk = min(k_local, len(cand_ids))
+                if kk == 0:
+                    continue
+                # deterministic (score, neighbor_id) order BEFORE the cut:
+                # argpartition alone keeps an arbitrary subset of exact
+                # ties, making results depend on batch row order
+                sel = np.lexsort((cand_ids, cand_keys))[:kk]
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[qi],
-                            "neighbor_id": nids[sel],
-                            "score": scores[qi, sel],
+                            "neighbor_id": cand_ids[sel],
+                            "score": cand_scores[sel],
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     nbr_type = dict(index.codes.dtypes)["vec_id"]
     qid_type = dict(
@@ -1061,8 +1101,7 @@ def pq_search(
     )
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return (
-        cand.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
@@ -1079,40 +1118,94 @@ def ivfpq_search(
 ) -> DataFrame:
     """FAISS IVFPQ: coarse-quantizer probing bounds WHICH codes are scanned,
     product quantization bounds HOW MUCH each scanned row costs. The two
-    indexes share ``vec_id``, so the composition is one broadcast semi-join
-    (codes pruned to the probed lists — partition-pruned when ``assigned``
-    was written partitioned by ``list_id``) followed by :func:`pq_search`'s
-    ADC scan over that sliver. At 100 TB this reads ``nprobe/n_lists`` of
-    an already 30-60x-compressed table.
+    indexes share ``vec_id``: codes pick up their list ids in one shuffled
+    equi-join, get pruned to the union of probed lists (broadcast of the
+    tiny list set; partition-pruned when ``assigned`` was written
+    partitioned by ``list_id``), and are ADC-scanned in a per-list cogroup
+    where EACH query ranks only against its OWN ``nprobe`` lists — like
+    :func:`ivf_search`, not against lists probed by other queries in the
+    batch. At 100 TB this reads ``nprobe/n_lists`` of an already
+    30-60x-compressed table.
 
     Exactness caveat (standard IVFPQ): scores are ADC approximations of
     the probed lists' true distances; ranking quality is governed by
     (m, k) and coverage by ``nprobe``."""
     import numpy as np
+    import pandas as pd
 
-    cdf = ivf.centroids.select(
-        F.col("list_id").alias("_list"), F.col("center").alias("_center")
-    )
+    qids, lut, sign = _pq_query_lut(pq, queries, id_col, vec_col, "ivfpq_search")
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    books = pq.codebooks
+    m, kcodes, _ = books.shape
+    k_local = int(k)
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
-    diff = F.zip_with(qv, F.col("_center"), lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-    w_probe = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("_list"))
-    probed_lists = (
-        q.join(F.broadcast(cdf), how="cross")
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= nprobe)
-        .select("_list")
-        .distinct()
+    probes = _centroid_probe(
+        q, ivf.centroids, "query_id", "_qv", nprobe
+    ).select("query_id", "_list")
+    # codes meet their list ids in a shuffled equi-join (never broadcasting
+    # the corpus-sized id set), then only the probed lists survive
+    coded = pq.codes.join(
+        ivf.assigned.select("vec_id", F.col("list_id").alias("_list")),
+        on="vec_id",
+    ).join(
+        F.broadcast(probes.select("_list").distinct()), on="_list", how="left_semi"
     )
-    # probed ids come from a partition-pruned scan of `assigned` (broadcast
-    # the tiny list set, never the id set — at scale the probed ids are a
-    # corpus-sized fraction, so codes meet them in a shuffled semi-join)
-    probed_ids = (
-        ivf.assigned.select(F.col("vec_id"), F.col("list_id").alias("_list"))
-        .join(F.broadcast(probed_lists), on="_list", how="left_semi")
-        .select("vec_id")
+
+    nbr_type = dict(pq.codes.dtypes)["vec_id"]
+    qid_type = dict(
+        queries.select(F.col(id_col).alias("query_id")).dtypes
+    )["query_id"]
+    out_schema = f"query_id {qid_type}, neighbor_id {nbr_type}, score double"
+
+    def score_list(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        dt = "<u1" if kcodes <= 256 else "<u2"
+        codes = (
+            np.frombuffer(b"".join(cpdf["code"]), dtype=dt)
+            .reshape(len(cpdf), m)
+            .astype(np.int64)
+        )
+        nids = cpdf["vec_id"].to_numpy()
+        frames = []
+        for qid in qpdf["query_id"]:
+            row = lut[qpos[qid]]
+            scores = np.zeros(len(codes))
+            for j in range(m):
+                scores += row[j][codes[:, j]]
+            mask = nids != qid
+            keyed = sign * scores[mask]
+            cand_ids = nids[mask]
+            kk = min(k_local, len(cand_ids))
+            if kk == 0:
+                continue
+            sel = np.lexsort((cand_ids, keyed))[:kk]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[sel],
+                        "score": scores[mask][sel],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        probes.groupBy("_list")
+        .cogroup(coded.groupBy("_list"))
+        .applyInPandas(score_list, schema=out_schema)
     )
-    pruned = pq.codes.join(probed_ids, on="vec_id", how="left_semi")
-    sliver = PQIndex(pq.codebooks, pruned, pq.normalize)
-    return pq_search(sliver, queries, k=k, id_col=id_col, vec_col=vec_col)
+    order = F.col("score").desc() if pq.normalize else F.col("score").asc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -690,21 +690,26 @@ def corpus_stats(
     quantiles (``percentile_approx`` — Greenwald-Khanna, bounded memory).
     Exact distinct-vocab at corpus scale is a full shuffle of every token;
     the sketches keep this a map-side-combinable aggregate."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
-    ).filter(F.col("word") != "")
-    token_stats = toks.agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.approx_count_distinct("word", rsd=rsd).alias("approx_vocab"),
+    # only the vocabulary sketch needs the exploded token stream; per-doc
+    # token counts are a plain expression, so the expensive split+explode
+    # over the corpus runs ONCE, not once per aggregate
+    vocab_stats = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .agg(F.approx_count_distinct("word", rsd=rsd).alias("approx_vocab"))
     )
-    doc_tokens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    doc_stats = doc_tokens.agg(
+    per_doc = df.select(
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ).alias("_n")
+    ).filter(F.col("_n") > 0)
+    doc_stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
         F.percentile_approx("_n", [0.5, 0.9, 0.99], 10_000).alias("_qs"),
         F.avg("_n").alias("mean_doc_tokens"),
     )
-    return token_stats.crossJoin(doc_stats).select(
+    return doc_stats.crossJoin(vocab_stats).select(
         "n_docs",
         "n_tokens",
         "approx_vocab",

@@ -567,20 +567,9 @@ def stream_semantic_dedup(
 def _assign_to_centroids(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid list assignment via the broadcast centroid join
-    (same ordering contract as ivf_search's probe)."""
-    from pyspark.sql import Window as _W
+    """Nearest-centroid list assignment (ivf_search's probe at nprobe=1)."""
+    from .operators.similarity import _centroid_probe
 
-    cdf = centroids.select(
-        F.col("list_id").alias("_list"), F.col("center").alias("_center")
-    )
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    diff = F.zip_with(vd, F.col("_center"), lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-    w = _W.partitionBy(id_col).orderBy(dist.asc(), F.col("_list"))
-    return (
-        df.join(F.broadcast(cdf), how="cross")
-        .withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") == 1)
-        .select(df["*"], F.col("_list").alias("list_id"))
+    return _centroid_probe(df, centroids, id_col, vec_col, 1).select(
+        df["*"], F.col("_list").alias("list_id")
     )

@@ -2473,3 +2473,78 @@ def test_corpus_stats_sketches(spark):
     assert out["p50_doc_tokens"] in (4, 5)
     assert out["p99_doc_tokens"] == 20
     assert 0 < out["type_token_ratio_est"] <= 1.001
+
+
+def test_pq_self_match_excluded_before_cut(spark):
+    """Self-matches must be masked BEFORE the per-batch top-k: with the
+    whole corpus in one partition and queries drawn from the corpus, each
+    query still gets k full results (regression: a post-truncation filter
+    silently dropped the true k-th neighbor)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_pq_index, pq_search
+
+    rng = np.random.RandomState(8)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    q = vecs.filter(F.col("vec_id") < 5)
+    idx = build_pq_index(vecs, m=2, k=16, seed=4)
+    out = pq_search(idx, q, k=4).toPandas()
+    assert (out.groupby("query_id").size() == 4).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_pq_mixed_id_types(spark):
+    """String-keyed queries against a long-keyed index (ivf_search's
+    documented mixed-type case) must work for PQ too (regression: the SQL
+    self-filter forced an invalid cast)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import build_pq_index, pq_search
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_pq_index(vecs, m=2, k=8, seed=2)
+    qrows = [(f"q{i}", rng.randn(8).astype(float).tolist()) for i in range(3)]
+    q = spark.createDataFrame(qrows, "vec_id string, embedding array<double>")
+    out = pq_search(idx, q, k=5).toPandas()
+    assert (out.groupby("query_id").size() == 5).all()
+    assert set(out["query_id"]) == {"q0", "q1", "q2"}
+
+
+def test_ivfpq_per_query_list_confinement(spark):
+    """Each query ranks only against its OWN probed lists: a query's
+    results must be identical whether it shares the batch with far-away
+    queries or runs alone (regression: pruning to the UNION of probed
+    lists let queries see each other's lists)."""
+    import numpy as np
+    from mlforecast_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        ivfpq_search,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(3, 8) * 8
+    rows = []
+    for i in range(150):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.randn(8) * 0.2).astype(float).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = build_ivf_index(vecs, n_lists=3, seed=5)
+    pq = build_pq_index(vecs, m=4, k=32, seed=5)
+
+    both = vecs.filter(F.col("vec_id").isin([0, 1]))  # clusters 0 and 1
+    key = ["query_id", "rank"]
+    together = (
+        ivfpq_search(ivf, pq, both, k=5, nprobe=1).toPandas().sort_values(key)
+    )
+    for qid in (0, 1):
+        alone = (
+            ivfpq_search(
+                ivf, pq, vecs.filter(F.col("vec_id") == qid), k=5, nprobe=1
+            )
+            .toPandas()
+            .sort_values(key)
+        )
+        mine = together[together["query_id"] == qid]
+        assert mine["neighbor_id"].tolist() == alone["neighbor_id"].tolist()
