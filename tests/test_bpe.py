@@ -212,3 +212,46 @@ def test_bpe_counts_feed_sequence_packing(spark):
     total_slices = packed.agg(F.sum("slice_tokens")).collect()[0][0]
     total_tokens = counted.agg(F.sum("n_tokens")).collect()[0][0]
     assert total_slices == total_tokens
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=25),
+)
+def test_learner_matches_naive_reference_property(corpus, k):
+    """Property: the incremental heap learner equals the recount-every-round
+    reference on arbitrary small corpora and merge depths — any pair-count
+    bookkeeping or tie-break drift shows up here."""
+    assert learn_bpe_merges(corpus, k) == _naive_bpe(corpus, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.text(alphabet="abcdxyz ", max_size=30),
+)
+def test_encode_round_trip_property(corpus, text):
+    """Property: encoding any text (including OOV characters) with any
+    learned merge set is lossless up to the end-of-word markers."""
+    tok = BPETokenizer(learn_bpe_merges(corpus, 12))
+    joined = "".join(tok.encode(text))
+    assert joined == "".join(w + END_OF_WORD for w in text.split())
