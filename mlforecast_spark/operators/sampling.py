@@ -225,3 +225,31 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    size_col: str | None = None,
+) -> dict:
+    """Temperature-based mixture targets: ``w_d ∝ n_d^alpha`` — the
+    multilingual/multi-domain rebalancing rule (mBERT/XLM-R's exponential
+    smoothing; ``alpha=1`` keeps the natural distribution, ``alpha=0`` is
+    uniform, the usual 0.2-0.7 range upweights small domains). ``size_col``
+    weighs domains by a size column (e.g. token counts) instead of rows.
+
+    One tiny per-domain aggregation (the same single sanctioned driver
+    action as :func:`mixture_sample`, whose ``target_weights`` this
+    feeds); the returned dict is normalized."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    agg = (
+        F.sum(F.col(size_col)) if size_col is not None else F.count(F.lit(1))
+    )
+    rows = df.groupBy(domain_col).agg(agg.alias("_n")).collect()
+    if not rows:
+        raise ValueError("temperature_weights: empty corpus")
+    raw = {r[domain_col]: float(r["_n"]) ** float(alpha) for r in rows}
+    tot = sum(raw.values())
+    return {d: w / tot for d, w in raw.items()}

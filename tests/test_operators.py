@@ -2548,3 +2548,33 @@ def test_ivfpq_per_query_list_confinement(spark):
         )
         mine = together[together["query_id"] == qid]
         assert mine["neighbor_id"].tolist() == alone["neighbor_id"].tolist()
+
+
+def test_temperature_weights_rebalance(spark):
+    """w_d ∝ n_d^alpha: alpha=1 reproduces the natural mix, alpha=0 is
+    uniform, intermediate alpha upweights the small domain; feeds
+    mixture_sample directly."""
+    import math
+
+    from mlforecast_spark.operators.sampling import mixture_sample, temperature_weights
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    w1 = temperature_weights(df, "domain", alpha=1.0)
+    assert abs(w1["big"] - 0.9) < 1e-9 and abs(w1["small"] - 0.1) < 1e-9
+    w0 = temperature_weights(df, "domain", alpha=0.0)
+    assert abs(w0["big"] - 0.5) < 1e-9
+    wa = temperature_weights(df, "domain", alpha=0.3)
+    expect_big = 900**0.3 / (900**0.3 + 100**0.3)
+    assert abs(wa["big"] - expect_big) < 1e-9
+    assert 0.5 < wa["big"] < 0.9  # between uniform and natural
+
+    out = mixture_sample(df, "domain", wa).toPandas()
+    got = out["domain"].value_counts(normalize=True)
+    assert abs(got["big"] - wa["big"]) < 0.05
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "domain", alpha=-1)
