@@ -426,10 +426,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
         quantize=True,
     )
+    # quantized input: the per-(region, ord) collapse AVG and the EWM
+    # recursion compound float reassociation across engines/partitionings —
+    # observed ONE round(6) boundary flip at sf0.1 in an otherwise-green
+    # session; the /16 grid makes the collapse sums exact (same fix as the
+    # other pooled means)
     q["pooled_groupby_ewm"] = _feature_query(
         lambda: (1, ExponentiallyWeightedMean(alpha=0.4, groupby=["region"])),
         "pgewm",
         with_region=True,
+        quantize=True,
     )
 
     # --- date features (string family + dummy expansion, one slot) ------
@@ -1434,9 +1440,10 @@ def oracle_sql() -> dict[str, str]:
 
     # pooled EWM: recursion over per-(region, ord) means via list_reduce
     o["pooled_groupby_ewm"] = (
-        f"WITH {PANEL_REGION_SQL}, base AS ("
+        f"WITH {PANEL_REGION_SQL}, qpanel AS ("
+        f" SELECT unique_id, region, ds, {QUANT_SQL} AS y FROM panel), base AS ("
         " SELECT unique_id, region, ds, y,"
-        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT region, ord, AVG(y) AS y FROM base GROUP BY region, ord),"
         " aggs AS (SELECT region, ord, array_agg(y) OVER ("
         "  PARTITION BY region ORDER BY ord"
