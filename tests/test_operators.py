@@ -2430,6 +2430,22 @@ def test_stream_semantic_dedup(spark, tmp_path):
     # the shared centroids were written exactly once
     assert os.path.isdir(f"{idx}/centroids")
 
+    # replay: drop batch 1's checkpoint commit (crash between the output
+    # write and the commit) and restart with no new data — the replayed
+    # batch must OVERWRITE its own batch directory, not append, and must
+    # not dedup against its own earlier partial index write
+    for f in glob.glob(f"{ckpt}/commits/1*") + glob.glob(f"{ckpt}/commits/.1*"):
+        os.remove(f)
+    run_batch([])
+    got3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert sorted(got3.vec_id) == [1, 3, 11]
+    idx3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/lists/batch_id=*/*.parquet")]
+    )
+    assert sorted(idx3.vec_id) == [1, 3, 11]
+
 
 def test_optimal_bands_s_curve():
     """The chosen (b, r) must put the S-curve's steep zone at the threshold:
