@@ -381,9 +381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- pooled transforms ---------------------------------------------
+    # quantized input on every pooled query whose plan sums doubles across
+    # series (collapse SUM/AVG) or across calendar partitions: the /16 grid
+    # makes those sums exact in float64, so per-engine summation-tree
+    # reassociation cannot flip a round(6) boundary — the flake class
+    # observed once on pooled_groupby_ewm at sf0.1
     q["pooled_global_rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7, global_=True, time_agg="sum")),
         "pgrm",
+        quantize=True,
     )
     q["pooled_groupby_expanding_mean"] = _feature_query(
         lambda: (1, ExpandingMean(groupby=["region"])),
@@ -395,11 +401,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: (1, RollingMean(window_size=7, partition_by=["is_weekend"])),
         "pprm",
         extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
+        quantize=True,
     )
     q["pooled_groupby_timeagg_rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7, groupby=["region"], time_agg="mean")),
         "pgtrm",
         with_region=True,
+        quantize=True,
     )
     q["pooled_seasonal_rolling_mean"] = _feature_query(
         lambda: (
@@ -1332,8 +1340,9 @@ def oracle_sql() -> dict[str, str]:
 
     # pooled global + time_agg sum: collapse per global ordinal, window, join back
     o["pooled_global_rolling_mean"] = (
-        f"WITH {PANEL_SQL}, base AS ("
-        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM panel),"
+        f"WITH {PANEL_SQL}, qpanel AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
+        " SELECT unique_id, ds, y, DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT ord, SUM(y) AS y FROM base GROUP BY ord),"
         " aggs AS (SELECT ord, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
         "  FROM collapsed WINDOW w AS (ORDER BY ord"
@@ -1395,10 +1404,11 @@ def oracle_sql() -> dict[str, str]:
 
     # pooled local partition mode: parent ordinal per id, bucket (id, is_weekend)
     o["pooled_partition_rolling_mean"] = (
-        f"WITH {PANEL_SQL}, base AS ("
+        f"WITH {PANEL_SQL}, qpanel AS ("
+        f" SELECT unique_id, ds, {QUANT_SQL} AS y FROM panel), base AS ("
         " SELECT unique_id, ds, y,"
         "  CAST(isodow(ds) - 1 >= 5 AS INTEGER) AS is_weekend,"
-        "  DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord FROM panel),"
+        "  DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord FROM qpanel),"
         " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
         "  FROM base WINDOW w AS (PARTITION BY unique_id, is_weekend ORDER BY ord"
         "   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))"
@@ -1409,9 +1419,10 @@ def oracle_sql() -> dict[str, str]:
 
     # pooled groupby + time_agg mean: collapse per (region, ord) then join back
     o["pooled_groupby_timeagg_rolling_mean"] = (
-        f"WITH {PANEL_REGION_SQL}, base AS ("
+        f"WITH {PANEL_REGION_SQL}, qpanel AS ("
+        f" SELECT unique_id, region, ds, {QUANT_SQL} AS y FROM panel), base AS ("
         " SELECT unique_id, region, ds, y,"
-        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM panel),"
+        "  DENSE_RANK() OVER (PARTITION BY region ORDER BY ds) - 1 AS ord FROM qpanel),"
         " collapsed AS (SELECT region, ord, AVG(y) AS y FROM base GROUP BY region, ord),"
         " aggs AS (SELECT region, ord, SUM(y) OVER w AS w_sum, COUNT(y) OVER w AS w_cnt"
         "  FROM collapsed WINDOW w AS (PARTITION BY region ORDER BY ord"
