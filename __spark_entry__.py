@@ -553,9 +553,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_text_profile"] = doc_text_profile
 
     def exact_dup(spark, sf):
-        from mlforecast_spark.operators.dedup import exact_duplicates
+        """Merged slot: exact document dedup (digest groupBy) PLUS
+        corpus-wide keep-first paragraph dedup (dedup_paragraphs) on the
+        same docs — the synthetic corpus is single-line, so the paragraph
+        separator is the token boundary, which exercises the identical
+        explode → winner-agg → reassemble plan with maximal duplicate
+        mass. The cleaned text is folded under the hash gate as
+        (md5, length)."""
+        from mlforecast_spark.operators.dedup import (
+            dedup_paragraphs,
+            exact_duplicates,
+        )
 
-        return exact_duplicates(_docs(spark, sf))
+        docs = _docs(spark, sf)
+        para = dedup_paragraphs(docs, sep=" ").select(
+            "doc_id",
+            F.md5("text").alias("para_clean_md5"),
+            F.length("text").cast("long").alias("para_clean_chars"),
+        )
+        return exact_duplicates(docs).join(para, "doc_id")
 
     q["dedup_exact"] = exact_dup
 
@@ -1708,10 +1724,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["dedup_exact"] = (
-        "SELECT doc_id, md5(text) AS content_hash,"
-        " MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,"
-        " COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count"
-        " FROM documents"
+        "WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),"
+        " lines AS (SELECT doc_id, generate_subscripts(p, 1) AS pos,"
+        "  unnest(p) AS para FROM parts),"
+        " marked AS (SELECT doc_id, pos, para,"
+        "  CASE WHEN length(trim(para)) >= 1 THEN"
+        "   row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)"
+        "  ELSE 0 END AS rn FROM lines),"
+        " rebuilt AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS ctext"
+        "  FROM marked WHERE rn <= 1 GROUP BY doc_id)"
+        " SELECT d.doc_id, md5(d.text) AS content_hash,"
+        " MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canonical_id,"
+        " COUNT(*) OVER (PARTITION BY md5(d.text)) AS dup_count,"
+        " md5(COALESCE(r.ctext, '')) AS para_clean_md5,"
+        " length(COALESCE(r.ctext, '')) AS para_clean_chars"
+        " FROM documents d LEFT JOIN rebuilt r USING (doc_id)"
     )
 
     o["dedup_ngram_jaccard"] = (

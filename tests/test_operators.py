@@ -2594,3 +2594,52 @@ def test_temperature_weights_rebalance(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_weights(df, "domain", alpha=-1)
+
+
+def test_dedup_paragraphs_keep_first_corpus_wide(spark):
+    """Duplicate paragraphs survive only at their first (doc_id, pos)
+    occurrence; blanks always survive; emptied docs come back as ''."""
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    spam = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha body\n{spam}\n\nbeta body"),
+        (2, f"{spam}\ngamma body\n{spam}"),
+        (3, spam),
+        (4, f"delta body\nalpha body"),  # 'alpha body' already seen in doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df).toPandas().set_index("doc_id")["text"]
+    assert out.loc[1] == f"alpha body\n{spam}\n\nbeta body"  # first occurrence kept
+    assert out.loc[2] == "gamma body"  # both spam copies stripped
+    assert out.loc[3] == ""  # fully emptied doc survives with empty text
+    assert out.loc[4] == "delta body"  # cross-doc dup stripped
+
+
+def test_dedup_paragraphs_within_doc_and_min_chars(spark):
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "x\nsame para\nsame para\nx"), (2, "y\nx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_chars=2: single-char paragraphs are never dedup candidates
+    out = (
+        dedup_paragraphs(df, min_chars=2).toPandas().set_index("doc_id")["text"]
+    )
+    assert out.loc[1] == "x\nsame para\nx"  # in-doc repeat collapsed; 'x' immune
+    assert out.loc[2] == "y\nx"
+
+    # default min_chars=1: 'x' dedups corpus-wide too
+    out1 = dedup_paragraphs(df).toPandas().set_index("doc_id")["text"]
+    assert out1.loc[1] == "x\nsame para"
+    assert out1.loc[2] == "y"
+
+
+def test_dedup_paragraphs_preserves_extra_columns(spark):
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "a\nb", "s0"), (2, "a\nc", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup_paragraphs(df).toPandas().set_index("doc_id")
+    assert sorted(out.columns) == ["source", "text"]
+    assert out.loc[2, "source"] == "s1"
+    assert out.loc[2, "text"] == "c"
