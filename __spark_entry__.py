@@ -1138,7 +1138,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_topk"] = ann_pq_q
 
+    def bm25_q(spark, sf):
+        """Rows-only tail entry: BM25 retrieval over the corpus (Lucene
+        idf). Scores float-sum across terms, so the value surface is
+        pinned by the independent-formula pytest instead of a SQL hash."""
+        from mlforecast_spark.operators.text import bm25_top_k
+
+        return bm25_top_k(
+            _docs(spark, sf), ["spark", "window", "vector"], k=50
+        ).select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+    q["doc_bm25_topk"] = bm25_q
+
     rows_only = [
+        "doc_bm25_topk",
         "ann_pq_topk",
         "bpe_token_counts",
         "doc_repetition_stats",

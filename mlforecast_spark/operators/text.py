@@ -719,3 +719,84 @@ def corpus_stats(
         F.col("_qs")[1].alias("p90_doc_tokens"),
         F.col("_qs")[2].alias("p99_doc_tokens"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query terms
+    (Lucene idf variant, always non-negative). The retrieval-scoring staple
+    of data curation: rank a corpus against a benchmark prompt set before
+    decontamination review, pull topical subsets for targeted mixtures, or
+    seed DSIR-style selection with a retrieval signal instead of an LM.
+
+    Returns ``(id_col, bm25)`` for EVERY input document (0.0 when no query
+    term occurs). Tokenization is lowercased whitespace splitting — the same
+    convention as :func:`token_stats` and the dedup shingle machinery.
+
+    Scale shape (100 TB): the token explode is one projection pass; document
+    lengths partial-aggregate per id; tokens are filtered to the query
+    vocabulary BEFORE any shuffle, so the tf groupBy moves only matching
+    terms; per-term document frequencies and the (N, avgdl) scalar row are
+    broadcast. No driver-side actions, no Python UDFs.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    did = F.col(id_col)
+    toks = df.select(
+        did,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        toks.filter(F.col("_tok").isin(terms))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_norm).alias("_bm25"))
+    )
+    return df.select(did).join(scored, id_col, "left").select(
+        did, F.coalesce(F.col("_bm25"), F.lit(0.0)).alias("bm25")
+    )
+
+
+def bm25_top_k(
+    df: DataFrame,
+    query_terms,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by :func:`bm25_scores`, deterministically
+    tie-broken by id — planned as a TakeOrderedAndProject (per-partition
+    top-k then a k-row merge), never a full sort of the corpus."""
+    scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

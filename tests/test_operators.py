@@ -2643,3 +2643,63 @@ def test_dedup_paragraphs_preserves_extra_columns(spark):
     assert sorted(out.columns) == ["source", "text"]
     assert out.loc[2, "source"] == "s1"
     assert out.loc[2, "text"] == "c"
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    """BM25 vs an independent plain-Python implementation (Lucene idf)."""
+    import math
+
+    from mlforecast_spark.operators.text import bm25_scores, bm25_top_k
+
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "duckdb scans parquet fast fast fast",
+        3: "spark spark spark joins and shuffles",
+        4: "completely unrelated words here",
+        5: "",
+    }
+    query = ["spark", "shuffles", "parquet"]
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = dict(
+        bm25_scores(df, query).toPandas()[["doc_id", "bm25"]].itertuples(
+            index=False, name=None
+        )
+    )
+
+    # independent reference
+    toks = {i: t.lower().split() for i, t in corpus.items() if t.split()}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    k1, b = 1.2, 0.75
+    expected = {i: 0.0 for i in corpus}
+    for term in set(query):
+        dfreq = sum(1 for v in toks.values() if term in v)
+        if not dfreq:
+            continue
+        idf = math.log(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                expected[i] += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl)
+                )
+
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
+
+    top = bm25_top_k(df, query, 2).toPandas()
+    ranked = sorted(
+        ((s, i) for i, s in expected.items() if s > 0), key=lambda t: (-t[0], t[1])
+    )
+    assert list(top["doc_id"]) == [i for _, i in ranked[:2]]
+
+
+def test_bm25_top_k_plan_is_take_ordered(spark):
+    from mlforecast_spark.operators.text import bm25_top_k
+
+    df = spark.createDataFrame(
+        [(i, f"word{i % 3} filler") for i in range(50)], "doc_id long, text string"
+    )
+    plan = bm25_top_k(df, ["word0"], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
