@@ -215,6 +215,16 @@ def main():
         )
 
     oracles = entry.oracle_sql()
+    # the driver-contract dedup_exact grew a merged paragraph-dedup leg for
+    # oracle coverage; the bench line stays the r01-r05 plain digest-groupBy
+    # workload on BOTH engines (bench.py pins the same plain plan)
+    oracles = dict(oracles)
+    oracles["dedup_exact"] = (
+        "SELECT doc_id, md5(text) AS content_hash,"
+        " MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,"
+        " COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count"
+        " FROM documents"
+    )
     extra = {
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
