@@ -1084,13 +1084,16 @@ def dedup_paragraphs(
     has no counterpart (forecasting library) — this is part of the
     training-data-pipeline surface.
 
-    Scale shape (100 TB): paragraphs cross exactly one shuffle keyed by
-    their 128-bit digest — the winner side is a partial-aggregatable
-    ``min(struct(id, pos))`` groupBy (map-side combine collapses duplicate
-    mass before the wire), the loser side joins on the same key, so the
-    exchange is reused. Reassembly is one more shuffle keyed by doc id with
-    ``sort_array(collect_list(...))`` — no window over the corpus. No
-    driver-side actions; no Python UDFs.
+    Scale shape (100 TB): the winner side is a partial-aggregatable
+    ``min(struct(id, pos))`` groupBy over a compact 96-bit hash key
+    (``xxhash64`` + murmur3 — 12 bytes crosses the wire, not the paragraph),
+    map-side combine collapses duplicate mass before the shuffle, and the
+    winner set is FILTERED to hashes that actually repeat — on a
+    mostly-unique corpus the join's build side shrinks toward the true
+    duplicate mass and AQE can broadcast it, leaving document reassembly
+    (one shuffle keyed by doc id, ``sort_array(collect_list(...))`` — no
+    window over the corpus) as the only full-text shuffle. No driver-side
+    actions; no Python UDFs.
     """
     text = F.col(text_col)
     lines = df.select(
@@ -1099,16 +1102,30 @@ def dedup_paragraphs(
     )
     eligible = (F.length(F.trim("_para")) >= F.lit(max(min_chars, 1)))
     hashed = lines.withColumn(
-        "_ph", F.when(eligible, F.md5(F.col("_para")))
+        "_h1", F.when(eligible, F.xxhash64("_para"))
+    ).withColumn("_h2", F.when(eligible, F.hash("_para")))
+    # lexicographic min(did, pos) without min(struct) — a struct buffer
+    # forces SortAggregate; two staged primitive mins keep every aggregate
+    # a HashAggregate: (1) min doc per hash (+ count, to prune unique
+    # paragraphs from the join entirely), (2) min pos within that doc.
+    narrow = hashed.select("_did", "_pos", "_h1", "_h2").filter(
+        F.col("_h1").isNotNull()
+    )
+    g1 = (
+        narrow.groupBy("_h1", "_h2")
+        .agg(F.min("_did").alias("_wdid"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .drop("_c")
     )
     winners = (
-        hashed.filter(F.col("_ph").isNotNull())
-        .groupBy("_ph")
-        .agg(F.min(F.struct(F.col("_did"), F.col("_pos"))).alias("_w"))
+        narrow.join(g1, on=["_h1", "_h2"])
+        .filter(F.col("_did") == F.col("_wdid"))
+        .groupBy("_h1", "_h2", "_wdid")
+        .agg(F.min("_pos").alias("_wpos"))
     )
-    kept = hashed.join(winners, on="_ph", how="left").filter(
-        F.col("_ph").isNull()
-        | ((F.col("_w._did") == F.col("_did")) & (F.col("_w._pos") == F.col("_pos")))
+    kept = hashed.join(winners, on=["_h1", "_h2"], how="left").filter(
+        F.col("_wdid").isNull()
+        | ((F.col("_wdid") == F.col("_did")) & (F.col("_wpos") == F.col("_pos")))
     )
     rebuilt = kept.groupBy("_did").agg(
         F.concat_ws(
