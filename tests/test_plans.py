@@ -213,3 +213,20 @@ def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert "Union" not in plan, plan[:2000]
+
+
+def test_dedup_paragraphs_aggregates_are_hash_not_sort(spark):
+    """Winner selection must stay a HashAggregate: a min(struct(...))
+    buffer silently falls back to SortAggregate, sorting every exploded
+    paragraph row twice (measured 2.8 -> 1.8 s at sf1 when fixed)."""
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, f"para{i % 5}\nshared body\npara{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = dedup_paragraphs(df)
+    out.count()  # AQE finalizes the executed plan
+    plan = _plan(out)
+    assert "SortAggregate" not in plan, plan[:3000]
+    assert "HashAggregate" in plan
