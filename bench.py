@@ -82,8 +82,12 @@ def _fit_predict(spark, sf_dir):
     mf.fit(panel)
     # all features are per-series -> the cogrouped single-job rollout is the
     # right engine (equality with the lockstep loop: test_cogroup_predict.py;
-    # hash-exact oracle: predict_snaive_gbt's snaive_cogroup leg)
-    return mf.predict(7, engine="cogroup")
+    # hash-exact oracle: predict_snaive_gbt's snaive_cogroup leg).
+    # bucket_by=128 amortizes the per-series Python-call cost once the
+    # replicated SFs multiply the series count (sf10: 2500 series, predict
+    # 5.2 -> 1.4 s, output bit-exact — LinearRegression's batched scoring is
+    # row-independent); with sf0.1's 25 series it's a no-op.
+    return mf.predict(7, engine="cogroup", cogroup_buckets=128)
 
 
 def main():
