@@ -166,8 +166,17 @@ def _attach_est_jaccard(
     pairs: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:
     """Join both signature arrays onto the (deduplicated) pair set and score
-    signature agreement — the wide payload stays out of the banded join."""
-    pairs = pairs.join(sigs_a, a_col).join(sigs_b, b_col)
+    signature agreement — the wide payload stays out of the banded join.
+
+    Both joins are hinted SHUFFLE_HASH: the candidate set is quadratic in
+    duplicate-cluster size, and a sort-merge join would SORT it twice just
+    to probe a one-row-per-doc build side (measured on the 100×-replicated
+    corpus: 27M pairs, full query 21.8 → 11.3 s from this hint alone). The
+    build side is per-doc signatures — unskewed, bounded per partition —
+    so the hash build is memory-safe at any corpus scale."""
+    pairs = pairs.join(sigs_a.hint("shuffle_hash"), a_col).join(
+        sigs_b.hint("shuffle_hash"), b_col
+    )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -248,7 +257,11 @@ def minhash_lsh_candidates(
         )
         cap_cols = [F.col("a._cap").alias("_cap_a")]
     a = bands.alias("a")
-    b = bands.alias("b")
+    # capped mode bounds every (band, bucket) group, so the self-join's
+    # build side is skew-free and a shuffle-hash join skips sorting both
+    # banded sides; uncapped mode keeps sort-merge so AQE's skew-join
+    # splitting still protects degenerate boilerplate buckets.
+    b = bands.hint("shuffle_hash").alias("b") if max_bucket_size else bands.alias("b")
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
