@@ -630,7 +630,11 @@ def simhash_candidates(
             .drop("_bn")
         )
         cap_cols = [F.col("a._cap").alias("_cap_a")]
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a = chunks.alias("a")
+    # same reasoning as the minhash banded join: capped buckets bound skew,
+    # so shuffle-hash skips sorting both exploded chunk sides; uncapped
+    # keeps sort-merge for AQE skew-splitting.
+    b = chunks.hint("shuffle_hash").alias("b") if max_bucket_size else chunks.alias("b")
     joined = a.join(
         b,
         (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
