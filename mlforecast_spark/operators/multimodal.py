@@ -1047,3 +1047,92 @@ def _jpeg_decode_scan(
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (near-duplicate images)
+# ---------------------------------------------------------------------------
+
+def phash64(img, hash_size: int = 8, dct_size: int = 32) -> int:
+    """64-bit perceptual hash (classic pHash): grayscale → ``dct_size``²
+    nearest-neighbor resize → 2-D DCT-II → keep the top-left
+    ``hash_size``² low-frequency block (DC excluded) → threshold at the
+    median. Visually identical images (re-encoded, resized, lightly
+    noised) land within a few bits; unrelated images differ in ~32.
+    Pure numpy, deterministic."""
+    import numpy as np
+
+    if img.ndim == 3:
+        img = img.astype("float64").mean(axis=2)
+    else:
+        img = img.astype("float64")
+    small = resize_nearest(img, dct_size, dct_size)
+    n = dct_size
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    basis[0] /= np.sqrt(2.0)
+    coeffs = basis @ small @ basis.T
+    block = coeffs[:hash_size, :hash_size].ravel()[1:]  # drop DC
+    bits = block > np.median(block)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    hash_size: int = 8,
+    dct_size: int = 32,
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash over binary payloads — the image
+    analog of :func:`~mlforecast_spark.operators.dedup.simhash`. Decodes
+    with :func:`decode_image` (every pure-numpy format; unsupported formats
+    raise per-row, naming the gap) inside one ``mapInPandas`` pass: payloads
+    never cross a shuffle, only ``(id, 8-byte hash)`` leaves the scan stage.
+    Returns ``(id_col, phash long)``; feed into :func:`phash_candidates`
+    for banded near-duplicate candidate pairs."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for raw in pdf[payload_col]:
+                img = decode_image(bytes(raw or b""))
+                h = phash64(img, hash_size=hash_size, dct_size=dct_size)
+                # store the unsigned 64-bit pattern as a signed long
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def phash_candidates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image candidate pairs from :func:`image_phash` output:
+    delegates to the simhash banded self-join (the fingerprints are the same
+    shape — 64 bits, near-dup = small hamming distance), so the 4×16-bit
+    pigeonhole banding, bucket caps and first-matching-band dedup all apply
+    unchanged. Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import simhash_candidates
+
+    return simhash_candidates(
+        fps.select(F.col(id_col), F.col("phash").alias("simhash")),
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

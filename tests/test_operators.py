@@ -2703,3 +2703,77 @@ def test_bm25_top_k_plan_is_take_ordered(spark):
     )
     plan = bm25_top_k(df, ["word0"], 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _ppm_bytes(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _lowfreq_image(seed=42, size=64):
+    """Sum of a few random cosine modes — substantial low-frequency DCT
+    content, which is what pHash thresholds (a flat gradient's near-zero
+    AC block makes the median threshold noise-dominated)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:size, 0:size]
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size))
+    for _ in range(6):
+        fy, fx = rng.uniform(0.5, 3, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        img += rng.uniform(0.5, 1.5) * np.cos(
+            2 * np.pi * (fy * y / size + fx * x / size) + ph
+        )
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return np.stack([img, img * 0.8, img * 0.5], axis=-1).astype(np.uint8)
+
+
+def test_phash64_invariances():
+    """Identical -> 0 bits; light noise / resize -> few bits; unrelated or
+    inverted -> many."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import phash64, resize_nearest
+
+    rng = np.random.default_rng(7)
+    base = _lowfreq_image()
+    noised = np.clip(
+        base.astype(int) + rng.integers(-8, 9, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, base.shape).astype(np.uint8)
+
+    h_base = phash64(base)
+    assert phash64(base) == h_base  # deterministic
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h_base, phash64(noised)) <= 6
+    assert ham(h_base, phash64(other)) >= 16
+    assert ham(h_base, phash64((255 - base))) >= 16  # negation flips bits
+    # resized copy stays close (scale invariance via the 32x32 resample)
+    assert ham(h_base, phash64(resize_nearest(base, 96, 96))) <= 6
+
+
+def test_image_phash_and_candidates(spark):
+    """Spark path: decode -> phash in one mapInPandas; banded candidates
+    surface the near-duplicate image pair only."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import image_phash, phash_candidates
+
+    rng = np.random.default_rng(3)
+    base = _lowfreq_image(seed=11)
+    clone = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255)
+    rows = [
+        (1, _ppm_bytes(base)),
+        (2, _ppm_bytes(clone.astype(np.uint8))),
+        (3, _ppm_bytes(rng.integers(0, 256, base.shape).astype(np.uint8))),
+        (4, _ppm_bytes((255 - base))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = image_phash(df)
+    assert fps.count() == 4
+    pairs = phash_candidates(fps, max_hamming=8).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 2)]
+    assert (pairs["hamming"] <= 8).all()
