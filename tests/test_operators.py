@@ -2777,3 +2777,86 @@ def test_image_phash_and_candidates(spark):
     pairs = phash_candidates(fps, max_hamming=8).toPandas()
     assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 2)]
     assert (pairs["hamming"] <= 8).all()
+
+
+def _wav_bytes(sig, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _tone_mix(t):
+    import numpy as np
+
+    return (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 950 * t)
+        + 0.2 * np.sin(2 * np.pi * 1800 * t * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t)))
+    )
+
+
+def test_audio_fingerprint_invariances():
+    """Gain-exact, noise-robust, content-separating; resampled copies stay
+    near (band edges are absolute Hz; bin-resolution leakage keeps it
+    approximate)."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import (
+        audio_fingerprint64,
+        decode_wav_any,
+    )
+
+    rng = np.random.default_rng(5)
+    t = np.arange(16000) / 8000
+    base = _tone_mix(t)
+    ham = lambda a, b: bin(a ^ b).count("1")
+
+    def fp(sig, rate=8000):
+        samples, r = decode_wav_any(_wav_bytes(sig, rate))
+        return audio_fingerprint64(samples, r)
+
+    h = fp(base)
+    assert fp(base) == h  # deterministic
+    assert ham(h, fp(base * 0.5)) == 0  # gain-invariant signs
+    assert ham(h, fp(base + rng.normal(0, 0.01, len(t)))) <= 8
+    other = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 2600 * t)
+        + 0.2 * rng.normal(0, 0.2, len(t))
+    )
+    assert ham(h, fp(other)) >= 20
+    t16 = np.arange(32000) / 16000
+    assert ham(h, fp(_tone_mix(t16), 16000)) <= 16  # approximate
+
+
+def test_audio_fingerprints_and_candidates(spark):
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import (
+        afp_candidates,
+        audio_fingerprints,
+    )
+
+    rng = np.random.default_rng(9)
+    t = np.arange(16000) / 8000
+    base = _tone_mix(t)
+    rows = [
+        (1, _wav_bytes(base)),
+        (2, _wav_bytes(base * 0.7 + rng.normal(0, 0.005, len(t)))),
+        (3, _wav_bytes(rng.normal(0, 0.3, len(t)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = audio_fingerprints(df)
+    assert fps.count() == 3
+    pairs = afp_candidates(fps, max_hamming=8).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 2)]
