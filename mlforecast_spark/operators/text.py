@@ -745,9 +745,9 @@ def bm25_scores(
     terms; per-term document frequencies and the (N, avgdl) scalar row are
     broadcast. No driver-side actions, no Python UDFs.
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-blank term")
     did = F.col(id_col)
     toks = df.select(
         did,
