@@ -345,3 +345,58 @@ def test_repeated_spans_no_false_positives_property(spark, data):
         rows.append((d, " ".join(toks)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert repeated_spans(df, window=w, min_docs=2).count() == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dedup_paragraphs_properties(spark, data):
+    """Contracts of corpus-wide keep-first paragraph dedup: (1) a corpus
+    with no repeated paragraph is returned verbatim; (2) the operator is
+    idempotent; (3) the multiset of surviving paragraphs equals the set of
+    distinct non-blank paragraphs (plus blanks)."""
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    n_docs = data.draw(st.integers(1, 6))
+    vocab = ["alpha beta", "gamma", "delta one", "epsilon", ""]
+    docs = []
+    for i in range(n_docs):
+        paras = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=6)
+        )
+        docs.append((i, "\n".join(paras)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    once = dedup_paragraphs(df)
+    out1 = dict(
+        once.toPandas()[["doc_id", "text"]].itertuples(index=False, name=None)
+    )
+    # idempotence
+    out2 = dict(
+        dedup_paragraphs(once)
+        .toPandas()[["doc_id", "text"]]
+        .itertuples(index=False, name=None)
+    )
+    assert out1 == out2
+
+    # surviving non-blank paragraphs = distinct non-blank inputs, each once
+    survivors = [
+        p for _, t in sorted(out1.items()) for p in t.split("\n") if p.strip()
+    ]
+    distinct_inputs = set()
+    for _, t in docs:
+        distinct_inputs.update(p for p in t.split("\n") if p.strip())
+    assert sorted(survivors) == sorted(distinct_inputs)
+
+    # verbatim when every non-blank paragraph is globally unique
+    uniq = [(i, f"solo-{i}-a\n\nsolo-{i}-b") for i in range(3)]
+    udf_ = spark.createDataFrame(uniq, "doc_id long, text string")
+    got = dict(
+        dedup_paragraphs(udf_)
+        .toPandas()[["doc_id", "text"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got == dict(uniq)
