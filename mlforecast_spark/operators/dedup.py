@@ -1080,6 +1080,47 @@ def minhash_recall_estimate(
     return out
 
 
+def _paragraph_lines(
+    df: DataFrame, text_col: str, id_col: str, sep: str, min_chars: int
+) -> DataFrame:
+    """Exploded paragraph rows ``(_did, _pos, _para, _h1, _h2)``: position-
+    preserving split with a compact 96-bit content hash on dedup-eligible
+    paragraphs (blanks / below ``min_chars`` get null hashes, so equi- and
+    anti-joins can never match them). Shared by :func:`dedup_paragraphs`
+    and the streaming incremental variant."""
+    lines = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    eligible = (F.length(F.trim("_para")) >= F.lit(max(min_chars, 1)))
+    return lines.withColumn(
+        "_h1", F.when(eligible, F.xxhash64("_para"))
+    ).withColumn("_h2", F.when(eligible, F.hash("_para")))
+
+
+def _reassemble_paragraphs(
+    df: DataFrame, kept: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Rebuild per-doc text from kept ``(_did, _pos, _para)`` rows in
+    original order; docs whose every paragraph was dropped come back with
+    empty text, all other columns preserved."""
+    rebuilt = kept.groupBy("_did").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+        ).alias("_clean_text")
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, on=[F.col(id_col) == F.col("_did")], how="left")
+        .withColumn(text_col, F.coalesce(F.col("_clean_text"), F.lit("")))
+        .drop("_did", "_clean_text")
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",
@@ -1112,15 +1153,7 @@ def dedup_paragraphs(
     window over the corpus) as the only full-text shuffle. No driver-side
     actions; no Python UDFs.
     """
-    text = F.col(text_col)
-    lines = df.select(
-        F.col(id_col).alias("_did"),
-        F.posexplode(F.split(text, sep)).alias("_pos", "_para"),
-    )
-    eligible = (F.length(F.trim("_para")) >= F.lit(max(min_chars, 1)))
-    hashed = lines.withColumn(
-        "_h1", F.when(eligible, F.xxhash64("_para"))
-    ).withColumn("_h2", F.when(eligible, F.hash("_para")))
+    hashed = _paragraph_lines(df, text_col, id_col, sep, min_chars)
     # lexicographic min(did, pos) without min(struct) — a struct buffer
     # forces SortAggregate; two staged primitive mins keep every aggregate
     # a HashAggregate: (1) min doc per hash (+ count, to prune unique
@@ -1144,21 +1177,7 @@ def dedup_paragraphs(
         F.col("_wdid").isNull()
         | ((F.col("_wdid") == F.col("_did")) & (F.col("_wpos") == F.col("_pos")))
     )
-    rebuilt = kept.groupBy("_did").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
-                lambda s: s["_para"],
-            ),
-        ).alias("_clean_text")
-    )
-    return (
-        df.drop(text_col)
-        .join(rebuilt, on=[F.col(id_col) == F.col("_did")], how="left")
-        .withColumn(text_col, F.coalesce(F.col("_clean_text"), F.lit("")))
-        .drop("_did", "_clean_text")
-    )
+    return _reassemble_paragraphs(df, kept, text_col, id_col, sep)
 
 
 def optimal_bands(

@@ -573,3 +573,84 @@ def _assign_to_centroids(
     return _centroid_probe(df, centroids, id_col, vec_col, 1).select(
         df["*"], F.col("_list").alias("list_id")
     )
+
+
+def stream_paragraph_dedup(
+    docs: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Incremental corpus-wide paragraph dedup of a document stream — the
+    continuous-ingest shape of :func:`~mlforecast_spark.operators.dedup.
+    dedup_paragraphs`: each micro-batch (1) keeps only the first occurrence
+    of every paragraph WITHIN the batch, (2) strips paragraphs already in
+    the persistent hash index (paragraphs seen in any earlier batch),
+    (3) writes the reassembled documents and appends the new paragraph
+    hashes to the index.
+
+    State is a parquet table of 96-bit paragraph hashes (16 bytes per
+    distinct corpus paragraph) — shared, engine-readable, and the only
+    thing a restart needs. Writes use the same exactly-once layout as
+    :func:`stream_near_dedup`: per-batch ``batch_id=N/`` directories with
+    mode=overwrite, replays excluded from the index probe by
+    ``batch_id < current``. Blank separators and paragraphs below
+    ``min_chars`` always survive (null hashes never join). Returns the
+    ``StreamingQuery``."""
+    from .operators.dedup import _paragraph_lines, _reassemble_paragraphs
+
+    spark = docs.sparkSession
+
+    def process(batch: DataFrame, _batch_id: int):
+        if not batch.head(1):
+            return
+        hashed = _paragraph_lines(batch, text_col, id_col, sep, min_chars)
+        narrow = hashed.select("_did", "_pos", "_h1", "_h2").filter(
+            F.col("_h1").isNotNull()
+        )
+        g1 = (
+            narrow.groupBy("_h1", "_h2")
+            .agg(F.min("_did").alias("_wdid"), F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .drop("_c")
+        )
+        winners = (
+            narrow.join(g1, on=["_h1", "_h2"])
+            .filter(F.col("_did") == F.col("_wdid"))
+            .groupBy("_h1", "_h2", "_wdid")
+            .agg(F.min("_pos").alias("_wpos"))
+        )
+        kept = hashed.join(winners, on=["_h1", "_h2"], how="left").filter(
+            F.col("_wdid").isNull()
+            | (
+                (F.col("_wdid") == F.col("_did"))
+                & (F.col("_wpos") == F.col("_pos"))
+            )
+        ).select("_did", "_pos", "_para", "_h1", "_h2")
+        if _committed_batch_dirs_exist(spark, index_path):
+            seen = spark.read.parquet(index_path).filter(
+                F.col("batch_id") < F.lit(int(_batch_id))
+            )
+            # null hashes (blanks / short paragraphs) never equi-match, so
+            # they survive the anti join by construction
+            kept = kept.join(seen, on=["_h1", "_h2"], how="left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        out = _reassemble_paragraphs(batch, kept, text_col, id_col, sep)
+        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={_batch_id}")
+        kept.filter(F.col("_h1").isNotNull()).select(
+            "_h1", "_h2"
+        ).distinct().write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={_batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

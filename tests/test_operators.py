@@ -2860,3 +2860,64 @@ def test_audio_fingerprints_and_candidates(spark):
     assert fps.count() == 3
     pairs = afp_candidates(fps, max_hamming=8).toPandas()
     assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 2)]
+
+
+def test_stream_paragraph_dedup(spark, tmp_path):
+    """Incremental paragraph dedup across micro-batches: within-batch
+    keep-first, later batches strip paragraphs in the persisted hash
+    index, blanks always survive, replays don't duplicate output."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from mlforecast_spark.streaming import stream_paragraph_dedup
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "pidx")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    os.makedirs(src, exist_ok=True)
+
+    spam = "subscribe to the newsletter"
+
+    def run_batch(rows):
+        if rows:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_paragraph_dedup(stream, idx, out, ckpt)
+        q.awaitTermination(180)
+
+    def texts():
+        df = pd.concat(
+            [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+        )
+        # later replays of the same doc overwrite their batch dir; doc ids
+        # are unique across batches here
+        return dict(zip(df.doc_id, df.text))
+
+    # batch 1: spam repeats within the batch and across docs
+    run_batch([(1, f"alpha body\n{spam}\n\nbeta body"), (2, f"{spam}\ngamma")])
+    t1 = texts()
+    assert t1[1] == f"alpha body\n{spam}\n\nbeta body"
+    assert t1[2] == "gamma"
+
+    # batch 2: paragraphs seen in batch 1 are stripped via the INDEX;
+    # novel paragraphs survive; fully-stripped docs come back empty
+    run_batch([(10, f"{spam}\nalpha body\nnovel paragraph"), (11, spam)])
+    t2 = texts()
+    assert t2[10] == "novel paragraph"
+    assert t2[11] == ""
+
+    # replay batch 1 of the index/output (crash between write and commit):
+    # output must be replaced, not duplicated
+    for f in glob.glob(f"{ckpt}/commits/1*") + glob.glob(f"{ckpt}/commits/.1*"):
+        os.remove(f)
+    run_batch([])
+    df = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert sorted(df.doc_id) == [1, 2, 10, 11]
+    assert dict(zip(df.doc_id, df.text))[10] == "novel paragraph"
