@@ -1142,16 +1142,21 @@ def dedup_paragraphs(
     has no counterpart (forecasting library) — this is part of the
     training-data-pipeline surface.
 
-    Scale shape (100 TB): the winner side is a partial-aggregatable
-    ``min(struct(id, pos))`` groupBy over a compact 96-bit hash key
-    (``xxhash64`` + murmur3 — 12 bytes crosses the wire, not the paragraph),
-    map-side combine collapses duplicate mass before the shuffle, and the
-    winner set is FILTERED to hashes that actually repeat — on a
-    mostly-unique corpus the join's build side shrinks toward the true
-    duplicate mass and AQE can broadcast it, leaving document reassembly
-    (one shuffle keyed by doc id, ``sort_array(collect_list(...))`` — no
-    window over the corpus) as the only full-text shuffle. No driver-side
-    actions; no Python UDFs.
+    Scale shape (100 TB): winner selection runs over a compact 96-bit hash
+    key (``xxhash64`` + murmur3 — 12 bytes crosses the wire, not the
+    paragraph) as two staged PRIMITIVE-buffer mins (min doc per hash, then
+    min pos within that doc) so every aggregate is a HashAggregate —
+    ``min(struct(...))`` would silently fall back to SortAggregate and sort
+    every exploded paragraph row. Map-side combine collapses duplicate mass
+    before the shuffle, and the winner set is FILTERED to hashes that
+    actually repeat — on a mostly-unique corpus the join's build side
+    shrinks toward the true duplicate mass and AQE can broadcast it,
+    leaving document reassembly (one shuffle keyed by doc id,
+    ``sort_array(collect_list(...))`` — no window over the corpus) as the
+    only full-text shuffle. No driver-side actions; no Python UDFs.
+    Equality is by the 96-bit hash: two distinct paragraphs colliding in
+    BOTH hashes (~n²/2⁹⁷ over n distinct paragraphs — negligible below
+    ~10¹³) would be treated as duplicates.
     """
     hashed = _paragraph_lines(df, text_col, id_col, sep, min_chars)
     # lexicographic min(did, pos) without min(struct) — a struct buffer
