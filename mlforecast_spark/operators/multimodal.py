@@ -1229,3 +1229,82 @@ def afp_candidates(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def video_frame_phashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hash_size: int = 8,
+    dct_size: int = 32,
+) -> DataFrame:
+    """Per-frame perceptual hashes for animated payloads: decode, sample up
+    to ``k`` evenly spaced frames (:func:`sample_gif_frames` — the
+    container family that needs no ffmpeg; single images contribute one
+    frame), pHash each — all in one Arrow ``mapInPandas`` pass, so only
+    ``(id, frame_idx, 8 bytes)`` rows leave the scan. Returns
+    ``(id_col, frame_idx, phash)``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw or b"")
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = sample_gif_frames(raw, k)
+                else:
+                    frames = [decode_image(raw)]
+                for i, frame in enumerate(frames):
+                    h = phash64(frame, hash_size=hash_size, dct_size=dct_size)
+                    ids.append(did)
+                    idxs.append(i)
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def video_near_dups(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    min_matching_frames: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate videos from :func:`video_frame_phashes`
+    output: a self-join on EXACT frame-hash equality (one equi-join on the
+    8-byte hash — no pairwise term), then pairs ranked by how many distinct
+    frame hashes they share; ``min_matching_frames`` is the evidence
+    threshold. ``max_bucket_size`` caps degenerate hash buckets (black
+    frames, title cards shared by thousands of clips) exactly like the
+    text-dedup banded joins — the 100 TB guard against one common frame
+    turning the join quadratic. Returns
+    ``(id_a, id_b, n_matching_frames)``."""
+    from .dedup import _cap_buckets
+
+    fh = frame_hashes.select(F.col(id_col), F.col("phash")).distinct()
+    fh = _cap_buckets(fh, ["phash"], max_bucket_size)
+    a, b = fh.alias("a"), fh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.phash") == F.col("b.phash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.phash").alias("_ph"),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )

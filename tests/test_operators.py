@@ -2921,3 +2921,50 @@ def test_stream_paragraph_dedup(spark, tmp_path):
     )
     assert sorted(df.doc_id) == [1, 2, 10, 11]
     assert dict(zip(df.doc_id, df.text))[10] == "novel paragraph"
+
+
+def test_video_frame_phashes_and_near_dups(spark):
+    """Animated GIFs sharing frames pair up with the shared-frame count;
+    unrelated clips don't; single images contribute one frame."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import (
+        video_frame_phashes,
+        video_near_dups,
+    )
+
+    # three structured grayscale frames as palette images (grays 0..255)
+    palette = [(i, i, i) for i in range(256)]
+    f1 = _lowfreq_image(seed=1)[:, :, 0]  # use one channel as indices
+    f2 = _lowfreq_image(seed=2)[:, :, 0]
+    f3 = _lowfreq_image(seed=3)[:, :, 0]
+    f4 = _lowfreq_image(seed=4)[:, :, 0]
+
+    def gif(frames):
+        return _build_gif(
+            [(fr.astype(np.uint8), 0, 0, None, 0) for fr in frames],
+            64,
+            64,
+            palette,
+            min_code_size=8,
+        )
+
+    rows = [
+        (1, gif([f1, f2, f3])),
+        (2, gif([f1, f2, f4])),   # shares 2 frames with 1
+        (3, gif([f4])),           # shares 1 frame with 2 only
+        (4, _ppm_bytes(_lowfreq_image(seed=9))),  # single still image
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = video_frame_phashes(df, k=8)
+    got = fh.toPandas()
+    assert len(got[got.doc_id == 1]) == 3
+    assert len(got[got.doc_id == 4]) == 1
+
+    pairs = video_near_dups(fh, min_matching_frames=2).toPandas()
+    assert [(r.id_a, r.id_b, r.n_matching_frames) for r in pairs.itertuples()] == [
+        (1, 2, 2)
+    ]
+    # evidence threshold 1 also surfaces the single shared frame
+    pairs1 = video_near_dups(fh, min_matching_frames=1).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs1.itertuples()} == {(1, 2), (2, 3)}
