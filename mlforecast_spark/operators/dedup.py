@@ -1,6 +1,7 @@
 """Deduplication operators: exact, MinHash+LSH (self-join and incremental
-batch-vs-index probing), SimHash, n-gram Jaccard, connected-components
-cluster resolution, and the ``dedup_corpus`` end-to-end composition.
+batch-vs-index probing), SimHash, n-gram Jaccard, corpus-wide keep-first
+paragraph dedup, connected-components cluster resolution, and the
+``dedup_corpus`` end-to-end composition.
 
 Scale design notes (100 TB):
 - exact dedup is a hash-groupBy — one shuffle on a 128-bit digest, no skew

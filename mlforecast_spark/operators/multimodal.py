@@ -10,7 +10,10 @@ sequential JPEG (marker parse, Huffman entropy decode with restart
 markers, vectorized IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling,
 YCbCr->RGB), plus PCM and G.711 WAV audio — all pure numpy/stdlib inside
 Arrow-batched ``mapInPandas``; ``sample_gif_frames`` is a real multi-frame
-sampling path. Progressive JPEG and real video containers genuinely need
+sampling path, and perceptual near-dup fingerprints run over the decoded
+media (DCT pHash for images and per-frame for animated GIFs,
+Haitsma-Kalker spectral hashes for audio — all feeding the simhash-style
+banded candidate joins). Progressive JPEG and real video containers genuinely need
 PIL/ffmpeg, which this container lacks: those raise
 ``NotImplementedError`` naming the supported set, and ``fake=True`` keeps
 the deterministic pseudo-decode so the distributed plumbing stays testable
