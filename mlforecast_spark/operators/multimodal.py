@@ -1311,3 +1311,68 @@ def video_near_dups(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
+
+
+def dedup_media_corpus(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate removal for a mixed media corpus — the
+    media analog of :func:`~mlforecast_spark.operators.dedup.dedup_corpus`.
+    Returns the SURVIVING rows (all original columns): one canonical asset
+    (min id) per near-dup cluster.
+
+    Stages: (1) one decode+fingerprint pass (:func:`phash64` for image
+    payloads, :func:`audio_fingerprint64` for WAV — dispatched per row on
+    magic bytes, single ``mapInPandas``); (2) banded candidate pairs within
+    each modality (the 4×16-bit pigeonhole join — image and audio hashes
+    live in disjoint keyspaces only by content, so the band join is scoped
+    per modality to keep cross-modal collisions out); (3) connected
+    components → drop non-canonical members with one anti join."""
+    from .dedup import connected_components, simhash_candidates
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("kind", T.StringType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            kinds, fps = [], []
+            for raw in pdf[payload_col]:
+                raw = bytes(raw or b"")
+                if raw[:4] == b"RIFF":
+                    samples, rate = decode_wav_any(raw)
+                    h = audio_fingerprint64(samples, rate)
+                    kinds.append("audio")
+                else:
+                    h = phash64(decode_image(raw))
+                    kinds.append("image")
+                fps.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: pdf[id_col], "kind": kinds, "fp": fps})
+
+    prints = df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+    pairs = None
+    for kind in ("image", "audio"):
+        cand = simhash_candidates(
+            prints.filter(F.col("kind") == kind).select(
+                F.col(id_col), F.col("fp").alias("simhash")
+            ),
+            id_col=id_col,
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        ).select("id_a", "id_b")
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    drop = comps.filter(F.col("node_id") != F.col("cluster_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -2968,3 +2968,35 @@ def test_video_frame_phashes_and_near_dups(spark):
     # evidence threshold 1 also surfaces the single shared frame
     pairs1 = video_near_dups(fh, min_matching_frames=1).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs1.itertuples()} == {(1, 2), (2, 3)}
+
+
+def test_dedup_media_corpus(spark):
+    """Mixed image+audio corpus: near-dup cluster members collapse to the
+    min id per modality; unrelated assets survive."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import dedup_media_corpus
+
+    rng = np.random.default_rng(13)
+    img = _lowfreq_image(seed=21)
+    img_twin = np.clip(img.astype(int) + rng.integers(-3, 4, img.shape), 0, 255)
+    img_other = _lowfreq_image(seed=22)
+
+    t = np.arange(16000) / 8000
+    snd = _tone_mix(t)
+    snd_twin = snd * 0.6 + rng.normal(0, 0.004, len(t))
+    snd_other = 0.5 * np.sin(2 * np.pi * 2750 * t) + 0.3 * rng.normal(0, 0.2, len(t))
+
+    rows = [
+        (1, _ppm_bytes(img)),
+        (2, _ppm_bytes(img_twin.astype(np.uint8))),
+        (3, _ppm_bytes(img_other)),
+        (10, _wav_bytes(snd)),
+        (11, _wav_bytes(snd_twin)),
+        (12, _wav_bytes(snd_other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        dedup_media_corpus(df, max_hamming=8).toPandas()["doc_id"].tolist()
+    )
+    assert kept == [1, 3, 10, 12]  # twins 2 and 11 collapsed into 1 and 10
