@@ -253,3 +253,50 @@ def temperature_weights(
     raw = {r[domain_col]: float(r["_n"]) ** float(alpha) for r in rows}
     tot = sum(raw.values())
     return {d: w / tot for d, w in raw.items()}
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-domain sampling to a TOKEN budget — the unit real
+    pretraining mixtures are specified in ("60B web tokens, 15B code
+    tokens"), where :func:`mixture_sample` works in document fractions.
+    Within each domain, documents are taken in md5(id) order (reproducible
+    on any cluster shape, like :func:`hash_sample`) while the running token
+    total stays at or below the domain's budget; the first document of a
+    domain is always taken even if it alone exceeds the budget (a budget
+    that admits nothing is almost always a configuration error). Domains
+    absent from ``budgets`` are dropped.
+
+    Scale shape: one window cumsum per domain — the shuffle is keyed by the
+    domain and sorted by the 128-bit hash, which is the inherent cost of a
+    deterministic greedy take; no driver actions, no second pass. Returns
+    the surviving rows with their original columns."""
+    if not budgets:
+        raise ValueError("budgets must be a non-empty dict")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("token budgets must be non-negative")
+    spark = df.sparkSession
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(str(k), int(v)) for k, v in budgets.items()],
+            f"{domain_col} string, _budget long",
+        )
+    )
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(domain_col).orderBy(order_key, F.col(id_col))
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.join(bdf, on=domain_col)
+        .withColumn("_cum", cum)
+        .filter(
+            (F.col("_cum") <= F.col("_budget"))
+            | (F.col("_cum") - F.col(token_col).cast("long") == 0)
+        )
+        .drop("_budget", "_cum")
+    )

@@ -3000,3 +3000,42 @@ def test_dedup_media_corpus(spark):
         dedup_media_corpus(df, max_hamming=8).toPandas()["doc_id"].tolist()
     )
     assert kept == [1, 3, 10, 12]  # twins 2 and 11 collapsed into 1 and 10
+
+
+def test_token_budget_sample(spark):
+    """Greedy md5-ordered take per domain: totals stay within budget, the
+    take is deterministic, the first doc always survives, and absent
+    domains are dropped — verified against an exact pandas replay."""
+    import hashlib
+
+    from mlforecast_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "web" if i % 3 else "code", 10 + (i * 7) % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    budgets = {"web": 300, "code": 45}
+    got = token_budget_sample(df, "domain", budgets).toPandas()
+
+    # exact replay
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "domain", "n_tokens"])
+    pdf["h"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expect = set()
+    for dom, bud in budgets.items():
+        run = 0
+        for r in pdf[pdf.domain == dom].sort_values(["h", "doc_id"]).itertuples():
+            if run + r.n_tokens <= bud or run == 0:
+                expect.add(r.doc_id)
+            run += r.n_tokens
+    assert set(got.doc_id) == expect
+    for dom, bud in budgets.items():
+        sub = got[got.domain == dom]
+        assert len(sub) >= 1
+        first_only = len(sub) == 1
+        assert sub.n_tokens.sum() <= bud or first_only
+
+    # rerun is identical (determinism) and absent domains are dropped
+    again = token_budget_sample(df, "domain", budgets).toPandas()
+    assert set(again.doc_id) == expect
+    only_web = token_budget_sample(df, "domain", {"web": 100}).toPandas()
+    assert set(only_web.domain) == {"web"}
