@@ -1150,7 +1150,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bm25_topk"] = bm25_q
 
+    def media_phash_q(spark, sf):
+        """Rows-only tail entry: the multimodal near-dup path end-to-end
+        through the driver contract — deterministic synthetic PPM images
+        (pure-numpy low-frequency cosine mixtures seeded by ``doc_id //
+        20``, ±3 per-pixel noise seeded by ``doc_id``, so every run builds
+        byte-identical payloads) → real P6 decode → DCT pHash →
+        pigeonhole-banded candidate pairs. Images of the same class land
+        within a few bits; cross-class ≥ ~16, so the pair set is exactly
+        the within-class pairs and fully deterministic."""
+        from pyspark.sql import types as T
+
+        from mlforecast_spark.operators.multimodal import (
+            image_phash,
+            phash_candidates,
+        )
+
+        ids = _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 100)
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            size = 64
+            y, x = np.mgrid[0:size, 0:size]
+
+            def class_image(seed):
+                rng = np.random.default_rng(1000 + seed)
+                img = np.zeros((size, size))
+                for _ in range(6):
+                    fy, fx = rng.uniform(0.5, 3, 2)
+                    ph = rng.uniform(0, 2 * np.pi)
+                    img += rng.uniform(0.5, 1.5) * np.cos(
+                        2 * np.pi * (fy * y / size + fx * x / size) + ph
+                    )
+                img = (img - img.min()) / (img.max() - img.min()) * 255
+                return np.stack([img, img * 0.8, img * 0.5], axis=-1)
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    base = class_image(int(did) // 20)
+                    noise = np.random.default_rng(int(did)).integers(
+                        -3, 4, base.shape
+                    )
+                    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+                    payloads.append(
+                        b"P6\n%d %d\n255\n" % (size, size) + arr.tobytes()
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        imgs = ids.mapInPandas(gen, schema=out_schema)
+        fps = image_phash(imgs)
+        return phash_candidates(fps, max_hamming=8).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    q["image_phash_neardups"] = media_phash_q
+
     rows_only = [
+        "image_phash_neardups",
         "doc_bm25_topk",
         "ann_pq_topk",
         "bpe_token_counts",
