@@ -1089,9 +1089,14 @@ def _paragraph_lines(
     paragraphs (blanks / below ``min_chars`` get null hashes, so equi- and
     anti-joins can never match them). Shared by :func:`dedup_paragraphs`
     and the streaming incremental variant."""
+    # \Q..\E-quote the separator: F.split takes a regex but reassembly uses
+    # the literal string, so a regex-special sep (e.g. "|") would split on
+    # something it doesn't rejoin with
     lines = df.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "_pos", "_para"
+        ),
     )
     eligible = (F.length(F.trim("_para")) >= F.lit(max(min_chars, 1)))
     return lines.withColumn(

@@ -3039,3 +3039,14 @@ def test_token_budget_sample(spark):
     assert set(again.doc_id) == expect
     only_web = token_budget_sample(df, "domain", {"web": 100}).toPandas()
     assert set(only_web.domain) == {"web"}
+
+
+def test_dedup_paragraphs_regex_special_separator(spark):
+    """A regex-special separator splits and rejoins literally."""
+    from mlforecast_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "aa|shared|bb"), (2, "shared|cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df, sep="|").toPandas().set_index("doc_id")["text"]
+    assert out.loc[1] == "aa|shared|bb"
+    assert out.loc[2] == "cc"
