@@ -324,3 +324,59 @@ def importance_resample(
     top = keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: NGramLM,
+    fractions=(1 / 3, 1 / 3),
+    by: str | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by LM score (Wenzek et al.
+    2020 §4.3: score every document under a reference-corpus LM, split the
+    corpus at score quantiles, keep/weight buckets downstream). Returns
+    ``(id_col, n_scored_tokens, avg_logprob, ppl_bucket)`` with
+    ``ppl_bucket`` ∈ head/middle/tail — head = highest ``avg_logprob``
+    (most natural text). ``fractions`` gives the head and middle mass;
+    the tail takes the rest. ``by`` optionally computes quantiles within
+    groups (CCNet buckets per language).
+
+    Quantile cutoffs use exact ``percentile`` over the scored corpus —
+    one aggregation (per group), broadcast back; the scoring pass itself
+    is :func:`score_docs` (pure JVM backoff cascade). Ties at a cutoff
+    fall into the better bucket deterministically."""
+    head_f, mid_f = float(fractions[0]), float(fractions[1])
+    if not (0 < head_f < 1 and 0 <= mid_f < 1 and head_f + mid_f < 1):
+        raise ValueError(
+            "fractions must be positive with head + middle < 1, got "
+            f"{fractions!r}"
+        )
+    scored = score_docs(df, lm, alpha=alpha, text_col=text_col, id_col=id_col)
+    # head = TOP head_f by avg_logprob -> cutoffs at the (1-head) and
+    # (1-head-mid) quantiles
+    q_head, q_mid = 1.0 - head_f, 1.0 - head_f - mid_f
+    if by is not None:
+        scored = scored.join(df.select(F.col(id_col), F.col(by)), id_col)
+        cuts = scored.groupBy(by).agg(
+            F.percentile("avg_logprob", q_head).alias("_c_head"),
+            F.percentile("avg_logprob", q_mid).alias("_c_mid"),
+        )
+        scored = scored.join(F.broadcast(cuts), by)
+    else:
+        cuts = scored.agg(
+            F.percentile("avg_logprob", q_head).alias("_c_head"),
+            F.percentile("avg_logprob", q_mid).alias("_c_mid"),
+        )
+        scored = scored.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("_c_head"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("_c_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep = [id_col] + ([by] if by is not None else [])
+    return scored.select(
+        *keep, "n_scored_tokens", "avg_logprob", bucket.alias("ppl_bucket")
+    )

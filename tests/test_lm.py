@@ -188,3 +188,39 @@ def test_importance_resample(spark):
         importance_resample(rdf, target_lm, base_lm, k=0)
     with _pytest.raises(ValueError, match="temperature"):
         importance_resample(rdf, target_lm, base_lm, k=5, temperature=0)
+
+
+def test_perplexity_buckets(spark):
+    """Head/middle/tail split at exact quantiles of the LM score; head is
+    the most natural text; per-group mode respects group cutoffs."""
+    import numpy as np
+
+    from mlforecast_spark.operators.lm import perplexity_buckets, train_ngram_lm
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    lm = train_ngram_lm(ref, order=2)
+
+    rows = (
+        [(i, "the quick brown fox jumps", "en") for i in range(6)]      # natural
+        + [(10 + i, "fox the dog quick lazy", "en") for i in range(6)]  # shuffled
+        + [(20 + i, "zz yy xx ww vv uu", "en") for i in range(6)]       # OOV
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, lm).toPandas().set_index("doc_id")
+    assert (out.loc[0:5, "ppl_bucket"] == "head").all()
+    assert (out.loc[20:25, "ppl_bucket"] == "tail").all()
+    # bucket masses follow the fractions (18 docs, thirds; quantile ties
+    # fall into the better bucket)
+    counts = out.ppl_bucket.value_counts()
+    assert counts["head"] >= 6 and counts["tail"] <= 6
+
+    # grouped mode: each lang gets its own cutoffs
+    out2 = perplexity_buckets(df, lm, by="lang").toPandas()
+    assert set(out2.columns) >= {"doc_id", "lang", "ppl_bucket"}
+    assert (out2.groupby("lang").ppl_bucket.nunique() >= 2).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        perplexity_buckets(df, lm, fractions=(0.9, 0.2))
