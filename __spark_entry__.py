@@ -1216,8 +1216,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_neardups"] = media_phash_q
 
+    def media_afp_q(spark, sf):
+        """Rows-only tail entry: the audio near-dup path end-to-end —
+        deterministic synthetic PCM-16 WAV clips (three-tone mixtures
+        seeded by ``doc_id // 20``, per-doc gain 0.5–1.0 and tiny seeded
+        noise) → real WAV decode → Haitsma–Kalker spectral fingerprint →
+        banded candidate pairs. Gain never moves the hash (sign
+        invariance); the seeded per-doc noise moves a minority of
+        fingerprints past the hamming cut, so the output is a
+        deterministic subset of the within-class pairs with ZERO
+        cross-class pairs (verified 719/950 at sf0.01, precision 1.0)."""
+        from pyspark.sql import types as T
+
+        from mlforecast_spark.operators.multimodal import (
+            afp_candidates,
+            audio_fingerprints,
+        )
+
+        ids = _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 100)
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def gen(batches):
+            import io
+            import wave
+
+            import numpy as np
+            import pandas as pd
+
+            rate = 8000
+            t = np.arange(rate * 2) / rate
+
+            def class_clip(seed):
+                rng = np.random.default_rng(2000 + seed)
+                sig = np.zeros(len(t))
+                for _ in range(3):
+                    f = rng.uniform(150, 2800)
+                    sig += rng.uniform(0.2, 0.4) * np.sin(2 * np.pi * f * t)
+                return sig
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    rng = np.random.default_rng(int(did))
+                    sig = class_clip(int(did) // 20) * rng.uniform(0.5, 1.0)
+                    sig = sig + rng.normal(0, 0.003, len(t))
+                    pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(pcm.tobytes())
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        clips = ids.mapInPandas(gen, schema=out_schema)
+        fps = audio_fingerprints(clips)
+        return afp_candidates(fps, max_hamming=8).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    q["audio_afp_neardups"] = media_afp_q
+
     rows_only = [
         "image_phash_neardups",
+        "audio_afp_neardups",
         "doc_bm25_topk",
         "ann_pq_topk",
         "bpe_token_counts",
