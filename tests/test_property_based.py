@@ -400,3 +400,59 @@ def test_dedup_paragraphs_properties(spark, data):
         .itertuples(index=False, name=None)
     )
     assert got == dict(uniq)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_token_budget_sample_properties(spark, data):
+    """Contracts: per-domain token totals never exceed the budget unless a
+    single first doc does; output is a subset of the input; raising a
+    budget never drops a previously kept doc (monotonicity)."""
+    from mlforecast_spark.operators.sampling import token_budget_sample
+
+    n = data.draw(st.integers(5, 25))
+    rows = [
+        (i, data.draw(st.sampled_from(["a", "b"])), data.draw(st.integers(1, 40)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    b1 = data.draw(st.integers(1, 120))
+    got = token_budget_sample(df, "domain", {"a": b1, "b": b1}).toPandas()
+    assert set(got.doc_id) <= {r[0] for r in rows}
+    for dom, sub in got.groupby("domain"):
+        assert sub.n_tokens.sum() <= b1 or len(sub) == 1
+
+    bigger = token_budget_sample(df, "domain", {"a": b1 + 50, "b": b1 + 50}).toPandas()
+    assert set(got.doc_id) <= set(bigger.doc_id)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bm25_monotonicity(spark, data):
+    """Appending one more occurrence of a query term to a document never
+    lowers that document's BM25 when corpus statistics are held fixed by
+    padding (same doc length via dropping one filler token)."""
+    from mlforecast_spark.operators.text import bm25_scores
+
+    fillers = ["pad1", "pad2", "pad3", "pad4"]
+    base_toks = ["hit"] * data.draw(st.integers(1, 3)) + fillers
+    boosted = ["hit"] + base_toks[:-1]  # +1 tf, same length
+    others = [(10 + i, "noise words only here") for i in range(3)]
+    rows_a = [(1, " ".join(base_toks))] + others
+    rows_b = [(1, " ".join(boosted))] + others
+    score = lambda rows: dict(
+        bm25_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"), ["hit"]
+        )
+        .toPandas()[["doc_id", "bm25"]]
+        .itertuples(index=False, name=None)
+    )
+    assert score(rows_b)[1] >= score(rows_a)[1] - 1e-12
