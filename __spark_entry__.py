@@ -112,6 +112,88 @@ def _quantize(panel: DataFrame) -> DataFrame:
     return panel.withColumn("y", F.round(F.col("y") / 16) * 16)
 
 
+# fixed retrieval query for the BM25 leg of the doc_text_profile slot
+_BM25_TERMS = ["spark", "window", "vector"]
+
+
+def _text_profile_plain_sql() -> str:
+    """The r01-r06 doc_text_profile oracle SQL (token stats + language ID +
+    fingerprint, no BM25) — also pinned by tools/bench_oracle.py so the
+    bench line stays comparable across rounds."""
+    from mlforecast_spark.operators.text import LANG_MARKERS
+
+    # language scores: same token-equality counting as operators/text.py
+    # (one tokenize pass; a token scores iff it equals a marker word)
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({in_list})))"
+            f" AS INTEGER) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    guess = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        guess = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {guess} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    li_score_cols = ", ".join(f"li.score_{lang}" for lang in langs)
+
+    return (
+        "WITH tbase AS (SELECT doc_id, text, LENGTH(text) AS n_chars,"
+        " CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
+        "  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,"
+        " LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct,"
+        " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces"
+        " FROM documents),"
+        " ts AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
+        "  CAST(n_tokens AS BIGINT) AS n_tokens,"
+        "  ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - n_spaces) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
+        "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
+        " FROM tbase),"
+        " lbase AS (SELECT doc_id,"
+        "  regexp_split_to_array(LOWER(text), '\\s+') AS toks FROM documents),"
+        f" li AS (SELECT doc_id, {', '.join(score_exprs)} FROM lbase),"
+        f" li2 AS (SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess FROM li),"
+        " fp AS (SELECT doc_id, md5(array_to_string("
+        "  regexp_extract_all(LOWER(text), '[a-z0-9]+'), ' ')) AS fingerprint"
+        "  FROM documents)"
+        " SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.avg_token_len,"
+        f"  ts.punct_ratio, ts.space_ratio, {li_score_cols.replace('li.', 'li2.')},"
+        "  li2.lang_guess, fp.fingerprint"
+        " FROM ts JOIN li2 ON ts.doc_id = li2.doc_id"
+        " JOIN fp ON ts.doc_id = fp.doc_id"
+    )
+
+
+def _text_profile_bm25_sql() -> str:
+    """doc_text_profile merged slot: the plain profile columns PLUS Okapi
+    BM25 (Lucene idf, k1=1.2, b=0.75) for the fixed ``_BM25_TERMS`` query —
+    the exact formula of operators/text.py::bm25_scores, rounded to 6 dp
+    under the hash gate."""
+    terms_in = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    return (
+        "WITH prof AS (" + _text_profile_plain_sql() + "),"
+        " bmtok AS (SELECT doc_id, unnest(string_split_regex("
+        "  TRIM(LOWER(text)), '\\s+')) AS tok FROM documents),"
+        " bmtok2 AS (SELECT doc_id, tok FROM bmtok WHERE tok <> ''),"
+        " bmdl AS (SELECT doc_id, COUNT(*) AS dl FROM bmtok2 GROUP BY doc_id),"
+        " bmstats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM bmdl),"
+        f" bmtf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM bmtok2"
+        f"  WHERE tok IN ({terms_in}) GROUP BY doc_id, tok),"
+        " bmdf AS (SELECT tok, COUNT(*) AS dfq FROM bmtf GROUP BY tok),"
+        " bmscored AS (SELECT t.doc_id,"
+        "  SUM(LN(1.0 + (s.n - d.dfq + 0.5) / (d.dfq + 0.5))"
+        "   * (t.tf * (1.2 + 1.0))"
+        "   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS bm25raw"
+        "  FROM bmtf t JOIN bmdf d USING (tok) JOIN bmdl l USING (doc_id)"
+        "  CROSS JOIN bmstats s GROUP BY t.doc_id)"
+        " SELECT prof.*, ROUND(COALESCE(b.bm25raw, 0.0), 6) AS bm25"
+        " FROM prof LEFT JOIN bmscored b USING (doc_id)"
+    )
+
+
 def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None, quantize: bool = False):
     """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature)."""
 
@@ -543,12 +625,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- documents: text analysis + dedup ------------------------------
     def doc_text_profile(spark, sf):
-        """Token stats + language ID + fingerprint in one slot: all three
-        operators fused into a single projection (one scan, no joins), so
-        every output column stays under the driver's hash gate."""
-        from mlforecast_spark.operators.text import text_profile
+        """Merged slot: token stats + language ID + fingerprint (one fused
+        projection) PLUS Okapi BM25 scores for a fixed 3-term query — the
+        retrieval-scoring path, hash-gated per doc (rounded to 6 dp; the
+        per-doc sum spans ≤3 terms, so cross-engine reassociation noise
+        sits ~1e-16, ten orders below the rounding step). The bench line
+        stays pinned to the plain text_profile workload (bench.py)."""
+        from mlforecast_spark.operators.text import bm25_scores, text_profile
 
-        return text_profile(_docs(spark, sf))
+        docs = _docs(spark, sf)
+        bm = bm25_scores(docs, _BM25_TERMS).select(
+            "doc_id", F.round("bm25", 6).alias("bm25")
+        )
+        return text_profile(docs).join(bm, "doc_id")
 
     q["doc_text_profile"] = doc_text_profile
 
@@ -1139,9 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pq_topk"] = ann_pq_q
 
     def bm25_q(spark, sf):
-        """Rows-only tail entry: BM25 retrieval over the corpus (Lucene
-        idf). Scores float-sum across terms, so the value surface is
-        pinned by the independent-formula pytest instead of a SQL hash."""
+        """Rows-only tail entry: the top-k SELECTION path over BM25 scores.
+        The scoring formula itself is hash-exact oracle-backed since round
+        7 via the merged doc_text_profile slot (bm25 column, all docs); this
+        entry additionally exercises the TakeOrderedAndProject top-k."""
         from mlforecast_spark.operators.text import bm25_top_k
 
         return bm25_top_k(
@@ -1827,51 +1917,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # --- documents -----------------------------------------------------
-    # language scores: same token-equality counting as operators/text.py
-    # (one tokenize pass; a token scores iff it equals a marker word)
-    from mlforecast_spark.operators.text import LANG_MARKERS
-
-    score_exprs = []
-    for lang, words in LANG_MARKERS.items():
-        in_list = ", ".join(f"'{w}'" for w in words)
-        score_exprs.append(
-            f"CAST(len(list_filter(toks, t -> t IN ({in_list})))"
-            f" AS INTEGER) AS score_{lang}"
-        )
-    langs = list(LANG_MARKERS)
-    guess = f"'{langs[0]}'"
-    best = f"score_{langs[0]}"
-    for lang in langs[1:]:
-        guess = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {guess} END"
-        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
-    li_score_cols = ", ".join(f"li.score_{lang}" for lang in langs)
-
-    o["doc_text_profile"] = (
-        "WITH tbase AS (SELECT doc_id, text, LENGTH(text) AS n_chars,"
-        " CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
-        "  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,"
-        " LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct,"
-        " LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces"
-        " FROM documents),"
-        " ts AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
-        "  CAST(n_tokens AS BIGINT) AS n_tokens,"
-        "  ROUND(CASE WHEN n_tokens > 0 THEN (n_chars - n_spaces) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,"
-        "  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,"
-        "  ROUND(CASE WHEN n_chars > 0 THEN n_spaces * 1.0 / n_chars ELSE 0.0 END, 6) AS space_ratio"
-        " FROM tbase),"
-        " lbase AS (SELECT doc_id,"
-        "  regexp_split_to_array(LOWER(text), '\\s+') AS toks FROM documents),"
-        f" li AS (SELECT doc_id, {', '.join(score_exprs)} FROM lbase),"
-        f" li2 AS (SELECT *, CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess FROM li),"
-        " fp AS (SELECT doc_id, md5(array_to_string("
-        "  regexp_extract_all(LOWER(text), '[a-z0-9]+'), ' ')) AS fingerprint"
-        "  FROM documents)"
-        " SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.avg_token_len,"
-        f"  ts.punct_ratio, ts.space_ratio, {li_score_cols.replace('li.', 'li2.')},"
-        "  li2.lang_guess, fp.fingerprint"
-        " FROM ts JOIN li2 ON ts.doc_id = li2.doc_id"
-        " JOIN fp ON ts.doc_id = fp.doc_id"
-    )
+    o["doc_text_profile"] = _text_profile_bm25_sql()
 
     o["dedup_exact"] = (
         "WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),"

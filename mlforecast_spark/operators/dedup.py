@@ -121,6 +121,20 @@ def minhash_signatures(
     )
 
 
+def _shuffle_hash(df: DataFrame) -> DataFrame:
+    """SHUFFLE_HASH join hint with an A/B escape hatch: setting
+    ``MLFS_NO_SHUFFLE_HASH=1`` returns the frame unhinted so the hint's
+    effect can be measured in isolation (tools/ab_shuffle_hash.py). The
+    hint is the default because sort-merge would SORT the quadratic banded
+    candidate sets just to probe small, skew-bounded build sides (measured:
+    21.8 -> 11.3 s on the 100x-clone corpus at sf10)."""
+    import os
+
+    if os.environ.get("MLFS_NO_SHUFFLE_HASH") == "1":
+        return df
+    return df.hint("shuffle_hash")
+
+
 def _cap_buckets(
     bands: DataFrame, bucket_cols: list, max_bucket_size: int | None
 ) -> DataFrame:
@@ -175,8 +189,8 @@ def _attach_est_jaccard(
     corpus: 27M pairs, full query 21.8 → 11.3 s from this hint alone). The
     build side is per-doc signatures — unskewed, bounded per partition —
     so the hash build is memory-safe at any corpus scale."""
-    pairs = pairs.join(sigs_a.hint("shuffle_hash"), a_col).join(
-        sigs_b.hint("shuffle_hash"), b_col
+    pairs = pairs.join(_shuffle_hash(sigs_a), a_col).join(
+        _shuffle_hash(sigs_b), b_col
     )
     agree = F.size(
         F.filter(
@@ -262,7 +276,7 @@ def minhash_lsh_candidates(
     # build side is skew-free and a shuffle-hash join skips sorting both
     # banded sides; uncapped mode keeps sort-merge so AQE's skew-join
     # splitting still protects degenerate boilerplate buckets.
-    b = bands.hint("shuffle_hash").alias("b") if max_bucket_size else bands.alias("b")
+    b = _shuffle_hash(bands).alias("b") if max_bucket_size else bands.alias("b")
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -572,6 +586,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
@@ -580,13 +595,17 @@ def simhash_candidates(
     ``max_bucket_size`` is OFF by default: capping breaks the pigeonhole
     guarantee for pairs whose every equal chunk sits in a capped bucket. Set
     it explicitly (e.g. 1000) as the 100 TB guard against one degenerate
-    chunk value turning the self-join quadratic (see ``_cap_buckets``)."""
-    # both self-join sides read the fingerprints: cache them (one 8-byte
-    # hash + id per doc) or the full tokenize+aggregate pipeline runs twice.
-    # The cache lives until Spark evicts it (LRU) — long-lived sessions
-    # looping over many corpora should unpersist the returned plan's inputs
-    # (or checkpoint fps themselves) between corpora.
-    fps = fps.cache()
+    chunk value turning the self-join quadratic (see ``_cap_buckets``).
+
+    ``cache``: both self-join sides read the fingerprints, so by default
+    they are cached (one 8-byte hash + id per doc) — otherwise the full
+    tokenize+aggregate pipeline upstream runs twice. The cache lives until
+    Spark evicts it (LRU); long-lived sessions looping over MANY corpora
+    (where pinned fingerprint frames would accumulate) should pass
+    ``cache=False`` and persist/unpersist ``fps`` themselves around
+    materialization."""
+    if cache:
+        fps = fps.cache()
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -635,7 +654,7 @@ def simhash_candidates(
     # same reasoning as the minhash banded join: capped buckets bound skew,
     # so shuffle-hash skips sorting both exploded chunk sides; uncapped
     # keeps sort-merge for AQE skew-splitting.
-    b = chunks.hint("shuffle_hash").alias("b") if max_bucket_size else chunks.alias("b")
+    b = _shuffle_hash(chunks).alias("b") if max_bucket_size else chunks.alias("b")
     joined = a.join(
         b,
         (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -1207,6 +1226,8 @@ def optimal_bands(
     ``fp_weight`` trades candidate-set size (false positives = wasted join
     work at 100 TB) against missed near-dups (false negatives); 0.5 weighs
     them equally."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     if not 0.0 <= fp_weight <= 1.0:

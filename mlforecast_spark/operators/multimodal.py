@@ -1125,12 +1125,15 @@ def phash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate image candidate pairs from :func:`image_phash` output:
     delegates to the simhash banded self-join (the fingerprints are the same
     shape — 64 bits, near-dup = small hamming distance), so the 4×16-bit
     pigeonhole banding, bucket caps and first-matching-band dedup all apply
-    unchanged. Returns ``(id_a, id_b, hamming)``."""
+    unchanged. ``cache=False`` skips pinning the fingerprint frame (see
+    :func:`~mlforecast_spark.operators.dedup.simhash_candidates`). Returns
+    ``(id_a, id_b, hamming)``."""
     from .dedup import simhash_candidates
 
     return simhash_candidates(
@@ -1138,6 +1141,7 @@ def phash_candidates(
         id_col=id_col,
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+        cache=cache,
     )
 
 
@@ -1148,8 +1152,20 @@ def audio_fingerprint64(samples, rate: int, n_bands: int = 5) -> int:
     ΔE(frame−1, band) — 16 frames × 4 band-pairs = 64 bits. Global gain
     scales every energy equally, so the signs (and the hash) are
     volume-invariant; time windows are fractional, so moderate resampling
-    keeps the hash close. Pure numpy, deterministic."""
+    keeps the hash close. Pure numpy, deterministic.
+
+    ``n_bands`` must be 5: the downstream banded join
+    (:func:`afp_candidates`) pigeonholes the hash into 4×16-bit chunks, so
+    anything but 16 frame-transitions × 4 band-pairs = exactly 64 bits
+    would leave whole chunks zero (one degenerate bucket holding the entire
+    corpus — a quadratic-join cliff) or overflow the 64-bit lane."""
     import numpy as np
+
+    if 16 * (n_bands - 1) != 64:
+        raise ValueError(
+            f"n_bands must be 5 (16 frame-transitions x 4 band-pairs = 64 "
+            f"bits; got n_bands={n_bands} -> {16 * (n_bands - 1)} bits)"
+        )
 
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype("float64")
     n = len(mono)
@@ -1194,6 +1210,12 @@ def audio_fingerprints(
     :func:`decode_wav_any`) in one Arrow ``mapInPandas`` pass — the audio
     analog of :func:`image_phash`; only ``(id, 8 bytes)`` leaves the scan.
     Feed into :func:`afp_candidates` for banded near-duplicate pairs."""
+    if 16 * (n_bands - 1) != 64:
+        # fail at plan time, not per-row inside the UDF (same contract as
+        # audio_fingerprint64: the banded join needs exactly 64 filled bits)
+        raise ValueError(
+            f"n_bands must be 5 (64-bit fingerprint contract), got {n_bands}"
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -1220,10 +1242,13 @@ def afp_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate audio candidate pairs: same 64-bit shape as simhash /
     pHash, so the 4×16-bit pigeonhole banded self-join applies unchanged.
-    Returns ``(id_a, id_b, hamming)``."""
+    ``cache=False`` skips pinning the fingerprint frame (see
+    :func:`~mlforecast_spark.operators.dedup.simhash_candidates`). Returns
+    ``(id_a, id_b, hamming)``."""
     from .dedup import simhash_candidates
 
     return simhash_candidates(
@@ -1231,6 +1256,7 @@ def afp_candidates(
         id_col=id_col,
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+        cache=cache,
     )
 
 
@@ -1281,36 +1307,83 @@ def video_near_dups(
     frame_hashes: DataFrame,
     id_col: str = "doc_id",
     min_matching_frames: int = 2,
+    max_hamming: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate videos from :func:`video_frame_phashes`
-    output: a self-join on EXACT frame-hash equality (one equi-join on the
-    8-byte hash — no pairwise term), then pairs ranked by how many distinct
-    frame hashes they share; ``min_matching_frames`` is the evidence
-    threshold. ``max_bucket_size`` caps degenerate hash buckets (black
-    frames, title cards shared by thousands of clips) exactly like the
-    text-dedup banded joins — the 100 TB guard against one common frame
+    output: frame pHashes go through the same 4×16-bit pigeonhole banding
+    as the image path (hamming ≤ 3 ⇒ at least one 16-bit chunk equal), so a
+    re-encoded/rescaled clip whose frame hashes are perturbed by 1–2 bits
+    still joins — exact equality (``max_hamming=0``) stays available as the
+    cheap single-equi-join path. Pairs are then ranked by how many DISTINCT
+    matching frame-hash pairs they share; ``min_matching_frames`` is the
+    evidence threshold. ``max_bucket_size`` caps degenerate chunk buckets
+    (black frames, title cards shared by thousands of clips) exactly like
+    the text-dedup banded joins — the 100 TB guard against one common frame
     turning the join quadratic. Returns
     ``(id_a, id_b, n_matching_frames)``."""
     from .dedup import _cap_buckets
 
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4-chunk pigeonhole bound), "
+            f"got {max_hamming}"
+        )
     fh = frame_hashes.select(F.col(id_col), F.col("phash")).distinct()
-    fh = _cap_buckets(fh, ["phash"], max_bucket_size)
-    a, b = fh.alias("a"), fh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.phash") == F.col("b.phash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.phash").alias("_ph"),
-    )
-    return (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_frames"))
-        .filter(F.col("n_matching_frames") >= min_matching_frames)
-    )
+    if max_hamming == 0:
+        fh = _cap_buckets(fh, ["phash"], max_bucket_size)
+        a, b = fh.alias("a"), fh.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        counted = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_matching_frames")
+        )
+    else:
+        # banded self-join per 16-bit chunk; a frame pair can agree on up
+        # to 4 chunks, so evidence is counted over DISTINCT (ph_a, ph_b)
+        # hash pairs, which also keeps it comparable to the exact path
+        chunks = fh.select(
+            F.col(id_col),
+            F.col("phash"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("phash"), 16 * i).bitwiseAND(
+                            F.lit(0xFFFF).cast("long")
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket_size)
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.phash").alias("_ph_a"),
+            F.col("b.phash").alias("_ph_b"),
+        )
+        verified = cand.filter(
+            F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b"))) <= max_hamming
+        )
+        counted = verified.groupBy("id_a", "id_b").agg(
+            F.count_distinct(F.struct("_ph_a", "_ph_b"))
+            .cast("long")
+            .alias("n_matching_frames")
+        )
+    return counted.filter(F.col("n_matching_frames") >= min_matching_frames)
 
 
 def dedup_media_corpus(

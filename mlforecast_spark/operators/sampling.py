@@ -262,6 +262,7 @@ def token_budget_sample(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     salt: str = "",
+    prefilter_safety: float | None = 4.0,
 ) -> DataFrame:
     """Deterministic per-domain sampling to a TOKEN budget — the unit real
     pretraining mixtures are specified in ("60B web tokens, 15B code
@@ -271,16 +272,33 @@ def token_budget_sample(
     total stays at or below the domain's budget; the first document of a
     domain is always taken even if it alone exceeds the budget (a budget
     that admits nothing is almost always a configuration error). Domains
-    absent from ``budgets`` are dropped.
+    absent from ``budgets`` are dropped. A NULL token count is rejected at
+    execution time (``raise_error``) — silently treating unknown-length
+    documents as free would blow the budget downstream.
 
-    Scale shape: one window cumsum per domain — the shuffle is keyed by the
-    domain and sorted by the 128-bit hash, which is the inherent cost of a
-    deterministic greedy take; no driver actions, no second pass. Returns
-    the surviving rows with their original columns."""
+    Scale shape — the 100 TB path is ON by default (``prefilter_safety``):
+    the greedy take is a prefix of the md5 order, and md5 prefixes are
+    uniform, so per domain only the hash slice ``p ≈ safety × budget /
+    domain_tokens`` can contain winners. Two tiny per-domain aggregations
+    (the same sanctioned driver action as :func:`mixture_sample`) derive
+    the slice cutoffs and VERIFY coverage: any domain whose slice holds ≤
+    budget tokens without holding the whole domain falls back to the full
+    window, so the output is always bit-identical to
+    ``prefilter_safety=None`` — the sliver either provably covers the take
+    or isn't used. The per-domain window cumsum then sorts the sliver (a
+    few × budget of tokens), not the domain: a 10-domain / 100 TB corpus no
+    longer funnels whole domains through single reducers.
+    ``prefilter_safety=None`` skips the aggregations and sorts every row of
+    each domain (the round-6 behavior). Returns the surviving rows with
+    their original columns."""
     if not budgets:
         raise ValueError("budgets must be a non-empty dict")
     if any(b < 0 for b in budgets.values()):
         raise ValueError("token budgets must be non-negative")
+    if prefilter_safety is not None and prefilter_safety <= 1.0:
+        raise ValueError(
+            f"prefilter_safety must be > 1 (or None), got {prefilter_safety}"
+        )
     spark = df.sparkSession
     bdf = F.broadcast(
         spark.createDataFrame(
@@ -288,15 +306,69 @@ def token_budget_sample(
             f"{domain_col} string, _budget long",
         )
     )
-    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(domain_col).orderBy(order_key, F.col(id_col))
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
-    return (
-        df.join(bdf, on=domain_col)
-        .withColumn("_cum", cum)
-        .filter(
-            (F.col("_cum") <= F.col("_budget"))
-            | (F.col("_cum") - F.col(token_col).cast("long") == 0)
+    tok = F.when(
+        F.col(token_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"token_budget_sample: NULL {token_col} for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(token_col).cast("long"))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    src = df.join(bdf, on=domain_col)
+    if prefilter_safety is not None:
+        # pass 1: domain token totals (rows = #domains)
+        totals = {
+            r["_d"]: int(r["_t"])
+            for r in src.groupBy(F.col(domain_col).alias("_d"))
+            .agg(F.sum(tok).alias("_t"))
+            .collect()
+        }
+        cuts = {}
+        for d, t in totals.items():
+            b = int(budgets[d])
+            if t <= 0 or b >= t:
+                cuts[d] = "g"  # keep-all sentinel: 'g' > every hex char
+            else:
+                frac = min(1.0, prefilter_safety * b / t)
+                ci = int(round(frac * _HASH_SPACE))
+                cuts[d] = "g" if ci >= _HASH_SPACE else format(ci, "06x")
+        in_slice = F.substring(h, 1, 6) < F.col("_cut")
+        # pass 2: verify each slice covers its take — slice token sum must
+        # EXCEED the budget (then the first over-budget doc is inside the
+        # slice, so every taken doc is) unless the slice is the whole domain
+        cov = {
+            r["_d"]: (int(r["_st"] or 0), int(r["_sn"]), int(r["_n"]))
+            for r in src.withColumn("_cut", _cut_join(spark, cuts, domain_col))
+            .groupBy(F.col(domain_col).alias("_d"))
+            .agg(
+                F.sum(F.when(in_slice, tok)).alias("_st"),
+                F.count(F.when(in_slice, F.lit(1))).alias("_sn"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        }
+        for d, (st, sn, n) in cov.items():
+            if sn < n and st <= int(budgets[d]):
+                cuts[d] = "g"  # under-covered: full window for this domain
+        src = src.withColumn("_cut", _cut_join(spark, cuts, domain_col)).filter(
+            in_slice
         )
-        .drop("_budget", "_cum")
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    return (
+        src.withColumn("_cum", F.sum(tok).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_cum") <= F.col("_budget")) | (F.col("_rn") == 1))
+        .drop("_budget", "_cum", "_rn", "_cut")
     )
+
+
+def _cut_join(spark, cuts: dict, domain_col: str):
+    """Per-domain hash-prefix cutoff as a broadcast CASE expression (tiny —
+    one branch per domain), so the slice filter stays a scan-local
+    predicate."""
+    expr = F.lit(None).cast("string")
+    for d, c in cuts.items():
+        expr = F.when(F.col(domain_col) == F.lit(d), F.lit(c)).otherwise(expr)
+    return expr

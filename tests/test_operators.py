@@ -2094,6 +2094,67 @@ def test_stream_near_dedup(spark, tmp_path):
     assert sorted(idx3.doc_id) == [1, 3, 11]
 
 
+def test_stream_near_dedup_midbatch_kill(spark, tmp_path):
+    """Forced-kill simulation: a batch dies MID-write — its output dir holds
+    a partial (even garbage) parquet and its index dir is missing entirely
+    (crash between the two step-3 writes), and no commit was recorded. The
+    replay must REPLACE the partial output wholesale and rebuild the index
+    dir — no duplicates, no leftover partial rows."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from mlforecast_spark.streaming import stream_near_dedup
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = "completely different words about spark streaming and parquet files"
+
+    def run_batch(rows):
+        if rows:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_near_dedup(
+            stream, idx, out, ckpt, threshold=0.5, num_hashes=32, num_bands=8
+        )
+        q.awaitTermination(180)
+
+    run_batch([(1, base), (3, other)])  # batch 0
+    run_batch([(10, base.replace("tok20", "CHANGED")), (11, "entirely novel "
+               "text sharing nothing with any previous document at all")])
+
+    # forced kill during batch 1's (replayed) execution: commit marker gone,
+    # output dir left with a PARTIAL write (one bogus surviving row), index
+    # dir for the batch missing entirely
+    for f in glob.glob(f"{ckpt}/commits/1*") + glob.glob(f"{ckpt}/commits/.1*"):
+        os.remove(f)
+    shutil.rmtree(f"{out}/batch_id=1")
+    spark.createDataFrame(
+        [(999, "partial garbage row from the killed attempt")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{out}/batch_id=1")
+    shutil.rmtree(f"{idx}/batch_id=1")
+
+    run_batch([])  # restart with no new data -> batch 1 replays
+
+    got = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    )
+    assert sorted(got.doc_id) == [1, 3, 11]  # garbage gone, no dupes
+    idx_df = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{idx}/batch_id=*/*.parquet")]
+    )
+    assert sorted(idx_df.doc_id) == [1, 3, 11]  # index dir rebuilt
+
+
 def test_semantic_dedup_target_list_size(spark):
     """target_list_size derives n_lists from the corpus so the quadratic
     within-list term stays bounded; exact copies still collapse."""
@@ -2969,6 +3030,69 @@ def test_video_frame_phashes_and_near_dups(spark):
     pairs1 = video_near_dups(fh, min_matching_frames=1).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs1.itertuples()} == {(1, 2), (2, 3)}
 
+    # exact-equality path (max_hamming=0) finds the same byte-identical
+    # shared frames
+    pairs0 = video_near_dups(fh, min_matching_frames=2, max_hamming=0).toPandas()
+    assert [(r.id_a, r.id_b, r.n_matching_frames) for r in pairs0.itertuples()] == [
+        (1, 2, 2)
+    ]
+
+
+def test_video_near_dups_reencoded_clip(spark):
+    """A re-encoded clip (mild pixel noise perturbing each frame pHash by a
+    bit or two) is still caught by the banded hamming join, while the exact
+    equi-join misses it — the round-6 recall gap."""
+    import numpy as np
+
+    from mlforecast_spark.operators.multimodal import (
+        video_frame_phashes,
+        video_near_dups,
+    )
+
+    palette = [(i, i, i) for i in range(256)]
+    frames = [_lowfreq_image(seed=s)[:, :, 0] for s in (1, 2, 3)]
+    # amplitude tuned so each frame's pHash moves by exactly 2 bits (>0,
+    # <=3): the banded join must catch it, the exact join must not
+    rng = np.random.default_rng(11)
+    noisy = [
+        np.clip(
+            fr.astype(np.int16) + rng.integers(-8, 9, size=fr.shape), 0, 255
+        ).astype(np.uint8)
+        for fr in frames
+    ]
+
+    def gif(frs):
+        return _build_gif(
+            [(fr.astype(np.uint8), 0, 0, None, 0) for fr in frs],
+            64,
+            64,
+            palette,
+            min_code_size=8,
+        )
+
+    unrelated = [_lowfreq_image(seed=s)[:, :, 0] for s in (20, 21, 22)]
+    df = spark.createDataFrame(
+        [(1, gif(frames)), (2, gif(noisy)), (3, gif(unrelated))],
+        "doc_id long, payload binary",
+    )
+    fh = video_frame_phashes(df, k=8)
+
+    hashes = fh.toPandas()
+    h1 = sorted(hashes[hashes.doc_id == 1].phash)
+    h2 = sorted(hashes[hashes.doc_id == 2].phash)
+    perturbed = sum(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1") for a, b in zip(h1, h2)
+    )
+    assert perturbed > 0  # the noise really moved at least one hash bit
+
+    banded = video_near_dups(fh, min_matching_frames=2, max_hamming=3).toPandas()
+    assert {(r.id_a, r.id_b) for r in banded.itertuples()} == {(1, 2)}
+    exact = video_near_dups(fh, min_matching_frames=2, max_hamming=0).toPandas()
+    assert len(exact) == 0  # the old path misses the re-encode
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        video_near_dups(fh, max_hamming=4)
+
 
 def test_dedup_media_corpus(spark):
     """Mixed image+audio corpus: near-dup cluster members collapse to the
@@ -3039,6 +3163,104 @@ def test_token_budget_sample(spark):
     assert set(again.doc_id) == expect
     only_web = token_budget_sample(df, "domain", {"web": 100}).toPandas()
     assert set(only_web.domain) == {"web"}
+
+
+def test_token_budget_sample_prefilter_paths(spark):
+    """The 100 TB prefilter path is bit-identical to the full-window run
+    across budget regimes (tiny slice, keep-all, zero budget, budget over
+    domain total), and the prefiltered plan's window really reads the hash
+    sliver, not the domain."""
+    from mlforecast_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, ["web", "code", "wiki"][i % 3], 5 + (i * 11) % 90) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    for budgets in (
+        {"web": 200, "code": 60},          # tiny slice vs domain totals
+        {"web": 10**9, "code": 100},       # budget exceeds the web total
+        {"web": 0, "code": 50},            # zero budget -> first-doc only
+        {"web": 5, "code": 5, "wiki": 5},  # every domain budget-bound
+    ):
+        exact = token_budget_sample(
+            df, "domain", budgets, prefilter_safety=None
+        ).toPandas()
+        fast = token_budget_sample(
+            df, "domain", budgets, prefilter_safety=2.0
+        ).toPandas()
+        assert sorted(fast.doc_id) == sorted(exact.doc_id), budgets
+
+    # the window's input is the sliver: the optimized plan filters on the
+    # md5 hash prefix BELOW the Window node
+    plan = (
+        token_budget_sample(df, "domain", {"web": 200, "code": 60})
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    win_at = plan.index("Window")
+    below = plan[win_at:]
+    assert "substring(md5(" in below.replace(" ", "").lower() or (
+        "substring" in below and "md5" in below
+    ), plan
+
+    with pytest.raises(ValueError, match="prefilter_safety"):
+        token_budget_sample(df, "domain", {"web": 10}, prefilter_safety=0.5)
+
+
+def test_token_budget_sample_zero_token_and_null(spark):
+    """A zero-token doc hash-ordered first no longer lets the NEXT doc
+    bypass the budget (the always-take clause is row_number()==1 now), and
+    NULL token counts are rejected at execution time instead of silently
+    dropping."""
+    import hashlib
+
+    from mlforecast_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "web", 0 if i != 17 else 1000) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    # doc 17 (1000 tokens) must NOT be admitted under a 10-token budget
+    # unless it is literally the first doc in md5 order
+    order = sorted(range(30), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    got = token_budget_sample(df, "domain", {"web": 10}).toPandas()
+    pos17 = order.index(17)
+    # zero-token docs BEFORE 17 ride at cum=0; 17 pushes cum to 1000, so it
+    # and every later doc exceed the budget (unless 17 is the first doc,
+    # which the always-take clause admits alone)
+    expect_ids = set(order[:pos17]) if pos17 else {17}
+    assert set(got.doc_id) == expect_ids
+    assert (17 in set(got.doc_id)) == (pos17 == 0)
+
+    null_rows = [(1, "web", 10), (2, "web", None)]
+    ndf = spark.createDataFrame(null_rows, "doc_id long, domain string, n_tokens long")
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        token_budget_sample(ndf, "domain", {"web": 100}).collect()
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        token_budget_sample(
+            ndf, "domain", {"web": 100}, prefilter_safety=None
+        ).collect()
+
+
+def test_afp_n_bands_and_optimal_bands_validation(spark):
+    """audio_fingerprint64 rejects n_bands that break the 64-bit contract;
+    optimal_bands rejects num_hashes < 1 with a clear error."""
+    import numpy as np
+
+    from mlforecast_spark.operators.dedup import optimal_bands
+    from mlforecast_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprints,
+    )
+
+    with pytest.raises(ValueError, match="n_bands"):
+        audio_fingerprint64(np.zeros(4000), 8000, n_bands=4)
+    with pytest.raises(ValueError, match="n_bands"):
+        audio_fingerprints(
+            spark.createDataFrame([(1, b"")], "doc_id long, payload binary"),
+            n_bands=6,
+        )
+    with pytest.raises(ValueError, match="num_hashes"):
+        optimal_bands(0, threshold=0.8)
 
 
 def test_dedup_paragraphs_regex_special_separator(spark):

@@ -225,6 +225,9 @@ def main():
         " COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count"
         " FROM documents"
     )
+    # likewise doc_text_profile grew a merged BM25 leg (round 7); the bench
+    # line stays the plain profile on BOTH engines (bench.py pins the same)
+    oracles["doc_text_profile"] = entry._text_profile_plain_sql()
     extra = {
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
