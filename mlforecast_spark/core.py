@@ -373,23 +373,6 @@ class FeaturePlan:
         parent, bucket = self._mode_cols(mode_key)
 
         ord_name = f"_mlfs_ord_{abs(hash(mode_key)) % 10**8}"
-        if s.id_col in parent:
-            # per-series parent scope: dense_rank parallelizes across series
-            w_parent = Window.partitionBy(*parent).orderBy(s.time_col)
-            df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
-        else:
-            # global/group parent scope: ranking the raw rows would funnel
-            # everything through one (or few) window partitions. Rank the
-            # DISTINCT (parent, ts) calendar instead (tiny) and join back;
-            # AQE broadcasts the calendar.
-            ord_src = df.select(*parent, s.time_col).distinct()
-            w_cal = (
-                Window.partitionBy(*parent).orderBy(s.time_col)
-                if parent
-                else Window.partitionBy(F.lit(0)).orderBy(s.time_col)
-            )
-            ord_src = ord_src.withColumn(ord_name, F.row_number().over(w_cal) - 1)
-            df = df.join(F.broadcast(ord_src), on=[*parent, s.time_col], how="left")
 
         # NaN/null-unified bucket keys: float keys get a materialized
         # normalized column so window partitioning unifies NaN with NULL
@@ -405,8 +388,8 @@ class FeaturePlan:
                 temp_keys.append(nc)
             else:
                 norm_name[c] = c
+        parent_keys = [norm_name.get(c, c) for c in parent]
         bucket = [norm_name[c] for c in bucket]
-        key_cols = {c: df[c] for c in bucket}
 
         # seasonal rolling needs a phase-keyed join (the output row's phase
         # differs from its source rows' phase whenever lag % season_length
@@ -418,13 +401,6 @@ class FeaturePlan:
             n: v for n, v in feats.items() if isinstance(v[1], _SeasonalRollingBase)
         }
         feats = {n: v for n, v in feats.items() if n not in seasonal_feats}
-        if seasonal_feats:
-            df = self._apply_pooled_seasonal(
-                df, bucket, ord_name, key_cols, seasonal_feats, time_agg
-            )
-            key_cols = {c: df[c] for c in bucket}
-        if not feats:
-            return df.drop(ord_name, *temp_keys)
 
         expr_feats, py_feats = {}, {}
         probe = FrameCtx(
@@ -440,6 +416,53 @@ class FeaturePlan:
                 py_feats[name] = (lag, tfm)
             else:
                 expr_feats[name] = (lag, tfm)
+        agg_feats: dict[str, tuple] = {}
+        row_feats: dict[str, tuple] = {}
+        if time_agg is None:
+            for name, (lag, tfm) in expr_feats.items():
+                if tfm.expr_partial_agg(probe, lag) is not None:
+                    agg_feats[name] = (lag, tfm)
+                else:
+                    row_feats[name] = (lag, tfm)
+
+        # Attach the parent-calendar ordinal to the RAW rows only when a
+        # consumer genuinely reads it per-row (seasonal phase joins, rolling
+        # quantiles' bounded joins, python EWM over raw rows). The pure
+        # partial-aggregate path (and time_agg collapse) derives the ordinal
+        # on the COLLAPSED frame instead (`_collapsed_ord`), which saves a
+        # full raw-frame scan + distinct shuffle + broadcast join per pooled
+        # mode — the dominant fixed cost in FLOOR_DECOMPOSITION.json's
+        # 14-16-job pooled plans.
+        needs_raw_ord = bool(seasonal_feats) or (
+            time_agg is None and bool(row_feats or py_feats)
+        )
+        if needs_raw_ord:
+            if s.id_col in parent:
+                # per-series parent scope: dense_rank parallelizes across series
+                w_parent = Window.partitionBy(*parent).orderBy(s.time_col)
+                df = df.withColumn(ord_name, F.dense_rank().over(w_parent) - 1)
+            else:
+                # global/group parent scope: ranking the raw rows would funnel
+                # everything through one (or few) window partitions. Rank the
+                # DISTINCT (parent, ts) calendar instead (tiny) and join back;
+                # AQE broadcasts the calendar.
+                ord_src = df.select(*parent, s.time_col).distinct()
+                w_cal = (
+                    Window.partitionBy(*parent).orderBy(s.time_col)
+                    if parent
+                    else Window.partitionBy(F.lit(0)).orderBy(s.time_col)
+                )
+                ord_src = ord_src.withColumn(ord_name, F.row_number().over(w_cal) - 1)
+                df = df.join(F.broadcast(ord_src), on=[*parent, s.time_col], how="left")
+        key_cols = {c: df[c] for c in bucket}
+
+        if seasonal_feats:
+            df = self._apply_pooled_seasonal(
+                df, bucket, ord_name, key_cols, seasonal_feats, time_agg
+            )
+            key_cols = {c: df[c] for c in bucket}
+        if not feats:
+            return df.drop(ord_name, *temp_keys)
 
         if time_agg is None:
             # Scale path: mean/std/min/max roll up from per-(bucket, ts)
@@ -449,16 +472,11 @@ class FeaturePlan:
             # the raw rows directly would put every row of a bucket (ALL rows,
             # for global_) into one window partition — a scale cliff. Only
             # quantiles (no partial form) keep the row-level window.
-            agg_feats, row_feats = {}, {}
-            for name, (lag, tfm) in expr_feats.items():
-                if tfm.expr_partial_agg(probe, lag) is not None:
-                    agg_feats[name] = (lag, tfm)
-                else:
-                    row_feats[name] = (lag, tfm)
             if agg_feats:
                 y = F.col(s.target_col)
+                group_col = ord_name if needs_raw_ord else s.time_col
                 collapsed = df.groupBy(
-                    *[key_cols[c].alias(c) for c in bucket], F.col(ord_name)
+                    *[key_cols[c].alias(c) for c in bucket], F.col(group_col)
                 ).agg(
                     F.sum(y).alias("_psum"),
                     F.count(y).alias("_pcnt"),
@@ -466,6 +484,10 @@ class FeaturePlan:
                     F.min(y).alias("_pmin"),
                     F.max(y).alias("_pmax"),
                 )
+                if not needs_raw_ord:
+                    collapsed = self._collapsed_ord(
+                        collapsed, parent_keys, bucket, ord_name
+                    )
                 cctx = FrameCtx(
                     y=F.col("_psum"),
                     id_col=s.id_col,
@@ -479,9 +501,9 @@ class FeaturePlan:
                     for n, (lag, tfm) in agg_feats.items()
                 }
                 right = collapsed.select(
-                    *bucket, ord_name, *[c.alias(n) for n, c in cols.items()]
+                    *bucket, group_col, *[c.alias(n) for n, c in cols.items()]
                 )
-                df = self._join_back(df, right, bucket, ord_name, key_cols, list(agg_feats))
+                df = self._join_back(df, right, bucket, group_col, key_cols, list(agg_feats))
             if row_feats:
                 # ROLLING quantiles have a bounded window: compute them as a
                 # (bucket, ordinal-range) join against the raw rows — each
@@ -534,9 +556,12 @@ class FeaturePlan:
         # time_agg: collapse to one row per (bucket, ord), window over the
         # collapsed frame, then join back — the oracle's CTE shape
         agg_fn = _TIME_AGG_FN[time_agg]
+        group_col = ord_name if needs_raw_ord else s.time_col
         collapsed = df.groupBy(
-            *[key_cols[c].alias(c) for c in bucket], F.col(ord_name)
+            *[key_cols[c].alias(c) for c in bucket], F.col(group_col)
         ).agg(agg_fn(F.col(s.target_col)).alias("_mlfs_v"))
+        if not needs_raw_ord:
+            collapsed = self._collapsed_ord(collapsed, parent_keys, bucket, ord_name)
         cctx = FrameCtx(
             y=F.col("_mlfs_v"),
             id_col=s.id_col,
@@ -553,18 +578,51 @@ class FeaturePlan:
             )
         feat_names = list(feats)
         right = collapsed.select(
-            *bucket, ord_name, *[qcol(n).alias(n) for n in feat_names]
+            *bucket, group_col, *[qcol(n).alias(n) for n in feat_names]
         )
-        res = self._join_back(df, right, bucket, ord_name, key_cols, feat_names)
+        res = self._join_back(df, right, bucket, group_col, key_cols, feat_names)
         return res.drop(ord_name, *temp_keys)
 
-    def _join_back(self, df, right, bucket, ord_name, key_cols, feat_names):
-        """Null-safe (bucket, ord) left join of collapsed features onto rows."""
-        cond = df[ord_name].eqNullSafe(right[ord_name])
+    def _collapsed_ord(self, collapsed, parent_keys, bucket, ord_name):
+        """Parent-calendar ordinal derived ON the collapsed frame.
+
+        The raw panel never carries the ordinal on this path: the collapsed
+        frame is one row per (bucket, ts), so its (parent, ts) set IS the
+        parent calendar and ranking it here is free relative to the old
+        attach (distinct over the RAW panel + broadcast join onto every raw
+        row — one extra full scan, one shuffle, and a broadcast exchange per
+        pooled mode; see FLOOR_DECOMPOSITION.json's 14-16-job pooled plans).
+
+        parent non-empty: dense_rank partitioned by parent — parallel across
+        groups, identical to the oracle's `DENSE_RANK() OVER (PARTITION BY
+        parent ORDER BY ds) - 1`. parent empty (global_): rank the DISTINCT
+        calendar (|calendar| rows) and broadcast it back so the single
+        unavoidable ordering never sees |calendar| x |buckets| rows; when
+        there are no bucket keys either, the collapsed frame IS the calendar
+        and is ranked directly.
+        """
+        ts = self.schema.time_col
+        if parent_keys:
+            w = Window.partitionBy(*parent_keys).orderBy(ts)
+            return collapsed.withColumn(ord_name, F.dense_rank().over(w) - 1)
+        if not bucket:
+            w = Window.partitionBy(F.lit(0)).orderBy(ts)
+            return collapsed.withColumn(ord_name, F.row_number().over(w) - 1)
+        cal = collapsed.select(ts).distinct()
+        w = Window.partitionBy(F.lit(0)).orderBy(ts)
+        cal = cal.withColumn(ord_name, F.row_number().over(w) - 1)
+        out = collapsed.join(F.broadcast(cal), collapsed[ts].eqNullSafe(cal[ts]), "left")
+        return out.drop(cal[ts])
+
+    def _join_back(self, df, right, bucket, join_col, key_cols, feat_names):
+        """Null-safe (bucket, join_col) left join of collapsed features onto
+        rows; join_col is the parent-calendar ordinal when the raw rows carry
+        it, else the time column itself."""
+        cond = df[join_col].eqNullSafe(right[join_col])
         for c in bucket:
             cond = cond & key_cols[c].eqNullSafe(right[c])
         res = df.join(right, cond, "left")
-        for c in bucket + [ord_name]:
+        for c in bucket + [join_col]:
             res = res.drop(right[c])
         return res
 

@@ -122,17 +122,25 @@ def minhash_signatures(
 
 
 def _shuffle_hash(df: DataFrame) -> DataFrame:
-    """SHUFFLE_HASH join hint with an A/B escape hatch: setting
-    ``MLFS_NO_SHUFFLE_HASH=1`` returns the frame unhinted so the hint's
-    effect can be measured in isolation (tools/ab_shuffle_hash.py). The
-    hint is the default because sort-merge would SORT the quadratic banded
-    candidate sets just to probe small, skew-bounded build sides (measured:
-    21.8 -> 11.3 s on the 100x-clone corpus at sf10)."""
+    """Join-strategy marker for the banded-join build sides — now a no-op by
+    default: the static SHUFFLE_HASH hint is replaced by AQE's runtime
+    SMJ->SHJ conversion (``spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold``,
+    set in ``utils.get_spark``), which picks the strategy from the ACTUAL
+    shuffle sizes instead of pinning it at plan time.
+
+    Measured both ways (tools/ab_shuffle_hash.py): the static hint won at
+    sf10 (sort-merge would SORT the quadratic candidate set: 21.8 -> 11.3 s
+    on the 100x-clone corpus) but LOST at sf0.1 (minhash 1.0 -> 1.7 s,
+    BASELINE.md round-7 A/B) because it also blocks AQE's broadcast-join
+    conversion that small inputs want. The AQE threshold keeps both wins:
+    broadcast when the build side is tiny, shuffled-hash when partitions fit
+    the threshold, sort-merge only when they genuinely don't fit memory.
+    ``MLFS_FORCE_SHUFFLE_HASH=1`` restores the static hint for A/Bs."""
     import os
 
-    if os.environ.get("MLFS_NO_SHUFFLE_HASH") == "1":
-        return df
-    return df.hint("shuffle_hash")
+    if os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1":
+        return df.hint("shuffle_hash")
+    return df
 
 
 def _cap_buckets(

@@ -147,6 +147,15 @@ def get_spark(app_name: str = "mlforecast-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE swap sort-merge for shuffled-hash when every post-shuffle
+        # partition of the build side fits this threshold (runtime decision
+        # from actual sizes — replaces the static SHUFFLE_HASH hints on the
+        # banded dedup joins, which won at sf10 but blocked AQE's
+        # broadcast conversion at sf0.1; see operators/dedup.py:_shuffle_hash
+        # and the round-7 A/B in BASELINE.md). 64m matches the advisory
+        # partition size; per-partition hash builds of that size are safe on
+        # any multi-GB executor.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM IS the executor; 32 task threads on an

@@ -3,7 +3,9 @@
 Round-6 VERDICT item: the driver bench showed dedup_minhash_lsh +48% /
 dedup_simhash +54% at sf0.1 vs round 5 while the DuckDB oracle was flat,
 and the round-6 SHUFFLE_HASH hints had only been A/B'd at sf10 (where they
-win 21.8 -> 11.3 s). This tool measures the hint's isolated effect:
+win 21.8 -> 11.3 s). Round 7 replaced the static hint with AQE's runtime
+SMJ->SHJ conversion; "hint_on" now means MLFS_FORCE_SHUFFLE_HASH=1 (the old
+static hint) and "hint_off" the AQE default. Interleaved warm reps per mode:
 interleaved warm reps per mode at one SF, per-query MIN (the noise-robust
 statistic on this sandbox — identical runs swing 2-4x per query).
 
@@ -53,7 +55,7 @@ def main() -> None:
 
     def run(name: str, hint_on: bool) -> float:
         # the toggle is read at plan-construction time inside _shuffle_hash
-        os.environ["MLFS_NO_SHUFFLE_HASH"] = "" if hint_on else "1"
+        os.environ["MLFS_FORCE_SHUFFLE_HASH"] = "1" if hint_on else ""
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
         return time.perf_counter() - t0
@@ -67,7 +69,7 @@ def main() -> None:
         sf_warm, sys.argv[1:2] = warm_dir, []
         for name in QUERIES:
             for hint_on in (True, False):
-                os.environ["MLFS_NO_SHUFFLE_HASH"] = "" if hint_on else "1"
+                os.environ["MLFS_FORCE_SHUFFLE_HASH"] = "1" if hint_on else ""
                 _force(qs[name](spark, sf_warm))
 
     walls: dict[str, dict[str, list[float]]] = {
@@ -78,7 +80,7 @@ def main() -> None:
             for key, hint_on in (("hint_on", True), ("hint_off", False)):
                 walls[name][key].append(run(name, hint_on))
 
-    os.environ.pop("MLFS_NO_SHUFFLE_HASH", None)
+    os.environ.pop("MLFS_FORCE_SHUFFLE_HASH", None)
     out = {
         "sf_dir": sf_dir,
         "reps": reps,
