@@ -451,13 +451,17 @@ class MLForecast:
             )
         self.state_ = state.localCheckpoint(eager=True)
         w_last = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
+        # lazy on purpose: state_ is already a checkpointed, keep_last_n-sized
+        # frame, so this is one tiny window per consuming action — an eager
+        # localCheckpoint here would spend 1-2 extra Spark jobs inside every
+        # fit() for no lineage benefit (fit was 9 jobs at sf0.1; the per-job
+        # fixed floor is ~0.07-0.09 s, FLOOR_DECOMPOSITION.json)
         self.statics_ = (
             self.state_.select(id_col, time_col, *self.static_cols_)
             .withColumn("_rn", F.row_number().over(w_last))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .withColumnRenamed(time_col, "_last_ds")
-            .localCheckpoint(eager=True)
         )
 
     # ------------------------------------------------------------------

@@ -82,6 +82,14 @@ def main() -> None:
             return lambda sf: bench._wide_feature_matrix(spark, sf)
         if name == "fit_predict_linreg_h7":
             return lambda sf: bench._fit_predict(spark, sf)
+        # time the SAME workloads bench.py times: dedup_exact and
+        # doc_text_profile carry merged oracle-coverage legs in queries()
+        # (paragraph dedup / BM25) that the bench pins to the plain
+        # variants for cross-round comparability
+        if name == "dedup_exact":
+            return lambda sf: bench._dedup_exact_plain(spark, sf)
+        if name == "doc_text_profile":
+            return lambda sf: bench._doc_text_profile_plain(spark, sf)
         return lambda sf: qs[name](spark, sf)
 
     all_names = bench_names + ["wide_feature_matrix", "fit_predict_linreg_h7"]
