@@ -192,6 +192,23 @@ def test_pooled_global_rolling_quantile_is_hash_join(spark, panel):
     assert "NestedLoop" not in plan, plan[:3000]
 
 
+def test_pooled_agg_path_ordinal_stays_on_collapsed_frame(spark, panel):
+    """Partial-aggregate pooled features must not attach the parent-calendar
+    ordinal to the RAW panel (the round-6 shape: distinct over the raw frame
+    + broadcast join onto every row — one extra scan, shuffle, and exchange
+    per pooled mode). The ordinal is derived on the collapsed frame
+    (core._collapsed_ord), so the whole plan carries exactly ONE join: the
+    features join-back. 14 -> 10 jobs / 1.56 -> 0.98 s at sf0.1."""
+    from mlforecast_spark.lag_transforms import RollingMean
+
+    for kwargs in ({"global_": True}, {"groupby": ["unique_id"]}):
+        registry = _parse_transforms([], {1: [RollingMean(window_size=7, **kwargs)]})
+        feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+        plan = _plan(feats)
+        joins = re.findall(r"(?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)
+        assert len(joins) == 1, (kwargs, joins, plan[:3000])
+
+
 def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):
     """predict(engine='cogroup') must plan as a single grouped-map pass over
     the state: exactly one FlatMapGroupsInPandas, NO WindowExec and NO
