@@ -81,7 +81,7 @@ def main():
 
     sf_dirs = sys.argv[1:] or [
         d
-        for d in ("/root/testdata/sf0.1", "/tmp/sfscale/sf1")
+        for d in ("/root/testdata/sf0.1", "/tmp/sfscale/sf1", "/tmp/sfscale/sf10")
         if os.path.isdir(d)
     ]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
