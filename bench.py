@@ -134,30 +134,31 @@ def main():
     ]
     timings: dict[str, float] = {}
 
-    # Warm the JVM: parquet footers for the bench dir, plus one tiny-SF pass
-    # of every bench query so whole-stage-codegen JIT compiles before the
-    # timed runs (the minhash/simhash pipelines alone carry multi-second
-    # cold-JIT cost that a long-lived cluster pays once, not per query).
-    _force(entry._panel(spark, sf_dir))
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in bench_names:
-            try:
-                _force(
-                    {
-                        "dedup_exact": _dedup_exact_plain,
-                        "doc_text_profile": _doc_text_profile_plain,
-                    }.get(name, qs.get(name))(spark, warm_dir)
-                )
-            except Exception:
-                pass
-        _force(_wide_feature_matrix(spark, warm_dir))
-        _force(_fit_predict(spark, warm_dir))
-
     overrides = {
         "dedup_exact": _dedup_exact_plain,
         "doc_text_profile": _doc_text_profile_plain,
     }
+
+    # Warm the JVM: one tiny-SF pass of every bench query so whole-stage-
+    # codegen JIT compiles before the timed runs (the minhash/simhash
+    # pipelines alone carry multi-second cold-JIT cost that a long-lived
+    # cluster pays once, not per query), THEN one untimed pass of every
+    # query at the bench SF itself — symmetric with tools/bench_oracle.py,
+    # whose DuckDB warm pass runs every query once at the bench SF so the
+    # OS page cache and buffer manager are primed. Without this, Spark's
+    # doc/embedding/events scans are timed cold while DuckDB's are warm —
+    # an asymmetry in the exact ratio the gate tracks.
+    _force(entry._panel(spark, sf_dir))
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    warm_dirs = [d for d in (warm_dir, sf_dir) if os.path.isdir(d)]
+    for d in warm_dirs:
+        for name in bench_names:
+            try:
+                _force(overrides.get(name, qs.get(name))(spark, d))
+            except Exception:
+                pass
+        _force(_wide_feature_matrix(spark, d))
+        _force(_fit_predict(spark, d))
     for name in bench_names:
         fn = overrides.get(name, qs.get(name))
         t0 = time.perf_counter()

@@ -112,7 +112,10 @@ def load_events(spark: SparkSession, sf_dir: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division, not `/`: ns-since-epoch (~1.7e18) exceeds
+        # double's 2^53 exact-integer range, so (ts/1000).cast(long) can be
+        # off by ~1 us — enough to flip an event across a window boundary
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # memoize: the parquet footer re-read at every call is driver-side plan
     # latency; the DataFrame is an immutable plan, safe to share
     _EVENTS_CACHE[key] = df

@@ -153,6 +153,28 @@ def test_nan_null_bucket_unification(spark):
     assert sdf["feat"].tolist()[1:] == [1.0, 1.5, 2.0]
 
 
+def test_nan_null_groupby_parent_unification(spark):
+    """NaN and NULL GROUPBY keys land in one bucket AND one parent calendar
+    (the collapsed-frame ordinal path must rank them as a single scope —
+    `/root/reference/mlforecast/pooled.py:21-66` missing-is-one-bucket
+    semantics, round-7 `core._collapsed_ord`)."""
+    from mlforecast_spark.lag_transforms import ExpandingMean
+
+    rows = [
+        ("a", 0, 1.0, float("nan")),
+        ("a", 1, 2.0, float("nan")),
+        ("b", 0, 3.0, None),
+        ("b", 1, 4.0, None),
+    ]
+    panel = spark.createDataFrame(rows, "unique_id string, ds long, y double, k double")
+    sdf = _run(panel, 1, ExpandingMean(groupby=["k"])).toPandas()
+    sdf = sdf.sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    # one pooled scope: at ds=1 the expanding mean (lag 1) covers BOTH series'
+    # ds=0 values (1+3)/2; if NaN/None split calendars it would be per-series
+    vals = {(r.unique_id, r.ds): r.feat for r in sdf.itertuples()}
+    assert vals[("a", 1)] == 2.0 and vals[("b", 1)] == 2.0
+
+
 def test_pooled_ewm_groupby(spark, groupby_panel):
     """Pooled EWM: recursion over per-(brand, ts) means
     (`/root/reference/mlforecast/lag_transforms.py:1607-1640`)."""
