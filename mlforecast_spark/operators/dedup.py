@@ -191,12 +191,14 @@ def _attach_est_jaccard(
     """Join both signature arrays onto the (deduplicated) pair set and score
     signature agreement — the wide payload stays out of the banded join.
 
-    Both joins are hinted SHUFFLE_HASH: the candidate set is quadratic in
-    duplicate-cluster size, and a sort-merge join would SORT it twice just
-    to probe a one-row-per-doc build side (measured on the 100×-replicated
-    corpus: 27M pairs, full query 21.8 → 11.3 s from this hint alone). The
-    build side is per-doc signatures — unskewed, bounded per partition —
-    so the hash build is memory-safe at any corpus scale."""
+    Join strategy: the candidate set is quadratic in duplicate-cluster size
+    and a sort-merge join would SORT it twice just to probe a one-row-per-doc
+    build side (measured on the 100×-replicated corpus: 27M pairs, full
+    query 21.8 → 11.3 s when the sorts are avoided). The build side is
+    per-doc signatures — unskewed, bounded per partition — so a hash build
+    is memory-safe at any corpus scale. AQE makes that call at runtime from
+    actual partition sizes (``maxShuffledHashJoinLocalMapThreshold``, see
+    ``_shuffle_hash``), broadcasting instead when the signatures are tiny."""
     pairs = pairs.join(_shuffle_hash(sigs_a), a_col).join(
         _shuffle_hash(sigs_b), b_col
     )
@@ -281,9 +283,13 @@ def minhash_lsh_candidates(
         cap_cols = [F.col("a._cap").alias("_cap_a")]
     a = bands.alias("a")
     # capped mode bounds every (band, bucket) group, so the self-join's
-    # build side is skew-free and a shuffle-hash join skips sorting both
-    # banded sides; uncapped mode keeps sort-merge so AQE's skew-join
-    # splitting still protects degenerate boilerplate buckets.
+    # build side is skew-free and a hash join can skip sorting both banded
+    # sides — AQE decides that at runtime from actual partition sizes
+    # (utils.get_spark's maxShuffledHashJoinLocalMapThreshold); uncapped
+    # mode never forces it, so AQE's skew-join splitting still protects
+    # degenerate boilerplate buckets. _shuffle_hash is only a static pin
+    # under MLFS_FORCE_SHUFFLE_HASH=1 (A/B tooling), and only in capped
+    # mode where the build side is provably bounded.
     b = _shuffle_hash(bands).alias("b") if max_bucket_size else bands.alias("b")
     joined = a.join(
         b,
@@ -660,8 +666,10 @@ def simhash_candidates(
         cap_cols = [F.col("a._cap").alias("_cap_a")]
     a = chunks.alias("a")
     # same reasoning as the minhash banded join: capped buckets bound skew,
-    # so shuffle-hash skips sorting both exploded chunk sides; uncapped
-    # keeps sort-merge for AQE skew-splitting.
+    # so a runtime hash join can skip sorting both exploded chunk sides
+    # (AQE's SMJ->SHJ threshold decides; _shuffle_hash only pins it under
+    # MLFS_FORCE_SHUFFLE_HASH=1); uncapped keeps AQE skew-splitting free
+    # to act on degenerate buckets.
     b = _shuffle_hash(chunks).alias("b") if max_bucket_size else chunks.alias("b")
     joined = a.join(
         b,
