@@ -8,6 +8,7 @@ distributed sufficient statistics and score as JVM expressions.
 
 from .forecast import MLForecast
 from .core import FeaturePlan, PanelSchema
+from .joins import asof_join, range_join
 from .local_predict import CogroupUnsupportedError
 from . import lag_transforms, target_transforms, models, utils
 
@@ -18,6 +19,8 @@ __all__ = [
     "FeaturePlan",
     "PanelSchema",
     "CogroupUnsupportedError",
+    "asof_join",
+    "range_join",
     "lag_transforms",
     "target_transforms",
     "models",

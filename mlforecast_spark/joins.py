@@ -1,0 +1,196 @@
+"""Distributed as-of join — the time-series join Spark lacks natively.
+
+The reference never needs a true as-of join because its grids are validated
+gap-free (`/root/reference/mlforecast/core.py:1124-1170` aligns exogenous
+columns with a plain time-offset equi join), but real panel pipelines
+constantly align IRREGULAR feeds: trades to quotes, sensor readings to the
+latest calibration, a forecast origin to the most recent macro print. DuckDB
+ships `ASOF JOIN` as a first-class operator; this module is the Spark-native
+equivalent (and the pytest oracle runs DuckDB's own ASOF JOIN against it).
+
+Shape — the union-window trick, NO range-explosion and NO per-key collect:
+tag right rows 0 and left rows 1, union the two frames on (keys, ts), and
+take a running `F.last(struct(right_cols), ignorenulls=True)` over a window
+partitioned by the keys and ordered by (ts, tag); left rows then carry the
+most recent right row at or before them, in ONE shuffle on the join keys —
+the same exchange any per-key window pays, linear in rows, skew-bounded by
+rows-per-key. A range join would explode candidates (left x right within
+tolerance) and a broadcast loop would cap the right side; the union-window
+form is the standard scale-out as-of (same plan family as sessionization).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: Optional[Column | int | float] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """pandas.merge_asof semantics on Spark DataFrames.
+
+    For each left row, attach the single right row with the nearest ``on``
+    value at-or-before it (``direction='backward'``, the default) or
+    at-or-after it (``'forward'``), matching within ``by`` groups.
+    ``allow_exact_matches=False`` makes the match strictly before/after.
+    ``tolerance`` (same units as ``on``: a number for numeric/long columns,
+    or e.g. ``F.expr("INTERVAL 1 HOUR")`` for timestamps) nulls out matches
+    further away than the bound — rows keep their left columns, like
+    pandas. Right columns arrive suffixed on name collisions.
+
+    One shuffle on ``by`` (plus the window sort); both inputs are scanned
+    once. 100 TB note: skew = rows per ``by`` group, identical to any
+    per-series window in this engine — salt or split pathological keys
+    upstream, the join itself adds nothing quadratic.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = list(by)
+    if on in by:
+        raise ValueError(f"'on' column {on!r} cannot also be a 'by' key")
+    val_cols = [c for c in right.columns if c != on and c not in by]
+    if not val_cols:
+        raise ValueError("right side has no value columns beyond the join keys")
+    out_name = {
+        c: (c + suffix if c in left.columns else c) for c in val_cols
+    }
+    if len(set(out_name.values())) != len(out_name):
+        raise ValueError(
+            f"suffixed right columns collide: {sorted(out_name.values())}"
+        )
+    on_right = on + "__asof_r"
+
+    # right rows carry their payload in one struct so every attached value
+    # comes from the SAME right row; left rows carry null (ignorenulls skips
+    # them in the running last)
+    payload = F.struct(
+        F.col(on).alias(on_right), *[F.col(c).alias(out_name[c]) for c in val_cols]
+    )
+    r = right.select(*by, F.col(on), payload.alias("__asof_p"), F.lit(0).alias("__asof_t"))
+    l = left.select(
+        "*", F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
+        F.lit(1).alias("__asof_t"),
+    )
+    # align schemas: right side gets nulls for the left-only columns
+    for c in left.columns:
+        if c not in by and c != on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*l.columns)
+    u = l.unionByName(r)
+
+    # ordering encodes exact-match semantics: backward+allow_exact wants the
+    # right row visible at an equal timestamp, so right (tag 0) sorts before
+    # left; backward+strict hides it, so left sorts first. forward mirrors
+    # backward on the reversed axis.
+    tag = F.col("__asof_t") if allow_exact_matches else (1 - F.col("__asof_t"))
+    if direction == "backward":
+        order = [F.col(on).asc(), tag.asc()]
+    else:
+        order = [F.col(on).desc(), tag.asc()]
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        if by
+        else Window.partitionBy(F.lit(0)).orderBy(*order)
+    )
+    matched = u.withColumn(
+        "__asof_m",
+        F.last("__asof_p", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("__asof_t") == 1)
+
+    m = F.col("__asof_m")
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        gap = (
+            F.col(on) - m[on_right]
+            if direction == "backward"
+            else m[on_right] - F.col(on)
+        )
+        m = F.when(gap <= tol, F.col("__asof_m"))
+    out_cols = [F.col(c) for c in left.columns] + [
+        m[out_name[c]].alias(out_name[c]) for c in val_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo: str,
+    hi: str,
+    right_on: str,
+    by: Sequence[str] = (),
+    block_size: int | float = 1,
+) -> DataFrame:
+    """Interval-containment join: pair every left row with the right rows
+    whose ``right_on`` value lies in ``[left.lo, left.hi]`` (inclusive),
+    within ``by`` groups — sessionized events to windows, readings to
+    maintenance intervals, prints to embargo ranges.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin /
+    cartesian — O(|L| x |R|), a guaranteed 100 TB cliff. This compiles the
+    range to an EQUI join instead, the same block trick as the pooled
+    rolling-quantile path (`core.py:_apply_pooled_rolling_quantile`): values
+    bucket into blocks of ``block_size`` (`floor(v / block_size)`), each
+    left interval explodes into the blocks it overlaps
+    (`sequence(floor(lo/s), floor(hi/s))` — `width/block_size + 1` rows),
+    each right row lands in exactly one, and the range predicate becomes a
+    residual filter on the hash join. Pick ``block_size`` near the TYPICAL
+    interval width: too small multiplies left rows, too large piles
+    unrelated rows into shared buckets — both degrade linearly, never
+    quadratically, and the join stays a shuffled hash/sort-merge on
+    (by, block). Numeric or epoch-encoded ``on`` columns (cast timestamps
+    with ``F.unix_micros`` upstream). Inner semantics (each qualifying
+    (left, right) pair exactly once — a right row lives in exactly one
+    block, so the exploded join cannot duplicate pairs); anti/outer
+    variants compose from the result with a left_anti join.
+    """
+    if block_size <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+    by = list(by)
+    bad = [c for c in (lo, hi) if c not in left.columns]
+    if bad or right_on not in right.columns:
+        raise ValueError(f"missing join columns: left {bad}, right {right_on!r}")
+    collide = [c for c in right.columns if c in left.columns and c not in by]
+    if collide:
+        raise ValueError(
+            f"overlapping non-key columns {collide}: rename/suffix them first"
+        )
+    s = F.lit(block_size)
+    # qualified aliases keep the join self-join-safe (both sides are often
+    # derived from the same scan — Spark's ambiguity check would reject
+    # unqualified attribute references)
+    l = left.withColumn(
+        "__rj_blk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / s).cast("long"),
+                F.floor(F.col(hi) / s).cast("long"),
+            )
+        ),
+    ).alias("__rj_l")
+    r = right.withColumn(
+        "__rj_blk", F.floor(F.col(right_on) / s).cast("long")
+    ).alias("__rj_r")
+    lc = lambda c: F.col(f"__rj_l.`{c}`")  # noqa: E731
+    rc = lambda c: F.col(f"__rj_r.`{c}`")  # noqa: E731
+    cond = lc("__rj_blk") == rc("__rj_blk")
+    for c in by:
+        cond = cond & lc(c).eqNullSafe(rc(c))
+    cond = cond & (rc(right_on) >= lc(lo)) & (rc(right_on) <= lc(hi))
+    joined = l.join(r, cond, "inner")
+    return joined.select(
+        *[lc(c).alias(c) for c in left.columns],
+        *[rc(c).alias(c) for c in right.columns if c not in by],
+    )
