@@ -36,6 +36,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: Optional[Column | int | float] = None,
     suffix: str = "_right",
+    block_size: Optional[int | float] = None,
 ) -> DataFrame:
     """pandas.merge_asof semantics on Spark DataFrames.
 
@@ -50,8 +51,15 @@ def asof_join(
 
     One shuffle on ``by`` (plus the window sort); both inputs are scanned
     once. 100 TB note: skew = rows per ``by`` group, identical to any
-    per-series window in this engine — salt or split pathological keys
-    upstream, the join itself adds nothing quadratic.
+    per-series window in this engine. For a KEYLESS as-of (or one giant
+    key) that would funnel every row through a single window partition,
+    pass ``block_size`` (numeric ``on`` only): rows bucket into
+    ``floor(on / block_size)`` time blocks, the running match is computed
+    per (by, block) in parallel, and block boundaries are stitched with a
+    carry-in frame of ONE row per non-empty block (the last right payload
+    of each block, windowed over the tiny block spine and broadcast back)
+    — bit-identical results at any block_size, same blocked philosophy as
+    ``range_join``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -97,17 +105,20 @@ def asof_join(
         order = [F.col(on).asc(), tag.asc()]
     else:
         order = [F.col(on).desc(), tag.asc()]
-    w = (
-        Window.partitionBy(*by).orderBy(*order)
-        if by
-        else Window.partitionBy(F.lit(0)).orderBy(*order)
-    )
-    matched = u.withColumn(
-        "__asof_m",
-        F.last("__asof_p", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).filter(F.col("__asof_t") == 1)
+    if block_size is not None:
+        matched = _asof_blocked(u, on, by, order, direction, block_size)
+    else:
+        w = (
+            Window.partitionBy(*by).orderBy(*order)
+            if by
+            else Window.partitionBy(F.lit(0)).orderBy(*order)
+        )
+        matched = u.withColumn(
+            "__asof_m",
+            F.last("__asof_p", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).filter(F.col("__asof_t") == 1)
 
     m = F.col("__asof_m")
     if tolerance is not None:
@@ -122,6 +133,64 @@ def asof_join(
         m[out_name[c]].alias(out_name[c]) for c in val_cols
     ]
     return matched.select(*out_cols)
+
+
+def _asof_blocked(u, on, by, order, direction, block_size):
+    """Blocked as-of scan: running match per (by, time-block) in parallel +
+    a carry-in stitched across blocks.
+
+    The carry frame is ONE row per non-empty (by, block): the extreme right
+    payload of the block (max_by for backward, min_by for forward — any
+    carried match is from a strictly different block, so within-block
+    exact-match ordering never applies to it). Blocks with no right rows
+    inherit through the running last over the tiny block spine. The spine
+    join back is broadcast; null by-keys join null-safe."""
+    u_cols = list(u.columns)
+    s = F.lit(block_size)
+    blk = F.floor(F.col(on) / s).cast("long")
+    u = u.withColumn("__asof_b", blk)
+    w_in = Window.partitionBy(*by, "__asof_b").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = u.withColumn("__asof_run", F.last("__asof_p", ignorenulls=True).over(w_in))
+
+    # spine + per-block extreme in ONE aggregation: the composite ordering
+    # key ranks every right row above every left row, so blocks with any
+    # right row yield its extreme payload and left-only blocks yield a null
+    # payload (their carry comes from the running last below). No
+    # spine-join, no shared-lineage self-join hazard.
+    if direction == "backward":
+        key = F.struct((F.col("__asof_t") == 0).cast("int"), F.col(on))
+        spine = u.groupBy(*by, "__asof_b").agg(
+            F.max_by("__asof_p", key).alias("__asof_e")
+        )
+    else:
+        key = F.struct((F.col("__asof_t") == 1).cast("int"), F.col(on))
+        spine = u.groupBy(*by, "__asof_b").agg(
+            F.min_by("__asof_p", key).alias("__asof_e")
+        )
+    blk_order = (
+        F.col("__asof_b").asc() if direction == "backward" else F.col("__asof_b").desc()
+    )
+    w_sp = (
+        Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
+    ).orderBy(blk_order).rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        spine.withColumn("__asof_c", F.last("__asof_e", ignorenulls=True).over(w_sp))
+        .select(*by, "__asof_b", "__asof_c")
+        .alias("__asof_sp")
+    )
+    ua = u.alias("__asof_u")
+    cond = F.col("__asof_u.__asof_b") == F.col("__asof_sp.__asof_b")
+    for c in by:
+        cond = cond & F.col(f"__asof_u.`{c}`").eqNullSafe(F.col(f"__asof_sp.`{c}`"))
+    joined = ua.join(F.broadcast(carry), cond, "left")
+    return joined.filter(F.col("__asof_t") == 1).select(
+        *[F.col(f"__asof_u.`{c}`").alias(c) for c in u_cols],
+        F.coalesce(
+            F.col("__asof_u.__asof_run"), F.col("__asof_sp.__asof_c")
+        ).alias("__asof_m"),
+    )
 
 
 def range_join(

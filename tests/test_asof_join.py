@@ -57,10 +57,14 @@ def test_backward_matches_duckdb_asof(spark, feeds):
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("exact", [True, False])
 @pytest.mark.parametrize("tolerance", [None, 25])
-def test_matrix_matches_pandas_merge_asof(spark, feeds, direction, exact, tolerance):
+@pytest.mark.parametrize("block_size", [None, 40])
+def test_matrix_matches_pandas_merge_asof(
+    spark, feeds, direction, exact, tolerance, block_size
+):
     ldf, rdf, lp, rp = feeds
     got = _spark_result(
-        ldf, rdf, direction=direction, allow_exact_matches=exact, tolerance=tolerance
+        ldf, rdf, direction=direction, allow_exact_matches=exact,
+        tolerance=tolerance, block_size=block_size,
     )
     exp = pd.merge_asof(
         lp.sort_values("ts"),
@@ -147,6 +151,25 @@ def test_range_join_plan_is_equi_not_nested_loop(spark, feeds):
                      by=["sym"], block_size=20)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("block_size", [3, 100, 10**6])
+def test_keyless_blocked_asof_equals_single_window(spark, feeds, block_size):
+    """block_size is a COST knob, never a results knob: the keyless blocked
+    scan (parallel per-time-block + carry stitch) must equal the
+    single-partition window at every block size, including one block that
+    swallows everything and blocks so small most carry from a predecessor."""
+    ldf, rdf, *_ = feeds
+    base = asof_join(ldf.drop("sym"), rdf.drop("sym"), on="ts").toPandas()
+    blocked = asof_join(
+        ldf.drop("sym"), rdf.drop("sym"), on="ts", block_size=block_size
+    ).toPandas()
+    key = ["ts", "size"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        blocked.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
 
 
 def test_range_join_self_lineage(spark, feeds):
