@@ -608,11 +608,16 @@ class FeaturePlan:
         if not bucket:
             w = Window.partitionBy(F.lit(0)).orderBy(ts)
             return collapsed.withColumn(ord_name, F.row_number().over(w) - 1)
-        cal = collapsed.select(ts).distinct()
-        w = Window.partitionBy(F.lit(0)).orderBy(ts)
+        # cal derives from collapsed, so the self-join needs a renamed key
+        # (unaliased collapsed[ts]/cal[ts] refs are ambiguous to Spark).
+        cal_ts = "_mlfs_cal_ts"
+        cal = collapsed.select(F.col(ts).alias(cal_ts)).distinct()
+        w = Window.partitionBy(F.lit(0)).orderBy(cal_ts)
         cal = cal.withColumn(ord_name, F.row_number().over(w) - 1)
-        out = collapsed.join(F.broadcast(cal), collapsed[ts].eqNullSafe(cal[ts]), "left")
-        return out.drop(cal[ts])
+        out = collapsed.join(
+            F.broadcast(cal), F.col(ts).eqNullSafe(F.col(cal_ts)), "left"
+        )
+        return out.drop(cal_ts)
 
     def _join_back(self, df, right, bucket, join_col, key_cols, feat_names):
         """Null-safe (bucket, join_col) left join of collapsed features onto

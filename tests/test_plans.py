@@ -201,12 +201,19 @@ def test_pooled_agg_path_ordinal_stays_on_collapsed_frame(spark, panel):
     features join-back. 14 -> 10 jobs / 1.56 -> 0.98 s at sf0.1."""
     from mlforecast_spark.lag_transforms import RollingMean
 
-    for kwargs in ({"global_": True}, {"groupby": ["unique_id"]}):
+    # global_+partition_by (non-empty bucket, empty parent) additionally
+    # broadcast-joins the ranked DISTINCT calendar onto the collapsed frame
+    # (still no raw-frame scan), so it carries exactly TWO joins.
+    for kwargs, n_joins in (
+        ({"global_": True}, 1),
+        ({"groupby": ["unique_id"]}, 1),
+        ({"global_": True, "partition_by": ["unique_id"]}, 2),
+    ):
         registry = _parse_transforms([], {1: [RollingMean(window_size=7, **kwargs)]})
         feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
         plan = _plan(feats)
         joins = re.findall(r"(?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)
-        assert len(joins) == 1, (kwargs, joins, plan[:3000])
+        assert len(joins) == n_joins, (kwargs, joins, plan[:3000])
 
 
 def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):

@@ -116,6 +116,47 @@ def test_groupby_rolling_mean(spark, groupby_panel, duck, time_agg, fn):
     assert_frames_match(sdf, ddf)
 
 
+@pytest.mark.parametrize("time_agg", [None, "sum"])
+def test_global_partition_by(spark, partition_panel, duck, time_agg):
+    """global_ + partition_by: parent calendar is GLOBAL (all series), buckets
+    come from the dynamic column (`/root/reference/mlforecast/pooled.py:427-460`
+    scoping matrix). Regression test for the round-7 `_collapsed_ord`
+    ambiguous-self-join crash on the agg/time_agg fast path (ADVICE r7)."""
+    from mlforecast_spark.lag_transforms import RollingMean
+
+    sdf = _run(
+        partition_panel,
+        1,
+        RollingMean(
+            window_size=3, min_samples=1, global_=True, partition_by=["promo"],
+            time_agg=time_agg,
+        ),
+    )
+    if time_agg is None:
+        sql = (
+            "WITH base AS (SELECT unique_id, ds, y, promo,"
+            " DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM obs),"
+            " aggs AS (SELECT unique_id, ds, SUM(y) OVER w AS s, COUNT(y) OVER w AS c FROM base"
+            "  WINDOW w AS (PARTITION BY promo ORDER BY ord"
+            "   RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING))"
+            " SELECT unique_id, ds, CASE WHEN c >= 1 THEN s * 1.0 / c END AS feat FROM aggs"
+        )
+    else:
+        sql = (
+            "WITH base AS (SELECT unique_id, ds, y, promo,"
+            " DENSE_RANK() OVER (ORDER BY ds) - 1 AS ord FROM obs),"
+            " collapsed AS (SELECT promo, ord, SUM(y) AS y FROM base GROUP BY promo, ord),"
+            " aggs AS (SELECT promo, ord, SUM(y) OVER w AS s, COUNT(y) OVER w AS c FROM collapsed"
+            "  WINDOW w AS (PARTITION BY promo ORDER BY ord"
+            "   RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING))"
+            " SELECT b.unique_id, b.ds, CASE WHEN a.c >= 1 THEN a.s * 1.0 / a.c END AS feat"
+            " FROM base b LEFT JOIN aggs a"
+            " ON b.promo IS NOT DISTINCT FROM a.promo AND b.ord = a.ord"
+        )
+    ddf = _oracle(duck, partition_panel.toPandas(), sql)
+    assert_frames_match(sdf, ddf)
+
+
 def test_partition_by_with_null_bucket(spark, partition_panel, duck):
     """Null partition values form one bucket; ordinals keep parent-calendar
     holes (`/root/reference/mlforecast/pooled.py:427-460`)."""
