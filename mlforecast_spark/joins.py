@@ -21,10 +21,52 @@ form is the standard scale-out as-of (same plan family as sessionization).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _block_expr(on: str, dtype: str) -> Optional[Column]:
+    """Numeric blocking expression for the ``on`` column, or None when the
+    type has no natural numeric axis. Units: the column's own for numerics,
+    microseconds for timestamps, days for dates — ``block_size`` is
+    expressed in these units."""
+    dtype = dtype.lower()
+    if dtype in _NUMERIC_DTYPES or dtype.startswith("decimal"):
+        return F.col(on)
+    if dtype.startswith("timestamp"):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast maps NTZ onto the
+        # session zone — any monotonic mapping works for blocking
+        return F.unix_micros(F.col(on).cast("timestamp"))
+    if dtype == "date":
+        return F.unix_date(F.col(on))
+    return None
+
+
+def _derive_block_size(left, right, on, bexpr) -> Optional[float]:
+    """Auto block size for the keyless as-of: one tiny min/max aggregation
+    over the single ``on`` column of both inputs (the same sanctioned
+    derive-then-plan pattern as ``semantic_dedup``'s ``n_lists``), sized so
+    the observed range splits into ~8 blocks per core — enough parallelism
+    to spread the running-match scan, coarse enough that the carry spine
+    stays tiny. Returns None (single-window fallback) for empty inputs or a
+    degenerate (single-point) range."""
+    stats = (
+        left.select(bexpr.alias("_v"))
+        .unionByName(right.select(bexpr.alias("_v")))
+        .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+        .first()
+    )
+    if stats is None or stats["lo"] is None or stats["hi"] is None:
+        return None
+    span = float(stats["hi"]) - float(stats["lo"])
+    if span <= 0:
+        return None
+    n_blocks = max(left.sparkSession.sparkContext.defaultParallelism * 8, 64)
+    return max(span / n_blocks, 1e-9)
 
 
 def asof_join(
@@ -36,7 +78,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: Optional[Column | int | float] = None,
     suffix: str = "_right",
-    block_size: Optional[int | float] = None,
+    block_size: Union[int, float, None, str] = "auto",
 ) -> DataFrame:
     """pandas.merge_asof semantics on Spark DataFrames.
 
@@ -49,23 +91,51 @@ def asof_join(
     further away than the bound — rows keep their left columns, like
     pandas. Right columns arrive suffixed on name collisions.
 
+    Null ``on`` keys: pandas raises; here right rows with a null ``on``
+    are dropped (they can never be a nearest match) and left rows with a
+    null ``on`` pass through with null right columns — deterministic on
+    both the window and blocked paths. Ties among right rows at the same
+    (by, on) resolve like pandas.merge_asof on a sorted frame: the LAST
+    duplicate in scan order for ``backward``, the FIRST for ``forward``
+    (a per-row sequence id breaks the tie, so results are stable
+    run-to-run).
+
     One shuffle on ``by`` (plus the window sort); both inputs are scanned
     once. 100 TB note: skew = rows per ``by`` group, identical to any
-    per-series window in this engine. For a KEYLESS as-of (or one giant
-    key) that would funnel every row through a single window partition,
-    pass ``block_size`` (numeric ``on`` only): rows bucket into
-    ``floor(on / block_size)`` time blocks, the running match is computed
-    per (by, block) in parallel, and block boundaries are stitched with a
-    carry-in frame of ONE row per non-empty block (the last right payload
-    of each block, windowed over the tiny block spine and broadcast back)
-    — bit-identical results at any block_size, same blocked philosophy as
-    ``range_join``.
+    per-series window in this engine. A KEYLESS as-of (``by=()``) would
+    funnel every row through one window partition, so BY DEFAULT
+    (``block_size='auto'``) it derives a block size from the observed
+    ``on`` range (one tiny min/max aggregation) and runs the BLOCKED scan:
+    rows bucket into time blocks of ``block_size`` (numeric ``on`` units;
+    microseconds for timestamps, days for dates), the running match is
+    computed per (by, block) in parallel, and block boundaries are
+    stitched with a carry-in frame of ONE row per non-empty block (the
+    extreme right payload of each block, windowed over the tiny block
+    spine and broadcast back) — bit-identical results at any block size.
+    Pass an explicit ``block_size`` to tune it (also useful for a KEYED
+    join with one giant/skewed key), or ``block_size=None`` to force the
+    single-window plan (the only path for non-blockable ``on`` types).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = list(by)
     if on in by:
         raise ValueError(f"'on' column {on!r} cannot also be a 'by' key")
+    bexpr = _block_expr(on, dict(right.dtypes)[on])
+    # pandas rejects null merge keys; we drop them from the right (never a
+    # valid nearest match) so the running last can't smear a null-ts payload
+    right = right.filter(F.col(on).isNotNull())
+    if block_size == "auto":
+        block_size = (
+            _derive_block_size(left, right, on, bexpr)
+            if not by and bexpr is not None
+            else None
+        )
+    elif block_size is not None and bexpr is None:
+        raise ValueError(
+            f"block_size requires a numeric/timestamp/date 'on' column; "
+            f"{on!r} is {dict(right.dtypes)[on]}"
+        )
     val_cols = [c for c in right.columns if c != on and c not in by]
     if not val_cols:
         raise ValueError("right side has no value columns beyond the join keys")
@@ -84,11 +154,16 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias(on_right), *[F.col(c).alias(out_name[c]) for c in val_cols]
     )
-    r = right.select(*by, F.col(on), payload.alias("__asof_p"), F.lit(0).alias("__asof_t"))
+    # __asof_s: per-row sequence id on the right — the deterministic
+    # tiebreaker among right rows tied on (by, on). No shuffle; ids follow
+    # scan order, so "last/first duplicate" matches pandas on a sorted feed.
+    r = right.select(
+        *by, F.col(on), payload.alias("__asof_p"), F.lit(0).alias("__asof_t")
+    ).withColumn("__asof_s", F.monotonically_increasing_id())
     l = left.select(
         "*", F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
         F.lit(1).alias("__asof_t"),
-    )
+    ).withColumn("__asof_s", F.lit(None).cast("long"))
     # align schemas: right side gets nulls for the left-only columns
     for c in left.columns:
         if c not in by and c != on:
@@ -101,12 +176,16 @@ def asof_join(
     # left; backward+strict hides it, so left sorts first. forward mirrors
     # backward on the reversed axis.
     tag = F.col("__asof_t") if allow_exact_matches else (1 - F.col("__asof_t"))
+    # the seq tiebreaker only ever compares right rows against right rows
+    # (tags differ across sides): backward's running last must land on the
+    # LAST duplicate (seq asc), forward's on the FIRST (seq desc under the
+    # reversed axis)
     if direction == "backward":
-        order = [F.col(on).asc(), tag.asc()]
+        order = [F.col(on).asc(), tag.asc(), F.col("__asof_s").asc()]
     else:
-        order = [F.col(on).desc(), tag.asc()]
+        order = [F.col(on).desc(), tag.asc(), F.col("__asof_s").desc()]
     if block_size is not None:
-        matched = _asof_blocked(u, on, by, order, direction, block_size)
+        matched = _asof_blocked(u, on, by, order, direction, block_size, bexpr)
     else:
         w = (
             Window.partitionBy(*by).orderBy(*order)
@@ -120,22 +199,26 @@ def asof_join(
             ),
         ).filter(F.col("__asof_t") == 1)
 
-    m = F.col("__asof_m")
+    # a null-`on` left row has no position on the axis: null match (the
+    # forward window's nulls-last ordering would otherwise hand it the
+    # globally-last running payload)
+    valid = F.col(on).isNotNull()
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         gap = (
-            F.col(on) - m[on_right]
+            F.col(on) - F.col("__asof_m")[on_right]
             if direction == "backward"
-            else m[on_right] - F.col(on)
+            else F.col("__asof_m")[on_right] - F.col(on)
         )
-        m = F.when(gap <= tol, F.col("__asof_m"))
+        valid = valid & (gap <= tol)
+    m = F.when(valid, F.col("__asof_m"))
     out_cols = [F.col(c) for c in left.columns] + [
         m[out_name[c]].alias(out_name[c]) for c in val_cols
     ]
     return matched.select(*out_cols)
 
 
-def _asof_blocked(u, on, by, order, direction, block_size):
+def _asof_blocked(u, on, by, order, direction, block_size, bexpr):
     """Blocked as-of scan: running match per (by, time-block) in parallel +
     a carry-in stitched across blocks.
 
@@ -147,7 +230,7 @@ def _asof_blocked(u, on, by, order, direction, block_size):
     join back is broadcast; null by-keys join null-safe."""
     u_cols = list(u.columns)
     s = F.lit(block_size)
-    blk = F.floor(F.col(on) / s).cast("long")
+    blk = F.floor(bexpr / s).cast("long")
     u = u.withColumn("__asof_b", blk)
     w_in = Window.partitionBy(*by, "__asof_b").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -159,13 +242,20 @@ def _asof_blocked(u, on, by, order, direction, block_size):
     # right row yield its extreme payload and left-only blocks yield a null
     # payload (their carry comes from the running last below). No
     # spine-join, no shared-lineage self-join hazard.
+    # seq rides in the extreme key so tie resolution among duplicate right
+    # timestamps matches the window path: backward keeps the LAST duplicate
+    # (max seq), forward the FIRST (min seq)
     if direction == "backward":
-        key = F.struct((F.col("__asof_t") == 0).cast("int"), F.col(on))
+        key = F.struct(
+            (F.col("__asof_t") == 0).cast("int"), F.col(on), F.col("__asof_s")
+        )
         spine = u.groupBy(*by, "__asof_b").agg(
             F.max_by("__asof_p", key).alias("__asof_e")
         )
     else:
-        key = F.struct((F.col("__asof_t") == 1).cast("int"), F.col(on))
+        key = F.struct(
+            (F.col("__asof_t") == 1).cast("int"), F.col(on), F.col("__asof_s")
+        )
         spine = u.groupBy(*by, "__asof_b").agg(
             F.min_by("__asof_p", key).alias("__asof_e")
         )
@@ -240,12 +330,19 @@ def range_join(
     # qualified aliases keep the join self-join-safe (both sides are often
     # derived from the same scan — Spark's ambiguity check would reject
     # unqualified attribute references)
+    # inverted intervals (lo > hi) match nothing, but a bare sequence() would
+    # COUNT DOWN floor(lo/s)..floor(hi/s) — a huge candidate explosion the
+    # residual filter then discards; gate it so they explode to zero blocks
+    # (explode drops null arrays, preserving inner-join semantics)
     l = left.withColumn(
         "__rj_blk",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / s).cast("long"),
-                F.floor(F.col(hi) / s).cast("long"),
+            F.when(
+                F.col(lo) <= F.col(hi),
+                F.sequence(
+                    F.floor(F.col(lo) / s).cast("long"),
+                    F.floor(F.col(hi) / s).cast("long"),
+                ),
             )
         ),
     ).alias("__rj_l")

@@ -160,7 +160,7 @@ def test_keyless_blocked_asof_equals_single_window(spark, feeds, block_size):
     single-partition window at every block size, including one block that
     swallows everything and blocks so small most carry from a predecessor."""
     ldf, rdf, *_ = feeds
-    base = asof_join(ldf.drop("sym"), rdf.drop("sym"), on="ts").toPandas()
+    base = asof_join(ldf.drop("sym"), rdf.drop("sym"), on="ts", block_size=None).toPandas()
     blocked = asof_join(
         ldf.drop("sym"), rdf.drop("sym"), on="ts", block_size=block_size
     ).toPandas()
@@ -170,6 +170,111 @@ def test_keyless_blocked_asof_equals_single_window(spark, feeds, block_size):
         blocked.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_keyless_default_is_blocked_and_parallel(spark, feeds):
+    """SAFE BY DEFAULT: a keyless as-of (no ``by``) must not silently funnel
+    every row through one window partition. With the default
+    block_size='auto' the plan partitions the window by the derived time
+    block (many partitions), and the output is bit-identical to the forced
+    single-window plan — on a replicated feed large enough that blocking
+    matters."""
+    ldf, rdf, *_ = feeds
+    # replicate the feed 50x with shifted timestamps: one big keyless stream
+    reps = spark.range(50).select(F.col("id").alias("rep"))
+    big_l = ldf.drop("sym").crossJoin(reps).select(
+        (F.col("ts") + F.col("rep") * 500).alias("ts"), "size"
+    )
+    big_r = rdf.drop("sym").crossJoin(reps).select(
+        (F.col("ts") + F.col("rep") * 500).alias("ts"), "px"
+    )
+    auto = asof_join(big_l, big_r, on="ts")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    # the running-match window is partitioned by the derived block id, not a
+    # constant — that is what spreads the scan across tasks
+    assert "__asof_b" in plan, plan[:3000]
+    single = asof_join(big_l, big_r, on="ts", block_size=None).toPandas()
+    got = auto.toPandas()
+    key = ["ts", "size"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        single.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("block_size", [None, 3])
+def test_null_on_keys_match_pandas_contract(spark, direction, block_size):
+    """Null `on` rows: right-side nulls are dropped (never a nearest match),
+    left-side nulls pass through with null right columns — on BOTH the
+    window and blocked paths (pandas raises instead; this is the documented
+    lenient superset)."""
+    l = spark.createDataFrame(
+        [(None, 1.0), (5, 2.0), (20, 3.0)], "ts long, size double"
+    )
+    r = spark.createDataFrame(
+        [(None, 99.0), (4, 1.5), (10, 2.5)], "ts long, px double"
+    )
+    out = (
+        asof_join(l, r, on="ts", direction=direction, block_size=block_size)
+        .toPandas().sort_values("size").reset_index(drop=True)
+    )
+    assert pd.isna(out.loc[0, "px"])  # null-ts left row: no match
+    if direction == "backward":
+        assert out["px"].tolist()[1:] == [1.5, 2.5]
+    else:
+        assert out["px"].tolist()[1] == 2.5 and pd.isna(out.loc[2, "px"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("block_size", [None, 4])
+def test_duplicate_right_ties_match_pandas(spark, direction, block_size):
+    """Duplicate right rows at the same (by, on): pandas.merge_asof picks the
+    LAST duplicate in input order for backward and the FIRST for forward;
+    the seq tiebreaker reproduces that on both paths."""
+    lp = pd.DataFrame({"ts": [5, 10]})
+    rp = pd.DataFrame({"ts": [3, 3, 7, 7], "v": [1.0, 2.0, 3.0, 4.0]})
+    l = spark.createDataFrame(lp).coalesce(1)
+    r = spark.createDataFrame(rp).coalesce(1)
+    got = (
+        asof_join(l, r, on="ts", direction=direction, block_size=block_size)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(lp, rp, on="ts", direction=direction)
+    assert got["v"].equals(exp["v"]), (got["v"].tolist(), exp["v"].tolist())
+
+
+def test_blocked_timestamp_on(spark):
+    """block_size works for timestamp `on` columns (microsecond units), so
+    the keyless auto default covers time-typed feeds too."""
+    l = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 12:00:00",)], "ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [("2024-01-01 09:30:00", 1.0), ("2024-01-01 11:45:00", 2.0)],
+        "ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for bs in ["auto", 3600 * 10**6, None]:
+        out = (
+            asof_join(l, r, on="ts", block_size=bs)
+            .toPandas().sort_values("ts").reset_index(drop=True)
+        )
+        assert out["v"].tolist() == [1.0, 2.0], bs
+
+
+def test_range_join_inverted_interval_yields_no_candidates(spark):
+    """lo > hi matches nothing AND must not explode a descending block
+    sequence (wasted candidates); the guarded explode emits zero blocks."""
+    from mlforecast_spark.joins import range_join
+
+    w = spark.createDataFrame(
+        [("a", 100, 0), ("a", 0, 10)], "sym string, lo long, hi long"
+    )
+    r = spark.createDataFrame([("a", 5, 1.0)], "sym string, qts long, v double")
+    out = range_join(w, r, "lo", "hi", "qts", by=["sym"], block_size=5)
+    rows = out.toPandas()
+    assert len(rows) == 1 and rows.loc[0, "lo"] == 0
 
 
 def test_range_join_self_lineage(spark, feeds):
