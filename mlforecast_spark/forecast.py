@@ -479,6 +479,37 @@ class MLForecast:
         )
         return out.select(s.id_col, s.time_col)
 
+    def _align_exog_asof(self, X_df: DataFrame, h: int, statics: DataFrame) -> DataFrame:
+        """Snap an IRREGULAR exogenous feed onto the exact future grid.
+
+        Builds the ids × h-step grid from ``statics`` (respecting a
+        ``new_df`` warm-up) and backward-as-of joins ``X_df`` onto it per
+        series: each grid timestamp carries the latest exogenous row at or
+        before it — include the last known print (dated before the window)
+        in the feed to cover grid steps preceding the first in-window
+        print. The equi-join path would drop every feed row
+        that misses a grid step exactly (`tests/test_x_align.py` pins the
+        difference). One shuffle on the id key — same exchange the engines'
+        own (id, ds) join pays."""
+        from .joins import asof_join
+
+        s = self.schema_
+        ds_type = self.state_.schema[s.time_col].dataType
+        grid = (
+            statics.select(s.id_col, "_last_ds")
+            .select(
+                s.id_col,
+                "_last_ds",
+                F.explode(F.sequence(F.lit(1), F.lit(h))).alias("_step"),
+            )
+            .withColumn(
+                s.time_col,
+                time_plus(F.col("_last_ds"), self.freq, F.col("_step")).cast(ds_type),
+            )
+            .select(s.id_col, s.time_col)
+        )
+        return asof_join(grid, X_df, on=s.time_col, by=[s.id_col])
+
     def get_missing_future(self, h: int, X_df: DataFrame) -> DataFrame:
         """Expected future rows minus provided ones
         (`/root/reference/mlforecast/forecast.py:1445-1457`)."""
@@ -503,6 +534,7 @@ class MLForecast:
         engine: str = "spark",
         cogroup_buckets: Optional[int] = None,
         transfer_conformal=None,
+        x_align: str = "exact",
     ) -> DataFrame:
         """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
         from history each step — cheapest at short histories / local scale.
@@ -525,9 +557,23 @@ class MLForecast:
         mode, per-series features, no callbacks) and silently falls back
         to the loop otherwise — the refusal is a driver-side plan check,
         so 'auto' costs nothing at run time.
+
+        ``x_align``: how ``X_df`` rows map onto the future grid. 'exact'
+        (default, the reference's contract —
+        `/root/reference/mlforecast/core.py:1124-1170` assumes validated
+        gap-free grids) equi-joins on (id, ds): an exogenous row whose
+        timestamp is not exactly a grid step is silently dropped and the
+        feature arrives null. 'asof' aligns IRREGULAR feeds (macro prints,
+        sparse price changes, sensor calibrations) by as-of joining the
+        feed onto the exact future grid per series first (backward: each
+        grid step carries the most recent exogenous row at or before it),
+        then feeds the aligned frame to whichever engine runs — one extra
+        distributed join, identical plan downstream.
         """
         if engine not in ("spark", "cogroup", "auto"):
             raise ValueError("engine must be 'spark', 'cogroup' or 'auto'")
+        if x_align not in ("exact", "asof"):
+            raise ValueError(f"x_align must be 'exact' or 'asof', got {x_align!r}")
         if transfer_conformal is not None:
             # reference surface (`forecast.py:1459-1468`): intervals for a
             # low-history target panel, calibrated by transfer from this
@@ -574,6 +620,8 @@ class MLForecast:
         state, statics, tfms = self.state_, self.statics_, self.target_transforms
         if new_df is not None:
             state, statics, tfms = self._history_warmup(new_df)
+        if X_df is not None and x_align == "asof":
+            X_df = self._align_exog_asof(X_df, h, statics)
         if horizons is not None and getattr(self, "max_horizon_", None) is None:
             raise ValueError("`horizons` requires direct mode (fit with max_horizon)")
         cogroup_results = None
