@@ -194,6 +194,56 @@ def _text_profile_bm25_sql() -> str:
     )
 
 
+def _text_profile_quality_sql() -> str:
+    """doc_text_profile merged slot, round-8 extension: the bm25-profile
+    columns PLUS the Gopher quality gate of
+    operators/text.py::quality_filter — repetition signals (type/token,
+    top-token share, duplicate-bigram fraction), the ordered drop_reasons
+    list (comma-joined) and the keep flag, all at default thresholds.
+    Rules apply to the 6-dp-rounded stats on both engines, so the hash
+    gate covers the gate's formula end-to-end."""
+    rules = [
+        ("too_few_tokens", "p.n_tokens < 20"),
+        ("too_many_tokens", "p.n_tokens > 200000"),
+        ("punct_heavy", "p.punct_ratio > 0.25"),
+        ("tokens_too_short", "p.avg_token_len < 2.0"),
+        ("tokens_too_long", "p.avg_token_len > 12.0"),
+        ("repetitive_vocab", "r.type_token_ratio < 0.15"),
+        ("repetitive_bigrams", "r.dup_bigram_frac > 0.4"),
+    ]
+    cases = ", ".join(f"CASE WHEN {cond} THEN '{name}' END" for name, cond in rules)
+    return (
+        "WITH prof AS (" + _text_profile_bm25_sql() + "),"
+        " qlb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+        "  '\\s+'), t -> t <> '') AS toks FROM documents),"
+        " qlb2 AS (SELECT doc_id, toks, list_transform(toks[1:len(toks)-1],"
+        "  (x, i) -> x || ' ' || toks[i+1]) AS bgs FROM qlb),"
+        " qtok AS (SELECT doc_id, unnest(toks) AS tok FROM qlb2),"
+        " qbg AS (SELECT doc_id, unnest(bgs) AS bg FROM qlb2),"
+        " qtc AS (SELECT doc_id, tok, COUNT(*) AS c FROM qtok GROUP BY 1, 2),"
+        " qts AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types,"
+        "  MAX(c) AS topc FROM qtc GROUP BY 1),"
+        " qbc AS (SELECT doc_id, bg, COUNT(*) AS c FROM qbg GROUP BY 1, 2),"
+        " qbs AS (SELECT doc_id, SUM(c) AS nbg, COUNT(*) AS dbg FROM qbc GROUP BY 1),"
+        " qrep AS (SELECT d.doc_id,"
+        "  ROUND(CASE WHEN t.n > 0 THEN t.n_types * 1.0 / t.n ELSE 0.0 END, 6)"
+        "   AS type_token_ratio,"
+        "  ROUND(CASE WHEN t.n > 0 THEN t.topc * 1.0 / t.n ELSE 0.0 END, 6)"
+        "   AS top_token_frac,"
+        "  ROUND(CASE WHEN b.nbg > 0 THEN (b.nbg - b.dbg) * 1.0 / b.nbg ELSE 0.0 END, 6)"
+        "   AS dup_bigram_frac"
+        "  FROM documents d LEFT JOIN qts t USING (doc_id)"
+        "  LEFT JOIN qbs b USING (doc_id)),"
+        f" qgate AS (SELECT p.doc_id, r.type_token_ratio, r.top_token_frac,"
+        f"  r.dup_bigram_frac, list_filter([{cases}], x -> x IS NOT NULL) AS reasons"
+        "  FROM prof p JOIN qrep r USING (doc_id))"
+        " SELECT p.*, g.type_token_ratio, g.top_token_frac, g.dup_bigram_frac,"
+        "  COALESCE(array_to_string(g.reasons, ','), '') AS drop_reasons,"
+        "  len(g.reasons) = 0 AS keep"
+        " FROM prof p JOIN qgate g USING (doc_id)"
+    )
+
+
 def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None, quantize: bool = False):
     """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature)."""
 
@@ -629,15 +679,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         projection) PLUS Okapi BM25 scores for a fixed 3-term query — the
         retrieval-scoring path, hash-gated per doc (rounded to 6 dp; the
         per-doc sum spans ≤3 terms, so cross-engine reassociation noise
-        sits ~1e-16, ten orders below the rounding step). The bench line
-        stays pinned to the plain text_profile workload (bench.py)."""
-        from mlforecast_spark.operators.text import bm25_scores, text_profile
+        sits ~1e-16, ten orders below the rounding step) PLUS the full
+        Gopher quality gate (quality_filter: repetition signals, per-rule
+        drop reasons, keep flag) — the gate's formula is deterministic
+        pure expressions, so it hash-verifies end-to-end; only the
+        TRAINABLE classifier stays rows-only. The bench line stays pinned
+        to the plain text_profile workload (bench.py)."""
+        from mlforecast_spark.operators.text import (
+            bm25_scores,
+            quality_filter,
+            text_profile,
+        )
 
         docs = _docs(spark, sf)
         bm = bm25_scores(docs, _BM25_TERMS).select(
             "doc_id", F.round("bm25", 6).alias("bm25")
         )
-        return text_profile(docs).join(bm, "doc_id")
+        qf = quality_filter(docs).select(
+            "doc_id",
+            "type_token_ratio",
+            "top_token_frac",
+            "dup_bigram_frac",
+            F.array_join("drop_reasons", ",").alias("drop_reasons"),
+            "keep",
+        )
+        return text_profile(docs).join(bm, "doc_id").join(qf, "doc_id")
 
     q["doc_text_profile"] = doc_text_profile
 
@@ -1917,7 +1983,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # --- documents -----------------------------------------------------
-    o["doc_text_profile"] = _text_profile_bm25_sql()
+    o["doc_text_profile"] = _text_profile_quality_sql()
 
     o["dedup_exact"] = (
         "WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),"
