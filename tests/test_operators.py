@@ -101,7 +101,10 @@ def test_simhash_long_doc(spark):
     toks = big.selectExpr(
         "explode(split(trim(lower(text)), '\\\\s+')) AS tok"
     ).selectExpr("xxhash64(tok) AS h")
-    hashes = np.array([r["h"] for r in toks.collect()], dtype=np.uint64)
+    # xxhash64 returns SIGNED int64; reinterpret the bits as uint64 (a
+    # direct uint64 construction from negatives is a per-element numpy
+    # deprecation warning on its way to becoming an error)
+    hashes = np.array([r["h"] for r in toks.collect()], dtype=np.int64).view(np.uint64)
     fp = 0
     for i in range(63):
         ones = int(((hashes >> np.uint64(i)) & np.uint64(1)).sum())

@@ -76,6 +76,60 @@ def queries(spark, sf_dir):
     }
 
 
+CONTROL_SF = "/root/testdata/sf0.1"
+
+
+def _controls(spark, reps=2):
+    """Per-run machine-drift controls, both on the FIXED sf0.1 documents
+    table (drift detection must not scale with the bench SF):
+
+    - ``duckdb_quality_sql_sec``: DuckDB runs the quality-gate oracle SQL
+      (__spark_entry__._text_profile_quality_sql) — an independent engine's
+      clock on this box.
+    - ``spark_sentinel_sec``: a fixed scan+shuffle+aggregate Spark query —
+      the JVM/scheduler clock.
+
+    Round-over-round: if every pipeline family moves together WITH the
+    controls, it's the machine; if the families move and the controls
+    don't, it's the engine. (Added for the round-7 +23%/+47% sf0.1/sf1
+    drift that was uniform across untouched queries and could not be
+    adjudicated without a same-file baseline.)"""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    out = {}
+    if not os.path.isdir(CONTROL_SF):
+        return out
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{CONTROL_SF}/documents.parquet')"
+    )
+    sql = entry._text_profile_quality_sql()
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    out["duckdb_quality_sql_sec"] = round(best, 3)
+    docs = spark.read.parquet(f"{CONTROL_SF}/documents.parquet")
+    sentinel = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.sum(F.xxhash64("text").cast("double")).alias("h"),
+    )
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sentinel.collect()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    out["spark_sentinel_sec"] = round(best, 3)
+    return out
+
+
 def main():
     from mlforecast_spark.utils import get_spark
 
@@ -87,7 +141,9 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("pipeline-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    results = {}
+    control = _controls(spark)
+    print(json.dumps({"control": control}))
+    results = {"control": control}
     for sf_dir in sf_dirs:
         qs = queries(spark, sf_dir)
         # warm pass at the smallest SF available
