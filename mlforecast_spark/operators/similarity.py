@@ -236,9 +236,13 @@ class IVFIndex:
     for every query batch with :func:`ivf_search`; ``assigned`` written
     partitioned by ``list_id`` makes each probe a partition-pruned scan."""
 
-    def __init__(self, centroids: DataFrame, assigned: DataFrame):
+    def __init__(self, centroids: DataFrame, assigned: DataFrame, local_centers=None):
         self.centroids = centroids  # list_id int, center array<double>
         self.assigned = assigned  # vec_id, embedding, list_id
+        # (list_id, center) pairs already resident on the driver when the
+        # index was built in this session — lets the probe inline them
+        # without any collect job; a load()ed index leaves this None
+        self.local_centers = local_centers
 
     def save(self, path: str) -> None:
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -414,7 +418,7 @@ def build_ivf_index(
         cdf = vectors.sparkSession.createDataFrame(
             centers, "list_id int, center array<double>"
         )
-        return IVFIndex(cdf, assigned)
+        return IVFIndex(cdf, assigned, local_centers=centers)
 
     cap = max_train_points
     if cap is None:
@@ -446,7 +450,10 @@ def build_ivf_index(
     cdf = vectors.sparkSession.createDataFrame(
         centers, "list_id int, center array<double>"
     )
-    return IVFIndex(cdf, assigned)
+    return IVFIndex(cdf, assigned, local_centers=centers)
+
+
+_PROBE_LITERAL_MAX_CELLS = 262_144  # n_lists * dim guard for the literal plan
 
 
 def _centroid_probe(
@@ -455,15 +462,64 @@ def _centroid_probe(
     key_col: str,
     vec_col: str,
     nprobe: int,
+    local_centers=None,
 ) -> DataFrame:
-    """Attach each row's ``nprobe`` nearest centroid lists (broadcast
-    centroid cross-join + L2 rank, ties to the lower list id) — the shared
-    probe step of ivf_search / ivfpq_search / streaming list assignment.
-    Output: the input columns plus ``_list`` (one row per probed list)."""
+    """Attach each row's ``nprobe`` nearest centroid lists (L2 rank, ties
+    to the lower list id) — the shared probe step of ivf_search /
+    ivfpq_search / streaming list assignment. Output: the input columns
+    plus ``_list`` (one row per probed list).
+
+    Default plan: the centroid table is tiny by construction (the coarse
+    quantizer), so it is collected once and inlined as a LITERAL array of
+    (list_id, center) structs; per row the probe is then transform →
+    array_sort → slice — a pure projection, ZERO shuffles (struct sort
+    order gives the (distance, list_id) tiebreak for free). This replaced
+    a broadcast cross-join + per-key row_number window, whose exchange
+    re-shuffled the ENTIRE probed frame by key — on a corpus-sized frame
+    that is a full extra shuffle, and even on a query batch it cost
+    2 AQE-materialized jobs per search. Very large quantizers
+    (``n_lists * dim`` > ~262k cells, where an inline literal would bloat
+    the plan tree) keep the join+window fallback."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if local_centers is not None:
+        rows = [{"list_id": l, "center": c} for l, c in local_centers]
+        n_cells = sum(len(r["center"]) for r in rows)
+    else:
+        stats = centroids.select(F.sum(F.size("center")).alias("cells")).first()
+        n_cells = int(stats["cells"] or 0)
+        rows = (
+            centroids.select("list_id", "center").collect()
+            if 0 < n_cells <= _PROBE_LITERAL_MAX_CELLS
+            else []
+        )
+    if 0 < n_cells <= _PROBE_LITERAL_MAX_CELLS:
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["list_id"])).alias("l"),
+                    F.array(*[F.lit(float(x)) for x in r["center"]]).alias("c"),
+                )
+                for r in sorted(rows, key=lambda r: int(r["list_id"]))
+            ]
+        )
+        dists = F.transform(
+            carr,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(vd, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                s["l"].alias("l"),
+            ),
+        )
+        top = F.slice(F.array_sort(dists), 1, nprobe)
+        return df.withColumn(
+            "_list", F.explode(F.transform(top, lambda s: s["l"]))
+        )
     cdf = centroids.select(
         F.col("list_id").alias("_list"), F.col("center").alias("_center")
     )
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     diff = F.zip_with(vd, F.col("_center"), lambda a, b: (a - b) * (a - b))
     dist = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
     w = Window.partitionBy(key_col).orderBy(dist.asc(), F.col("_list"))
@@ -508,7 +564,8 @@ def ivf_search(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     probes = _centroid_probe(
-        q, index.centroids, "query_id", "_qv", nprobe
+        q, index.centroids, "query_id", "_qv", nprobe,
+        local_centers=getattr(index, "local_centers", None),
     ).select("query_id", "_qv", "_list")
 
     id_type = dict(q.dtypes)["query_id"]
@@ -1141,7 +1198,8 @@ def ivfpq_search(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     probes = _centroid_probe(
-        q, ivf.centroids, "query_id", "_qv", nprobe
+        q, ivf.centroids, "query_id", "_qv", nprobe,
+        local_centers=getattr(ivf, "local_centers", None),
     ).select("query_id", "_list")
     # codes meet their list ids in a shuffled equi-join (never broadcasting
     # the corpus-sized id set), then only the probed lists survive
