@@ -83,9 +83,11 @@ def asof_join(
     """pandas.merge_asof semantics on Spark DataFrames.
 
     For each left row, attach the single right row with the nearest ``on``
-    value at-or-before it (``direction='backward'``, the default) or
-    at-or-after it (``'forward'``), matching within ``by`` groups.
-    ``allow_exact_matches=False`` makes the match strictly before/after.
+    value at-or-before it (``direction='backward'``, the default),
+    at-or-after it (``'forward'``), or closest in either direction
+    (``'nearest'`` — pandas tie rule: equidistant resolves backward),
+    matching within ``by`` groups. ``allow_exact_matches=False`` makes the
+    match strictly before/after (both bounds, for nearest).
     ``tolerance`` (same units as ``on``: a number for numeric/long columns,
     or e.g. ``F.expr("INTERVAL 1 HOUR")`` for timestamps) nulls out matches
     further away than the bound — rows keep their left columns, like
@@ -116,8 +118,10 @@ def asof_join(
     join with one giant/skewed key), or ``block_size=None`` to force the
     single-window plan (the only path for non-blockable ``on`` types).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     by = list(by)
     if on in by:
         raise ValueError(f"'on' column {on!r} cannot also be a 'by' key")
@@ -171,45 +175,72 @@ def asof_join(
     r = r.select(*l.columns)
     u = l.unionByName(r)
 
-    # ordering encodes exact-match semantics: backward+allow_exact wants the
-    # right row visible at an equal timestamp, so right (tag 0) sorts before
-    # left; backward+strict hides it, so left sorts first. forward mirrors
-    # backward on the reversed axis.
-    tag = F.col("__asof_t") if allow_exact_matches else (1 - F.col("__asof_t"))
-    # the seq tiebreaker only ever compares right rows against right rows
-    # (tags differ across sides): backward's running last must land on the
-    # LAST duplicate (seq asc), forward's on the FIRST (seq desc under the
-    # reversed axis)
-    if direction == "backward":
-        order = [F.col(on).asc(), tag.asc(), F.col("__asof_s").asc()]
-    else:
-        order = [F.col(on).desc(), tag.asc(), F.col("__asof_s").desc()]
-    if block_size is not None:
-        matched = _asof_blocked(u, on, by, order, direction, block_size, bexpr)
-    else:
-        w = (
-            Window.partitionBy(*by).orderBy(*order)
-            if by
-            else Window.partitionBy(F.lit(0)).orderBy(*order)
-        )
-        matched = u.withColumn(
-            "__asof_m",
-            F.last("__asof_p", ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        ).filter(F.col("__asof_t") == 1)
+    # both sides share ONE ascending ordering axis (so 'nearest' costs one
+    # shuffle, not two): the backward match is a running LAST over the
+    # preceding frame, the forward match a running FIRST over the following
+    # frame. The second sort key encodes exact-match semantics per side —
+    # backward+allow_exact needs the equal-ts right row visible in the
+    # preceding frame (right sorts before left), forward+allow_exact needs
+    # it in the following frame (right sorts after left); strict flips
+    # each. The seq tiebreaker only ever compares right rows against right
+    # rows (the side keys differ across tags): both frames land on the
+    # pandas duplicate — LAST in scan order for backward (last of seq asc
+    # in the preceding frame), FIRST for forward (first in the following).
+    sides = ["backward", "forward"] if direction == "nearest" else [direction]
+    t = F.col("__asof_t")
 
-    # a null-`on` left row has no position on the axis: null match (the
-    # forward window's nulls-last ordering would otherwise hand it the
-    # globally-last running payload)
-    valid = F.col(on).isNotNull()
-    if tolerance is not None:
-        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+    def _order(side):
+        if side == "backward":
+            k2 = t if allow_exact_matches else (1 - t)
+        else:
+            k2 = (1 - t) if allow_exact_matches else t
+        return [F.col(on).asc(), k2.asc(), F.col("__asof_s").asc()]
+
+    if block_size is not None:
+        matched = _asof_blocked(u, on, by, _order, sides, block_size, bexpr)
+    else:
+        base = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
+        for side in sides:
+            w = base.orderBy(*_order(side))
+            if side == "backward":
+                expr = F.last("__asof_p", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            else:
+                expr = F.first("__asof_p", ignorenulls=True).over(
+                    w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                )
+            u = u.withColumn(f"__asof_m_{side}", expr)
+        matched = u.filter(F.col("__asof_t") == 1)
+
+    if direction == "nearest":
+        mb, mf = F.col("__asof_m_backward"), F.col("__asof_m_forward")
+        db = F.col(on) - mb[on_right]
+        df_ = mf[on_right] - F.col(on)
+        # pandas tie rule: equidistant -> backward; exact matches arrive via
+        # the backward side (distance 0 is unbeatable)
+        chosen = F.when(
+            mb.isNotNull() & (mf.isNull() | (db <= df_)), mb
+        ).otherwise(mf)
+        matched = matched.withColumn("__asof_m", chosen)
+        gap = F.when(
+            F.col("__asof_m")[on_right] <= F.col(on),
+            F.col(on) - F.col("__asof_m")[on_right],
+        ).otherwise(F.col("__asof_m")[on_right] - F.col(on))
+    else:
+        matched = matched.withColumn("__asof_m", F.col(f"__asof_m_{direction}"))
         gap = (
             F.col(on) - F.col("__asof_m")[on_right]
             if direction == "backward"
             else F.col("__asof_m")[on_right] - F.col(on)
         )
+
+    # a null-`on` left row has no position on the axis: null match (the
+    # forward side's nulls-last position would otherwise hand it the
+    # globally-last running payload)
+    valid = F.col(on).isNotNull()
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         valid = valid & (gap <= tol)
     m = F.when(valid, F.col("__asof_m"))
     out_cols = [F.col(c) for c in left.columns] + [
@@ -218,58 +249,69 @@ def asof_join(
     return matched.select(*out_cols)
 
 
-def _asof_blocked(u, on, by, order, direction, block_size, bexpr):
+def _asof_blocked(u, on, by, order_fn, sides, block_size, bexpr):
     """Blocked as-of scan: running match per (by, time-block) in parallel +
-    a carry-in stitched across blocks.
+    a carry-in stitched across blocks, computed for each requested side
+    ('backward' / 'forward' / both for nearest) in ONE pass — one in-block
+    window per side over the same (by, block) partitioning, one spine
+    aggregation carrying both extremes, one broadcast join back.
 
     The carry frame is ONE row per non-empty (by, block): the extreme right
-    payload of the block (max_by for backward, min_by for forward — any
-    carried match is from a strictly different block, so within-block
-    exact-match ordering never applies to it). Blocks with no right rows
-    inherit through the running last over the tiny block spine. The spine
-    join back is broadcast; null by-keys join null-safe."""
+    payload of the block per side (max_by for backward, min_by for forward
+    — any carried match is from a strictly different block, so within-block
+    exact-match ordering never applies to it; seq rides in the extreme key
+    so duplicate-timestamp ties match the window path: LAST duplicate for
+    backward, FIRST for forward). Blocks with no right rows inherit through
+    the running last/first over the tiny block spine. The spine join back
+    is broadcast; null by-keys join null-safe."""
     u_cols = list(u.columns)
     s = F.lit(block_size)
     blk = F.floor(bexpr / s).cast("long")
     u = u.withColumn("__asof_b", blk)
-    w_in = Window.partitionBy(*by, "__asof_b").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    u = u.withColumn("__asof_run", F.last("__asof_p", ignorenulls=True).over(w_in))
+    for side in sides:
+        w_in = Window.partitionBy(*by, "__asof_b").orderBy(*order_fn(side))
+        if side == "backward":
+            expr = F.last("__asof_p", ignorenulls=True).over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            expr = F.first("__asof_p", ignorenulls=True).over(
+                w_in.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        u = u.withColumn(f"__asof_run_{side}", expr)
 
-    # spine + per-block extreme in ONE aggregation: the composite ordering
-    # key ranks every right row above every left row, so blocks with any
-    # right row yield its extreme payload and left-only blocks yield a null
-    # payload (their carry comes from the running last below). No
-    # spine-join, no shared-lineage self-join hazard.
-    # seq rides in the extreme key so tie resolution among duplicate right
-    # timestamps matches the window path: backward keeps the LAST duplicate
-    # (max seq), forward the FIRST (min seq)
-    if direction == "backward":
-        key = F.struct(
+    # spine + per-block extremes in ONE aggregation: the composite key ranks
+    # every right row above every left row, so blocks with any right row
+    # yield its extreme payload and left-only blocks yield a null payload
+    # (their carry comes from the running scan below). No spine-join, no
+    # shared-lineage self-join hazard.
+    aggs = []
+    if "backward" in sides:
+        key_b = F.struct(
             (F.col("__asof_t") == 0).cast("int"), F.col(on), F.col("__asof_s")
         )
-        spine = u.groupBy(*by, "__asof_b").agg(
-            F.max_by("__asof_p", key).alias("__asof_e")
-        )
-    else:
-        key = F.struct(
+        aggs.append(F.max_by("__asof_p", key_b).alias("__asof_e_backward"))
+    if "forward" in sides:
+        key_f = F.struct(
             (F.col("__asof_t") == 1).cast("int"), F.col(on), F.col("__asof_s")
         )
-        spine = u.groupBy(*by, "__asof_b").agg(
-            F.min_by("__asof_p", key).alias("__asof_e")
-        )
-    blk_order = (
-        F.col("__asof_b").asc() if direction == "backward" else F.col("__asof_b").desc()
-    )
+        aggs.append(F.min_by("__asof_p", key_f).alias("__asof_e_forward"))
+    spine = u.groupBy(*by, "__asof_b").agg(*aggs)
     w_sp = (
         Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
-    ).orderBy(blk_order).rowsBetween(Window.unboundedPreceding, -1)
-    carry = (
-        spine.withColumn("__asof_c", F.last("__asof_e", ignorenulls=True).over(w_sp))
-        .select(*by, "__asof_b", "__asof_c")
-        .alias("__asof_sp")
-    )
+    ).orderBy(F.col("__asof_b").asc())
+    carry_cols = []
+    for side in sides:
+        if side == "backward":
+            c = F.last(f"__asof_e_{side}", ignorenulls=True).over(
+                w_sp.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        else:
+            c = F.first(f"__asof_e_{side}", ignorenulls=True).over(
+                w_sp.rowsBetween(1, Window.unboundedFollowing)
+            )
+        carry_cols.append(c.alias(f"__asof_c_{side}"))
+    carry = spine.select(*by, "__asof_b", *carry_cols).alias("__asof_sp")
     ua = u.alias("__asof_u")
     cond = F.col("__asof_u.__asof_b") == F.col("__asof_sp.__asof_b")
     for c in by:
@@ -277,9 +319,13 @@ def _asof_blocked(u, on, by, order, direction, block_size, bexpr):
     joined = ua.join(F.broadcast(carry), cond, "left")
     return joined.filter(F.col("__asof_t") == 1).select(
         *[F.col(f"__asof_u.`{c}`").alias(c) for c in u_cols],
-        F.coalesce(
-            F.col("__asof_u.__asof_run"), F.col("__asof_sp.__asof_c")
-        ).alias("__asof_m"),
+        *[
+            F.coalesce(
+                F.col(f"__asof_u.__asof_run_{side}"),
+                F.col(f"__asof_sp.__asof_c_{side}"),
+            ).alias(f"__asof_m_{side}")
+            for side in sides
+        ],
     )
 
 

@@ -54,7 +54,7 @@ def test_backward_matches_duckdb_asof(spark, feeds):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("exact", [True, False])
 @pytest.mark.parametrize("tolerance", [None, 25])
 @pytest.mark.parametrize("block_size", [None, 40])
@@ -104,7 +104,7 @@ def test_collision_suffix_and_validation(spark, feeds):
     out = asof_join(ldf, rdf.withColumnRenamed("px", "size"), on="ts", by=["sym"])
     assert "size_right" in out.columns
     with pytest.raises(ValueError, match="direction"):
-        asof_join(ldf, rdf, direction="nearest")
+        asof_join(ldf, rdf, direction="sideways")
     with pytest.raises(ValueError, match="value columns"):
         asof_join(ldf, rdf.select("sym", "ts"), on="ts", by=["sym"])
 
@@ -203,7 +203,7 @@ def test_keyless_default_is_blocked_and_parallel(spark, feeds):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("block_size", [None, 3])
 def test_null_on_keys_match_pandas_contract(spark, direction, block_size):
     """Null `on` rows: right-side nulls are dropped (never a nearest match),
@@ -221,13 +221,13 @@ def test_null_on_keys_match_pandas_contract(spark, direction, block_size):
         .toPandas().sort_values("size").reset_index(drop=True)
     )
     assert pd.isna(out.loc[0, "px"])  # null-ts left row: no match
-    if direction == "backward":
-        assert out["px"].tolist()[1:] == [1.5, 2.5]
-    else:
+    if direction == "forward":
         assert out["px"].tolist()[1] == 2.5 and pd.isna(out.loc[2, "px"])
+    else:  # backward and nearest agree on this fixture
+        assert out["px"].tolist()[1:] == [1.5, 2.5]
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("block_size", [None, 4])
 def test_duplicate_right_ties_match_pandas(spark, direction, block_size):
     """Duplicate right rows at the same (by, on): pandas.merge_asof picks the
