@@ -453,6 +453,75 @@ def stream_near_dedup(
     return writer.start()
 
 
+def stream_asof_enrich(
+    facts: DataFrame,
+    reference: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    on: str = "ts",
+    by: tuple = (),
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance=None,
+    suffix: str = "_right",
+    block_size="auto",
+    trigger_available_now: bool = True,
+):
+    """Enrich a streaming fact feed with the as-of row of a REFERENCE table
+    (trades with the prevailing quote, sensor readings with the latest
+    calibration). Structured Streaming's stream-static joins are equi-only,
+    so the as-of semantics run inside ``foreachBatch``: each micro-batch is
+    :func:`mlforecast_spark.joins.asof_join`-ed against ``reference`` and
+    written to ``output_path/batch_id=N`` with mode=overwrite — a replayed
+    batch replaces its own earlier partial write (the same idempotence
+    contract as :func:`stream_near_dedup`). ``reference`` may be a
+    DataFrame (its file listing is SNAPSHOTTED at plan time — fine for a
+    fixed table), a parquet path string, or a zero-arg callable returning a
+    DataFrame; the latter two are re-resolved per micro-batch, so a
+    slowly-changing dimension table that gets appended is picked up on the
+    next batch without restarting the query.
+
+    Scale notes: the per-batch cost is the as-of join's one shuffle on
+    ``by`` over (batch + reference); a keyless feed gets the blocked
+    parallel scan via ``block_size='auto'`` (the derive's tiny min/max
+    aggregation runs per batch — pass an explicit ``block_size`` to skip
+    it on hot paths). Batch input: returns the plain ``asof_join`` result
+    instead of starting a query. Streaming input returns the
+    ``StreamingQuery``."""
+    from .joins import asof_join
+
+    kwargs = dict(
+        on=on, by=by, direction=direction,
+        allow_exact_matches=allow_exact_matches, tolerance=tolerance,
+        suffix=suffix, block_size=block_size,
+    )
+    spark = facts.sparkSession
+
+    def _ref():
+        if callable(reference):
+            return reference()
+        if isinstance(reference, str):
+            return spark.read.parquet(reference)
+        return reference
+
+    if not facts.isStreaming:
+        return asof_join(facts, _ref(), **kwargs)
+
+    def process(batch: DataFrame, _batch_id: int):
+        if not batch.head(1):
+            return
+        asof_join(batch, _ref(), **kwargs).write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={_batch_id}"
+        )
+
+    writer = facts.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _dir_exists(spark, path: str) -> bool:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -189,3 +189,55 @@ def test_session_aggregate_gap_split(spark):
     assert u1["n_events"].tolist() == [2, 1]
     assert u1["y"].tolist() == [3.0, 3.0]
     assert len(out[out.user_id == "u2"]) == 1
+
+
+def test_stream_asof_enrich(spark, tmp_path):
+    """Stream-static as-of enrichment: each micro-batch of facts picks up
+    the prevailing reference row; a reference append is visible to the NEXT
+    batch without restarting; batch input degrades to plain asof_join."""
+    import glob
+    import os
+
+    import pandas as pd
+    from mlforecast_spark.streaming import stream_asof_enrich
+
+    src = str(tmp_path / "src")
+    ref = str(tmp_path / "ref")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 30, 2.0)], "sym string, ts long, px double"
+    ).coalesce(1).write.mode("overwrite").parquet(ref)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "sym string, ts long, size double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("sym string, ts long, size double").parquet(src)
+        q = stream_asof_enrich(stream, ref, out, ckpt, on="ts", by=("sym",))
+        q.awaitTermination(180)
+
+    run_batch([("a", 15, 100.0), ("a", 35, 200.0)])
+    got1 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    ).sort_values("ts")
+    assert got1["px"].tolist() == [1.0, 2.0]  # 15 -> print@10, 35 -> print@30
+
+    # reference gains a newer print; the NEXT batch sees it (path references
+    # are re-read per batch — a DataFrame reference would have snapshotted
+    # its file listing at plan time)
+    spark.createDataFrame(
+        [("a", 40, 3.0)], "sym string, ts long, px double"
+    ).coalesce(1).write.mode("append").parquet(ref)
+    run_batch([("a", 45, 300.0)])
+    got2 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/batch_id=*/*.parquet")]
+    ).sort_values("ts")
+    assert got2[got2.ts == 45]["px"].tolist() == [3.0]
+
+    # batch input: returns the join directly, no query machinery
+    facts = spark.createDataFrame([("a", 12, 1.0)], "sym string, ts long, size double")
+    direct = stream_asof_enrich(facts, spark.read.parquet(ref), out, ckpt, on="ts", by=("sym",))
+    assert direct.collect()[0]["px"] == 1.0
