@@ -80,6 +80,98 @@ def repartition_by_series(
     return df.repartition(F.col(id_col))
 
 
+def _zorder_bin_expr(col_name: str, dtype: str, boundaries) -> "F.Column":
+    """Equi-depth bin id (0..n_bins-1) for one z-order column: the count of
+    quantile boundaries strictly below the value — an O(n_bins) JVM
+    aggregate over a literal array, no shuffle. Nulls land in bin 0 (they
+    sort together at the low corner of the curve)."""
+    dtype = dtype.lower()
+    c = F.col(col_name)
+    if dtype.startswith("timestamp"):
+        c = F.unix_micros(c.cast("timestamp"))
+    elif dtype == "date":
+        c = F.unix_date(c)
+    if not boundaries:  # constant or all-null column: one bin
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    cnt = F.aggregate(
+        F.transform(arr, lambda b: (c.cast("double") > b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.coalesce(cnt, F.lit(0))
+
+
+def write_panel_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 64,
+    bits_per_col: int = 8,
+    mode: str = "error",
+) -> None:
+    """Z-order (Morton-curve) clustered Parquet write: files are clustered
+    on EVERY listed column at once, so parquet footer min/max statistics
+    prune scans filtered on ANY of them — the multi-dimensional layout a
+    date-partition or single-column sort cannot give (sorting by col A
+    leaves col B's per-file range at ~the global range; the space-filling
+    curve shrinks both). The lakehouse formats ship this as OPTIMIZE
+    ZORDER BY; plain Parquet gets the same effect from layout alone.
+
+    Shape: one sampled ``approxQuantile`` pass computes equi-depth bin
+    boundaries per column (equi-depth keeps files balanced under skew,
+    where linear min/max binning would pile everything into a few bins);
+    each row's bins interleave bitwise into one LONG Morton key (pure JVM
+    expressions), and the frame range-partitions + sorts on that key —
+    exactly one shuffle for the whole layout, any scale. Numeric,
+    timestamp and date columns only (quantile binning needs an ordered
+    numeric domain); up to 8 columns at 8 bits each.
+    """
+    cols = list(cols)
+    if not 1 <= len(cols) <= 8:
+        raise ValueError(f"z-order needs 1-8 columns, got {len(cols)}")
+    if bits_per_col * len(cols) > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits_per_col} bits exceeds the 63-bit key"
+        )
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"z-order columns not in frame: {missing}")
+    n_bins = 1 << bits_per_col
+    num = df
+    for c in cols:
+        dt = dtypes[c].lower()
+        if dt.startswith("timestamp"):
+            num = num.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
+        elif dt == "date":
+            num = num.withColumn(c, F.unix_date(F.col(c)))
+        elif dt not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not dt.startswith("decimal"):
+            raise ValueError(
+                f"z-order column {c!r} has unsupported type {dtypes[c]}"
+            )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    quantiles = num.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).approxQuantile(cols, probs, 0.001)
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        b = _zorder_bin_expr(c, dtypes[c], sorted(set(quantiles[i])))
+        for j in range(bits_per_col):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit.cast("long"), j * k + i)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     src_path: str,

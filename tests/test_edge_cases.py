@@ -75,3 +75,62 @@ def test_duplicate_model_names_resolved(spark, panel):
     mf.fit(panel)
     preds = mf.predict(2).toPandas()
     assert {"lr_a", "lr_b"} <= set(preds.columns)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """The z-order layout contract: per-file min/max ranges shrink on EVERY
+    clustered column (that's what parquet footer pruning needs), where a
+    single-column sort leaves the other column's per-file range ~global."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from mlforecast_spark.io import write_panel_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 100_000).alias("a"),
+        (F.xxhash64(F.col("id") + 1) % 100_000).alias("b"),
+    )
+
+    def avg_range(path, col):
+        spans, lo_all, hi_all = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                los.append(c.statistics.min)
+                his.append(c.statistics.max)
+            spans.append(max(his) - min(los))
+            lo_all = min(los) if lo_all is None else min(lo_all, min(los))
+            hi_all = max(his) if hi_all is None else max(hi_all, max(his))
+        return sum(spans) / len(spans), hi_all - lo_all
+
+    zpath = str(tmp_path / "z")
+    write_panel_zordered(df, zpath, ["a", "b"], num_files=16)
+    za, ga = avg_range(zpath, "a")
+    zb, gb = avg_range(zpath, "b")
+    # 16 files over an 8x8-bin 2-D curve: each file covers a fraction of
+    # BOTH axes (~the sqrt of the file fraction, not 1/16 — curve locality)
+    assert za < 0.6 * ga, (za, ga)
+    assert zb < 0.6 * gb, (zb, gb)
+
+    # contrast: a plain sort by 'a' leaves b's per-file span at ~global
+    spath = str(tmp_path / "s")
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(spath)
+    sb, gsb = avg_range(spath, "b")
+    assert sb > 0.9 * gsb, (sb, gsb)
+
+
+def test_zorder_write_validation(spark, tmp_path):
+    from mlforecast_spark.io import write_panel_zordered
+
+    df = spark.range(10).select(F.col("id").alias("a"), F.lit("x").alias("s"))
+    with pytest.raises(ValueError, match="unsupported type"):
+        write_panel_zordered(df, str(tmp_path / "x"), ["a", "s"])
+    with pytest.raises(ValueError, match="not in frame"):
+        write_panel_zordered(df, str(tmp_path / "y"), ["nope"])
