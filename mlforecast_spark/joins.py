@@ -337,6 +337,7 @@ def range_join(
     right_on: str,
     by: Sequence[str] = (),
     block_size: int | float = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Interval-containment join: pair every left row with the right rows
     whose ``right_on`` value lies in ``[left.lo, left.hi]`` (inclusive),
@@ -356,11 +357,17 @@ def range_join(
     unrelated rows into shared buckets — both degrade linearly, never
     quadratically, and the join stays a shuffled hash/sort-merge on
     (by, block). Numeric or epoch-encoded ``on`` columns (cast timestamps
-    with ``F.unix_micros`` upstream). Inner semantics (each qualifying
-    (left, right) pair exactly once — a right row lives in exactly one
-    block, so the exploded join cannot duplicate pairs); anti/outer
-    variants compose from the result with a left_anti join.
+    with ``F.unix_micros`` upstream). ``how='inner'`` (default) emits each
+    qualifying (left, right) pair exactly once — a right row lives in
+    exactly one block, so the exploded join cannot duplicate pairs.
+    ``how='left'`` additionally keeps every left interval that matched
+    NOTHING (once, with null right columns — inverted intervals included);
+    ``how='left_anti'`` returns ONLY those unmatched left rows. Both are
+    the inner result plus/only a left_anti join on the left frame — one
+    extra semi-join-shaped pass, never a row explosion.
     """
+    if how not in ("inner", "left", "left_anti"):
+        raise ValueError(f"how must be 'inner', 'left' or 'left_anti', got {how!r}")
     if block_size <= 0:
         raise ValueError(f"block_size must be positive, got {block_size}")
     by = list(by)
@@ -402,7 +409,34 @@ def range_join(
         cond = cond & lc(c).eqNullSafe(rc(c))
     cond = cond & (rc(right_on) >= lc(lo)) & (rc(right_on) <= lc(hi))
     joined = l.join(r, cond, "inner")
-    return joined.select(
+    inner = joined.select(
         *[lc(c).alias(c) for c in left.columns],
         *[rc(c).alias(c) for c in right.columns if c not in by],
+    )
+    if how == "inner":
+        return inner
+    rtypes = dict(right.dtypes)
+    # null-safe anti join on RENAMED match keys: `on=` column-name equality
+    # is null-unsafe (a left row with any NULL column would never match and
+    # leak into `unmatched` even when it produced pairs), and unrenamed refs
+    # would be ambiguous (inner derives from left)
+    lcols = list(left.columns)
+    matched_keys = inner.select(
+        *[F.col(c).alias(f"__rj_m_{i}") for i, c in enumerate(lcols)]
+    ).dropDuplicates()
+    anti_cond = F.lit(True)
+    for i, c in enumerate(lcols):
+        anti_cond = anti_cond & F.col(c).eqNullSafe(F.col(f"__rj_m_{i}"))
+    unmatched = left.join(matched_keys, anti_cond, "left_anti")
+    if how == "left_anti":
+        return unmatched
+    return inner.unionByName(
+        unmatched.select(
+            "*",
+            *[
+                F.lit(None).cast(rtypes[c]).alias(c)
+                for c in right.columns
+                if c not in by
+            ],
+        )
     )

@@ -306,3 +306,34 @@ def test_plan_is_one_window_no_join(spark, feeds):
     )
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Window") == 1, plan[:2000]
+
+
+@pytest.mark.parametrize("how", ["left", "left_anti"])
+def test_range_join_left_and_anti(spark, how):
+    """how='left' keeps unmatched intervals once with null right columns
+    (inverted and null-keyed intervals included — the anti pass is
+    null-safe); how='left_anti' returns only those."""
+    from mlforecast_spark.joins import range_join
+
+    w = spark.createDataFrame(
+        [("a", 0, 10), ("a", 50, 60), ("a", 9, 3), (None, 0, 10)],
+        "sym string, lo long, hi long",
+    )
+    r = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 6, 2.0), (None, 7, 9.0)],
+        "sym string, qts long, v double",
+    )
+    out = range_join(w, r, "lo", "hi", "qts", by=["sym"], block_size=5, how=how)
+    rows = out.toPandas().sort_values(["lo", "qts"] if how == "left" else ["lo"])
+    if how == "left":
+        # [0,10] matches qts 5 and 6; null sym window matches the null-sym
+        # print (null-safe by key); [50,60] and inverted [9,3] unmatched
+        assert len(rows) == 5
+        matched = rows[rows.v.notna()]
+        assert sorted(matched.v.tolist()) == [1.0, 2.0, 9.0]
+        un = rows[rows.v.isna()]
+        assert sorted(un.lo.tolist()) == [9, 50]
+        assert un.qts.isna().all()
+    else:
+        assert sorted(rows.lo.tolist()) == [9, 50]
+        assert list(rows.columns) == ["sym", "lo", "hi"]
