@@ -79,6 +79,10 @@ def asof_join(
     tolerance: Optional[Column | int | float] = None,
     suffix: str = "_right",
     block_size: Union[int, float, None, str] = "auto",
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    left_by: Optional[Sequence[str]] = None,
+    right_by: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """pandas.merge_asof semantics on Spark DataFrames.
 
@@ -122,6 +126,34 @@ def asof_join(
         raise ValueError(
             f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
+    # pandas-parity kwargs for differently-named keys: rename the RIGHT
+    # side's columns to the left's names up front; everything downstream
+    # then sees one shared name per key (output uses the left names, like
+    # pandas.merge_asof)
+    if (left_on is None) != (right_on is None):
+        raise ValueError("left_on and right_on must be passed together")
+    if left_on is not None:
+        if left_on != right_on and left_on in right.columns:
+            raise ValueError(
+                f"cannot rename right {right_on!r} to {left_on!r}: the right "
+                "side already has a column with that name"
+            )
+        right = right.withColumnRenamed(right_on, left_on)
+        on = left_on
+    if (left_by is None) != (right_by is None):
+        raise ValueError("left_by and right_by must be passed together")
+    if left_by is not None:
+        left_by, right_by = list(left_by), list(right_by)
+        if len(left_by) != len(right_by):
+            raise ValueError("left_by and right_by must have the same length")
+        for lb, rb in zip(left_by, right_by):
+            if lb != rb and lb in right.columns:
+                raise ValueError(
+                    f"cannot rename right {rb!r} to {lb!r}: the right side "
+                    "already has a column with that name"
+                )
+            right = right.withColumnRenamed(rb, lb)
+        by = left_by
     by = list(by)
     if on in by:
         raise ValueError(f"'on' column {on!r} cannot also be a 'by' key")

@@ -337,3 +337,28 @@ def test_range_join_left_and_anti(spark, how):
     else:
         assert sorted(rows.lo.tolist()) == [9, 50]
         assert list(rows.columns) == ["sym", "lo", "hi"]
+
+
+def test_left_on_right_on_and_by_names(spark, feeds):
+    """pandas-parity kwargs for differently-named keys: output carries the
+    LEFT names, values identical to the shared-name call."""
+    ldf, rdf, lp, rp = feeds
+    got = asof_join(
+        ldf.withColumnRenamed("ts", "trade_ts").withColumnRenamed("sym", "ticker"),
+        rdf.withColumnRenamed("ts", "quote_ts"),
+        left_on="trade_ts", right_on="quote_ts",
+        left_by=["ticker"], right_by=["sym"],
+    ).toPandas().sort_values(["ticker", "trade_ts"]).reset_index(drop=True)
+    base = asof_join(ldf, rdf, on="ts", by=["sym"]).toPandas().sort_values(
+        ["sym", "ts"]
+    ).reset_index(drop=True)
+    assert list(got.columns) == ["ticker", "trade_ts", "size", "px"]
+    assert got["px"].equals(base["px"])
+    with pytest.raises(ValueError, match="together"):
+        asof_join(ldf, rdf, left_on="ts")
+    with pytest.raises(ValueError, match="already has a column"):
+        asof_join(
+            ldf.withColumnRenamed("ts", "t2"),
+            rdf.withColumn("t2", F.lit(0)),
+            left_on="t2", right_on="ts",
+        )
