@@ -362,3 +362,19 @@ def test_left_on_right_on_and_by_names(spark, feeds):
             rdf.withColumn("t2", F.lit(0)),
             left_on="t2", right_on="ts",
         )
+
+
+def test_nearest_plan_is_one_shuffle_two_windows(spark, feeds):
+    """The 'one shuffle even for nearest' contract: both directional
+    running matches share the partitioning, so the plan carries exactly
+    ONE hash exchange, two Window nodes, and no join."""
+    import re
+
+    ldf, rdf, *_ = feeds
+    plan = (
+        asof_join(ldf, rdf, on="ts", by=["sym"], direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Window") == 2, plan[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
