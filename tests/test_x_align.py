@@ -94,3 +94,23 @@ def test_x_align_validation(spark, exog_panel, sparse_future):
     mf = _fit(exog_panel)
     with pytest.raises(ValueError, match="x_align"):
         mf.predict(5, X_df=sparse_future, x_align="nearest")
+
+
+def test_asof_align_works_in_direct_and_cogroup_engines(spark, exog_panel, sparse_future):
+    """The alignment happens BEFORE engine dispatch, so direct mode and the
+    cogrouped rollout see the same exact-grid X_df; loop == cogroup."""
+    mf_direct = MLForecast(models=[LinearRegression()], freq="D", lags=[1])
+    mf_direct.fit(exog_panel, max_horizon=3)
+    d = mf_direct.predict(3, X_df=sparse_future, x_align="asof")
+    assert d.count() == 6
+    assert d.filter(F.col("LinearRegression").isNull()).count() == 0
+
+    mf = _fit(exog_panel)
+    loop = mf.predict(3, X_df=sparse_future, x_align="asof", engine="spark").toPandas()
+    cg = mf.predict(3, X_df=sparse_future, x_align="asof", engine="cogroup").toPandas()
+    key = ["unique_id", "ds"]
+    pd.testing.assert_frame_equal(
+        loop.sort_values(key).reset_index(drop=True),
+        cg.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
