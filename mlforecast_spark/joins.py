@@ -46,27 +46,39 @@ def _block_expr(on: str, dtype: str) -> Optional[Column]:
     return None
 
 
-def _derive_block_size(left, right, on, bexpr) -> Optional[float]:
-    """Auto block size for the keyless as-of: one tiny min/max aggregation
-    over the single ``on`` column of both inputs (the same sanctioned
-    derive-then-plan pattern as ``semantic_dedup``'s ``n_lists``), sized so
-    the observed range splits into ~8 blocks per core — enough parallelism
-    to spread the running-match scan, coarse enough that the carry spine
-    stays tiny. Returns None (single-window fallback) for empty inputs or a
-    degenerate (single-point) range."""
-    stats = (
-        left.select(bexpr.alias("_v"))
-        .unionByName(right.select(bexpr.alias("_v")))
-        .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
-        .first()
+def _derive_block_bins(left, right, on, bexpr) -> Optional[Column]:
+    """Auto blocking column for the keyless as-of: EQUI-DEPTH quantile bins
+    over the observed ``on`` values of both inputs (one sampled
+    ``approxQuantile`` pass — the same sanctioned derive-then-plan pattern
+    as ``semantic_dedup``'s ``n_lists``), ~8 bins per core. Equi-depth
+    (count of boundaries below the value, a monotone integer — exactly
+    what the carry stitch needs) instead of fixed-width ``floor(on / s)``
+    because a temporally skewed feed concentrates fixed-width blocks onto
+    a few ids and the scan collapses back toward one task; quantile bins
+    hold ~equal ROWS per block regardless of the distribution. Returns
+    None (single-window fallback) for empty inputs or a single-point
+    domain."""
+    n_bins = max(left.sparkSession.sparkContext.defaultParallelism * 8, 64)
+    u = left.select(bexpr.alias("_v")).unionByName(right.select(bexpr.alias("_v")))
+    probs = [i / n_bins for i in range(1, n_bins)]
+    qs = u.approxQuantile("_v", probs, 0.01)
+    boundaries = sorted(set(qs))
+    if len(boundaries) < 2:
+        return None
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bin_expr = F.aggregate(
+        F.transform(arr, lambda b: (bexpr.cast("double") > b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    if stats is None or stats["lo"] is None or stats["hi"] is None:
-        return None
-    span = float(stats["hi"]) - float(stats["lo"])
-    if span <= 0:
-        return None
-    n_blocks = max(left.sparkSession.sparkContext.defaultParallelism * 8, 64)
-    return max(span / n_blocks, 1e-9)
+    # one-element shuffle() barrier: the VALUE is unchanged, but the
+    # nondeterministic flag stops InferFiltersFromConstraints from tracing
+    # the bin back to the `on` column — with the raw HOF expression as a
+    # group key, a downstream IS NOT NULL filter on any output column made
+    # that rule manufacture a predicate referencing `on` and push it into
+    # the post-aggregation spine, where the attribute no longer exists
+    # ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] at execution)
+    return F.element_at(F.shuffle(F.array(bin_expr)), 1)
 
 
 def asof_join(
@@ -110,16 +122,19 @@ def asof_join(
     once. 100 TB note: skew = rows per ``by`` group, identical to any
     per-series window in this engine. A KEYLESS as-of (``by=()``) would
     funnel every row through one window partition, so BY DEFAULT
-    (``block_size='auto'``) it derives a block size from the observed
-    ``on`` range (one tiny min/max aggregation) and runs the BLOCKED scan:
-    rows bucket into time blocks of ``block_size`` (numeric ``on`` units;
-    microseconds for timestamps, days for dates), the running match is
-    computed per (by, block) in parallel, and block boundaries are
+    (``block_size='auto'``) it derives EQUI-DEPTH time blocks from the
+    observed ``on`` distribution (one sampled ``approxQuantile`` pass,
+    ~8 bins per core — equi-depth so a temporally SKEWED feed still
+    spreads ~equal rows per block, where fixed-width blocks would
+    collapse onto a few ids) and runs the BLOCKED scan: the running match
+    is computed per (by, block) in parallel, and block boundaries are
     stitched with a carry-in frame of ONE row per non-empty block (the
     extreme right payload of each block, windowed over the tiny block
-    spine and broadcast back) — bit-identical results at any block size.
-    Pass an explicit ``block_size`` to tune it (also useful for a KEYED
-    join with one giant/skewed key), or ``block_size=None`` to force the
+    spine and broadcast back) — bit-identical results at any blocking.
+    Pass an explicit numeric ``block_size`` for fixed-width
+    ``floor(on / block_size)`` blocks (numeric ``on`` units; microseconds
+    for timestamps, days for dates — also useful for a KEYED join with
+    one giant/skewed key), or ``block_size=None`` to force the
     single-window plan (the only path for non-blockable ``on`` types).
     """
     if direction not in ("backward", "forward", "nearest"):
@@ -161,12 +176,11 @@ def asof_join(
     # pandas rejects null merge keys; we drop them from the right (never a
     # valid nearest match) so the running last can't smear a null-ts payload
     right = right.filter(F.col(on).isNotNull())
+    blk_expr = None
     if block_size == "auto":
-        block_size = (
-            _derive_block_size(left, right, on, bexpr)
-            if not by and bexpr is not None
-            else None
-        )
+        block_size = None
+        if not by and bexpr is not None:
+            blk_expr = _derive_block_bins(left, right, on, bexpr)
     elif block_size is not None and bexpr is None:
         raise ValueError(
             f"block_size requires a numeric/timestamp/date 'on' column; "
@@ -228,8 +242,10 @@ def asof_join(
             k2 = (1 - t) if allow_exact_matches else t
         return [F.col(on).asc(), k2.asc(), F.col("__asof_s").asc()]
 
-    if block_size is not None:
-        matched = _asof_blocked(u, on, by, _order, sides, block_size, bexpr)
+    if block_size is not None and blk_expr is None:
+        blk_expr = F.floor(bexpr / F.lit(block_size)).cast("long")
+    if blk_expr is not None:
+        matched = _asof_blocked(u, on, by, _order, sides, blk_expr)
     else:
         base = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
         for side in sides:
@@ -281,7 +297,7 @@ def asof_join(
     return matched.select(*out_cols)
 
 
-def _asof_blocked(u, on, by, order_fn, sides, block_size, bexpr):
+def _asof_blocked(u, on, by, order_fn, sides, blk_expr):
     """Blocked as-of scan: running match per (by, time-block) in parallel +
     a carry-in stitched across blocks, computed for each requested side
     ('backward' / 'forward' / both for nearest) in ONE pass — one in-block
@@ -297,9 +313,7 @@ def _asof_blocked(u, on, by, order_fn, sides, block_size, bexpr):
     the running last/first over the tiny block spine. The spine join back
     is broadcast; null by-keys join null-safe."""
     u_cols = list(u.columns)
-    s = F.lit(block_size)
-    blk = F.floor(bexpr / s).cast("long")
-    u = u.withColumn("__asof_b", blk)
+    u = u.withColumn("__asof_b", blk_expr)
     for side in sides:
         w_in = Window.partitionBy(*by, "__asof_b").orderBy(*order_fn(side))
         if side == "backward":

@@ -378,3 +378,58 @@ def test_nearest_plan_is_one_shuffle_two_windows(spark, feeds):
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Window") == 2, plan[:2000]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
+def test_keyless_auto_spreads_skewed_feed(spark):
+    """Equi-depth auto blocking: a feed with 99% of rows in 1% of the time
+    range must still spread across many blocks (fixed-width blocks would
+    pile the mass into one id), and results must equal the single window."""
+    import pandas as pd
+
+    n = 4000
+    # heavy cluster in [0, 100), sparse tail out to 1e9
+    l = spark.range(n).select(
+        F.when(F.col("id") < n - 40, F.col("id") % 100)
+        .otherwise((F.col("id") - (n - 40)) * 25_000_000)
+        .cast("long").alias("ts"),
+        F.col("id").cast("double").alias("size"),
+    )
+    r = l.select((F.col("ts") - 1).alias("ts"), (F.col("size") * 2).alias("px"))
+    auto = asof_join(l, r, on="ts")
+    # blocks actually used by the mass: count distinct bins over the plan's
+    # block column by re-deriving it the same way the join does
+    from mlforecast_spark.joins import _block_expr, _derive_block_bins
+
+    bins = _derive_block_bins(l, r.filter(F.col("ts").isNotNull()), "ts",
+                              _block_expr("ts", "bigint"))
+    n_used = l.select(bins.alias("b")).distinct().count()
+    assert n_used >= 32, n_used  # fixed-width over [0, 1e9] would give ~1-2
+    single = asof_join(l, r, on="ts", block_size=None).toPandas()
+    got = auto.toPandas()
+    key = ["ts", "size"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        single.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_filter_on_match_column_after_auto_blocked_join(spark, feeds, direction):
+    """Regression: with the equi-depth auto bin as a raw group key, a
+    downstream IS NOT NULL filter on a match column made Spark's
+    InferFiltersFromConstraints manufacture a predicate referencing `on`
+    and push it into the post-aggregation spine —
+    [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] at execution. The shuffle()
+    barrier in _derive_block_bins pins the fix; counts must also equal the
+    single-window plan's."""
+    ldf, rdf, *_ = feeds
+    auto = asof_join(
+        ldf.drop("sym"), rdf.drop("sym"), on="ts", direction=direction
+    )
+    n_auto = auto.filter(F.col("px").isNotNull()).count()
+    single = asof_join(
+        ldf.drop("sym"), rdf.drop("sym"), on="ts", direction=direction,
+        block_size=None,
+    )
+    assert n_auto == single.filter(F.col("px").isNotNull()).count()
