@@ -456,3 +456,61 @@ def test_bm25_monotonicity(spark, data):
         .itertuples(index=False, name=None)
     )
     assert score(rows_b)[1] >= score(rows_a)[1] - 1e-12
+
+
+@st.composite
+def _asof_feeds(draw):
+    """Random keyed feeds: shared keys, duplicate timestamps on BOTH sides,
+    left rows outside the right range."""
+    keys = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3, unique=True))
+    lrows, rrows = [], []
+    for k in keys:
+        lts = draw(st.lists(st.integers(0, 120), min_size=1, max_size=25))
+        for i, t in enumerate(lts):
+            lrows.append((k, int(t), float(i)))
+        rts = draw(st.lists(st.integers(0, 120), min_size=0, max_size=25))
+        for i, t in enumerate(rts):
+            rrows.append((k, int(t), float(100 + i)))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    exact = draw(st.booleans())
+    tol = draw(st.sampled_from([None, 0, 7, 40]))
+    return lrows, rrows, direction, exact, tol
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_asof_feeds())
+def test_asof_join_matches_pandas_on_random_feeds(spark, feeds):
+    """Differential fuzz of asof_join vs pandas.merge_asof: random keys,
+    duplicate timestamps on both sides, all directions x exact x tolerance.
+    pandas sorts stably, so its duplicate-tie picks match the seq-id rule."""
+    from mlforecast_spark.joins import asof_join
+
+    lrows, rrows, direction, exact, tol = feeds
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "size"]).astype(
+        {"ts": "int64", "size": "float64"}
+    )
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "px"]).astype(
+        {"ts": "int64", "px": "float64"}
+    )
+    schema_l = "k string, ts long, size double"
+    schema_r = "k string, ts long, px double"
+    ldf = spark.createDataFrame(lrows, schema_l).coalesce(1)
+    rdf = spark.createDataFrame(rrows or [("zz", 0, 0.0)], schema_r).coalesce(1)
+    if not rrows:
+        rdf = rdf.filter("k <> 'zz'")  # empty right side, schema intact
+    got = (
+        asof_join(ldf, rdf, on="ts", by=["k"], direction=direction,
+                  allow_exact_matches=exact, tolerance=tol)
+        .toPandas().sort_values(["k", "ts", "size"]).reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lp.sort_values(["ts"], kind="stable"),
+        rp.sort_values(["ts"], kind="stable"),
+        on="ts", by="k", direction=direction,
+        allow_exact_matches=exact, tolerance=tol,
+    ).sort_values(["k", "ts", "size"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "size", "px"]], exp[["k", "ts", "size", "px"]],
+        check_dtype=False,
+    )
