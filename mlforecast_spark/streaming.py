@@ -522,6 +522,94 @@ def stream_asof_enrich(
     return writer.start()
 
 
+def stream_stream_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple = (),
+    tolerance: str = "30 seconds",
+    watermark: str = "1 minute",
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Tolerance-bounded BACKWARD as-of join of two LIVE streams (trades to
+    the prevailing quote when both are unbounded feeds) — the stream-stream
+    case :func:`stream_asof_enrich` (static/slowly-changing reference)
+    cannot cover.
+
+    Shape: a watermarked stream-stream LEFT OUTER interval join pairs each
+    left row with every right row in ``[on - tolerance, on]`` (state on
+    both sides is evicted by the watermark — this is why the as-of must be
+    tolerance-BOUNDED: an unbounded backward match would need infinite
+    right-side state), then a windowed ``max_by`` aggregation keyed by the
+    left row picks the latest right row per left row. Two chained stateful
+    operators; results emit in APPEND mode once the event-time watermark
+    passes the left row's window — i.e. matches arrive with up to
+    ``tolerance + watermark`` event-time latency, the price of exactly-once
+    semantics on two unbounded inputs. Late right rows beyond
+    ``watermark`` are dropped by the join, standard watermark semantics.
+
+    ``allow_exact_matches=False`` makes the bound strictly-before. Ties
+    among right rows at the same (by, on) pick an arbitrary one (streams
+    have no scan order to break ties with). Right columns arrive suffixed
+    on name collisions. Batch inputs degrade to
+    :func:`mlforecast_spark.joins.asof_join` with the same tolerance.
+    Returns an unstarted DataFrame — attach your own ``writeStream``.
+    """
+    from .joins import asof_join
+
+    by = list(by)
+    if not (left.isStreaming and right.isStreaming):
+        return asof_join(
+            left, right, on=on, by=by, direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            tolerance=F.expr(f"INTERVAL {tolerance}"), suffix=suffix,
+        )
+    val_cols = [c for c in right.columns if c != on and c not in by]
+    if not val_cols:
+        raise ValueError("right side has no value columns beyond the join keys")
+    out_name = {c: (c + suffix if c in left.columns else c) for c in val_cols}
+
+    l = left.withWatermark(on, watermark)
+    r = right.withWatermark(on, watermark).select(
+        *[F.col(c).alias(f"__ssa_{c}") for c in by],
+        F.col(on).alias("__ssa_on"),
+        *[F.col(c).alias(out_name[c]) for c in val_cols],
+    )
+    cond = F.col("__ssa_on") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+    cond = cond & (
+        (F.col("__ssa_on") <= F.col(on))
+        if allow_exact_matches
+        else (F.col("__ssa_on") < F.col(on))
+    )
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"__ssa_{c}"))
+    joined = l.join(r, cond, "leftOuter")
+
+    # the aggregation needs EXACTLY ONE event-time column: window(on) keys
+    # the state (evicted at watermark), so the per-row timestamp key is
+    # re-materialized without its event-time tag
+    plain_on = F.timestamp_micros(F.unix_micros(F.col(on))).alias("__ssa_lts")
+    other_left = [c for c in left.columns if c != on]
+    agg = (
+        joined.groupBy(
+            F.window(F.col(on), tolerance), plain_on, *[F.col(c) for c in other_left]
+        )
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(out_name[c]) for c in val_cols]), F.col("__ssa_on")
+            ).alias("__ssa_m")
+        )
+    )
+    return agg.select(
+        *[
+            F.col("__ssa_lts").alias(on) if c == on else F.col(c)
+            for c in left.columns
+        ],
+        *[F.col("__ssa_m")[out_name[c]].alias(out_name[c]) for c in val_cols],
+    )
+
+
 def _dir_exists(spark, path: str) -> bool:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

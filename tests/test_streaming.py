@@ -241,3 +241,63 @@ def test_stream_asof_enrich(spark, tmp_path):
     facts = spark.createDataFrame([("a", 12, 1.0)], "sym string, ts long, size double")
     direct = stream_asof_enrich(facts, spark.read.parquet(ref), out, ckpt, on="ts", by=("sym",))
     assert direct.collect()[0]["px"] == 1.0
+
+
+def test_stream_stream_asof(spark, tmp_path):
+    """Tolerance-bounded backward as-of of two LIVE streams: each trade
+    picks the latest quote within the window; future quotes and quotes
+    older than the tolerance never match; unmatched trades emit with null;
+    results appear once the watermark passes (second run)."""
+    import glob
+    import os
+
+    import pandas as pd
+    from mlforecast_spark.streaming import stream_stream_asof
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(lsrc, exist_ok=True)
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def run():
+        ls = spark.readStream.schema("sym string, ts timestamp, size double").parquet(lsrc)
+        rs = spark.readStream.schema("sym string, ts timestamp, px double").parquet(rsrc)
+        res = stream_stream_asof(ls, rs, on="ts", by=("sym",),
+                                 tolerance="30 seconds", watermark="1 minute")
+        q = res.writeStream.format("parquet").option("path", out).option(
+            "checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    write(lsrc, [("a", "2024-01-01 10:00:05", 1.0),
+                 ("a", "2024-01-01 10:00:30", 2.0),
+                 ("a", "2024-01-01 10:02:00", 9.0)],  # no quote in window
+          "sym string, ts string, size double")
+    write(rsrc, [("a", "2024-01-01 10:00:01", 101.0),
+                 ("a", "2024-01-01 10:00:04", 102.0),
+                 ("a", "2024-01-01 10:00:29", 103.0),
+                 ("a", "2024-01-01 10:05:00", 999.0)],  # future vs all trades
+          "sym string, ts string, px double")
+    run()
+    # advance both watermarks so batch-1 windows close
+    write(lsrc, [("a", "2024-01-01 10:20:00", 3.0)], "sym string, ts string, size double")
+    write(rsrc, [("a", "2024-01-01 10:20:00", 500.0)], "sym string, ts string, px double")
+    run()
+    got = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{out}/*.parquet")]
+    ).sort_values("ts").reset_index(drop=True)
+    by_size = got.set_index("size")["px"]
+    assert by_size[1.0] == 102.0   # latest quote <= 10:00:05 within 30s
+    assert by_size[2.0] == 103.0   # not the 10:05 future quote
+    assert pd.isna(by_size[9.0])   # nothing within [10:01:30, 10:02:00]
+
+    # batch inputs degrade to the plain bounded asof_join
+    lb = spark.createDataFrame([("a", "2024-01-01 10:00:05", 1.0)],
+                               "sym string, ts string, size double").withColumn("ts", F.to_timestamp("ts"))
+    rb = spark.createDataFrame([("a", "2024-01-01 10:00:04", 102.0)],
+                               "sym string, ts string, px double").withColumn("ts", F.to_timestamp("ts"))
+    direct = stream_stream_asof(lb, rb, on="ts", by=("sym",), tolerance="30 seconds")
+    assert direct.collect()[0]["px"] == 102.0
