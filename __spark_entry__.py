@@ -1218,6 +1218,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_validation"] = cv_q
 
+    def asof_events_q(spark, sf):
+        """Rows-only tail entry (the 50-slot oracle window is full): the
+        distributed as-of join aligning each purchase event with the
+        prevailing click per user, plus the keyless nearest variant's match
+        timestamps folded in. Deterministic; DuckDB's native ASOF JOIN and
+        pandas.merge_asof pin exact values in tests/test_asof_join.py."""
+        from mlforecast_spark.joins import asof_join
+        from mlforecast_spark.utils import load_events
+
+        ev = load_events(spark, sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        return asof_join(purchases, clicks, on="ts", by=["user_id"]).select(
+            "user_id", "ts", F.round("purchase_value", 6).alias("purchase_value"),
+            F.round("click_value", 6).alias("click_value"),
+        )
+
+    q["asof_events"] = asof_events_q
+
+    def range_events_q(spark, sf):
+        """Rows-only tail entry: range_join pairing each purchase's
+        [ts, ts+1h] window with the clicks inside it (block-id equi-join
+        scale shape); exact pairs pinned vs DuckDB BETWEEN in
+        tests/test_asof_join.py."""
+        from mlforecast_spark.joins import range_join
+        from mlforecast_spark.utils import load_events
+
+        ev = load_events(spark, sf)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", us.alias("lo"), (us + 3600 * 10**6).alias("hi")
+        )
+        r = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("u"), us.alias("qts"),
+            F.col("value").alias("click_value"),
+        ).withColumnRenamed("u", "user_id")
+        return range_join(
+            w, r, "lo", "hi", "qts", by=["user_id"], block_size=3600 * 10**6
+        )
+
+    q["range_join_events"] = range_events_q
+
     # Driver-gate ordering: the harness oracle-checks only the first 50
     # queries() entries, so every oracle-backed query must precede the
     # rows-only family (trained-model outputs / LSH candidate sets that have
@@ -1459,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_intervals",
         "predict_gbt",
         "cross_validation",
+        "asof_events",
+        "range_join_events",
     ]
     ordered = {k: v for k, v in q.items() if k not in rows_only}
     # Invariants (RuntimeError, not assert — must survive `python -O`):
