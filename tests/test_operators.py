@@ -3275,3 +3275,32 @@ def test_dedup_paragraphs_regex_special_separator(spark):
     out = dedup_paragraphs(df, sep="|").toPandas().set_index("doc_id")["text"]
     assert out.loc[1] == "aa|shared|bb"
     assert out.loc[2] == "cc"
+
+
+def test_centroid_probe_large_quantizer_fallback(spark, monkeypatch):
+    """Quantizers past the literal-plan guard keep the broadcast-join +
+    window probe; results must be identical to the literal projection."""
+    import numpy as np
+
+    import mlforecast_spark.operators.similarity as sim
+    from mlforecast_spark.operators.similarity import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 8) * 5
+    rows = []
+    for i in range(60):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(8) * 0.1).astype(float).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 6)
+
+    index = build_ivf_index(vecs, n_lists=4, seed=7)
+    literal = ivf_search(index, queries, k=5, nprobe=2).toPandas()
+    monkeypatch.setattr(sim, "_PROBE_LITERAL_MAX_CELLS", 1)
+    index.local_centers = None  # force the size probe + fallback
+    fallback = ivf_search(index, queries, k=5, nprobe=2).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        literal.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+        == fallback.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+    )
