@@ -58,7 +58,14 @@ def _derive_block_bins(left, right, on, bexpr) -> Optional[Column]:
     hold ~equal ROWS per block regardless of the distribution. Returns
     None (single-window fallback) for empty inputs or a single-point
     domain."""
-    n_bins = max(left.sparkSession.sparkContext.defaultParallelism * 8, 64)
+    # clamp: the bin probe is O(n_bins) literal comparisons PER ROW, so on
+    # a large cluster (defaultParallelism in the thousands) an unclamped
+    # count would turn the projection into the bottleneck; 1024 blocks keep
+    # the carry spine tiny and bound the per-row work while still giving
+    # the scheduler plenty of parallel partitions
+    n_bins = min(
+        max(left.sparkSession.sparkContext.defaultParallelism * 8, 64), 1024
+    )
     u = left.select(bexpr.alias("_v")).unionByName(right.select(bexpr.alias("_v")))
     probs = [i / n_bins for i in range(1, n_bins)]
     qs = u.approxQuantile("_v", probs, 0.01)
