@@ -218,7 +218,16 @@ def repetition_stats(
     aggregation collapses the explosion map-side, so the shuffle carries one
     row per distinct (id, token), not per token instance; same for bigrams
     (built with a per-doc lead window over token positions). Two small
-    aggregates joined back by id — no full-text string rescans."""
+    aggregates joined back by id — no full-text string rescans.
+
+    Measured dead end (round 8, do not retry): a zero-shuffle pure-array
+    projection of all four signals (array_distinct sizes + a sorted
+    run-length ``aggregate`` for the top token + indexed-``transform``
+    bigrams) looked strictly better on paper but ran ~100x slower — Spark
+    evaluates higher-order-function lambdas INTERPRETED (outside
+    whole-stage codegen), and the combined projection re-tokenizes per
+    signal; the exploded hash aggregates here are fully codegen'd and the
+    shuffles are distinct-token-sized, not corpus-sized."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
