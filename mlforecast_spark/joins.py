@@ -46,6 +46,39 @@ def _block_expr(on: str, dtype: str) -> Optional[Column]:
     return None
 
 
+def derive_asof_bins(df: DataFrame, on: str, n_bins: Optional[int] = None):
+    """Equi-depth bin BOUNDARIES for a keyless as-of over ``df``'s ``on``
+    column (one sampled ``approxQuantile`` pass). The returned list can be
+    passed as ``asof_join(block_size=boundaries)`` to skip the per-call
+    derive — the streaming enrich path computes these ONCE from the
+    reference table at query start and reuses them for every micro-batch.
+    Returns a (possibly short) list of floats; fewer than 2 distinct
+    boundaries means the domain is a single point (callers should fall
+    back to ``block_size=None``). Bins only affect parallelism, never
+    results, so boundaries derived from one input (or a stale snapshot)
+    remain correct for any other."""
+    bexpr = _block_expr(on, dict(df.dtypes)[on])
+    if bexpr is None:
+        raise ValueError(
+            f"derive_asof_bins needs a numeric/timestamp/date 'on' column; "
+            f"{on!r} is {dict(df.dtypes)[on]}"
+        )
+    if n_bins is None:
+        # clamp: the bin probe is O(n_bins) literal comparisons PER ROW, so
+        # on a large cluster (defaultParallelism in the thousands) an
+        # unclamped count would turn the projection into the bottleneck;
+        # 1024 blocks keep the carry spine tiny and bound the per-row work
+        # while still giving the scheduler plenty of parallel partitions
+        n_bins = min(
+            max(df.sparkSession.sparkContext.defaultParallelism * 8, 64), 1024
+        )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    qs = df.filter(F.col(on).isNotNull()).select(bexpr.alias("_v")).approxQuantile(
+        "_v", probs, 0.01
+    )
+    return sorted(set(qs))
+
+
 def _derive_block_bins(left, right, on, bexpr) -> Optional[Column]:
     """Auto blocking column for the keyless as-of: EQUI-DEPTH quantile bins
     over the observed ``on`` values of both inputs (one sampled
@@ -58,18 +91,20 @@ def _derive_block_bins(left, right, on, bexpr) -> Optional[Column]:
     hold ~equal ROWS per block regardless of the distribution. Returns
     None (single-window fallback) for empty inputs or a single-point
     domain."""
-    # clamp: the bin probe is O(n_bins) literal comparisons PER ROW, so on
-    # a large cluster (defaultParallelism in the thousands) an unclamped
-    # count would turn the projection into the bottleneck; 1024 blocks keep
-    # the carry spine tiny and bound the per-row work while still giving
-    # the scheduler plenty of parallel partitions
     n_bins = min(
         max(left.sparkSession.sparkContext.defaultParallelism * 8, 64), 1024
     )
     u = left.select(bexpr.alias("_v")).unionByName(right.select(bexpr.alias("_v")))
     probs = [i / n_bins for i in range(1, n_bins)]
     qs = u.approxQuantile("_v", probs, 0.01)
-    boundaries = sorted(set(qs))
+    return _bins_to_expr(qs, bexpr)
+
+
+def _bins_to_expr(boundaries, bexpr) -> Optional[Column]:
+    """Blocking Column from explicit equi-depth boundaries: count of
+    boundaries strictly below the value — a monotone integer, exactly what
+    the carry stitch needs. None for <2 distinct boundaries."""
+    boundaries = sorted({float(b) for b in boundaries})
     if len(boundaries) < 2:
         return None
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
@@ -97,11 +132,12 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: Optional[Column | int | float] = None,
     suffix: str = "_right",
-    block_size: Union[int, float, None, str] = "auto",
+    block_size: Union[int, float, None, str, Sequence[float]] = "auto",
     left_on: Optional[str] = None,
     right_on: Optional[str] = None,
     left_by: Optional[Sequence[str]] = None,
     right_by: Optional[Sequence[str]] = None,
+    tiebreak: Optional[str] = None,
 ) -> DataFrame:
     """pandas.merge_asof semantics on Spark DataFrames.
 
@@ -121,9 +157,14 @@ def asof_join(
     null ``on`` pass through with null right columns — deterministic on
     both the window and blocked paths. Ties among right rows at the same
     (by, on) resolve like pandas.merge_asof on a sorted frame: the LAST
-    duplicate in scan order for ``backward``, the FIRST for ``forward``
-    (a per-row sequence id breaks the tie, so results are stable
-    run-to-run).
+    duplicate in SCAN ORDER for ``backward``, the FIRST for ``forward``.
+    Scan order is stable only while the right side's partitioning is —
+    after a shuffle, AQE repartitioning, or a different file split the
+    chosen duplicate can change between runs. When deterministic duplicate
+    resolution matters, pass ``tiebreak='colname'``: a right-side column
+    whose values order the duplicates (e.g. a sequence number); the
+    largest wins for ``backward``, the smallest for ``forward``,
+    regardless of scan order.
 
     One shuffle on ``by`` (plus the window sort); both inputs are scanned
     once. 100 TB note: skew = rows per ``by`` group, identical to any
@@ -141,7 +182,10 @@ def asof_join(
     Pass an explicit numeric ``block_size`` for fixed-width
     ``floor(on / block_size)`` blocks (numeric ``on`` units; microseconds
     for timestamps, days for dates — also useful for a KEYED join with
-    one giant/skewed key), or ``block_size=None`` to force the
+    one giant/skewed key), a list of boundaries from
+    :func:`derive_asof_bins` to reuse precomputed equi-depth bins (skips
+    the per-call ``approxQuantile`` job — what the streaming enrich path
+    does across micro-batches), or ``block_size=None`` to force the
     single-window plan (the only path for non-blockable ``on`` types).
     """
     if direction not in ("backward", "forward", "nearest"):
@@ -184,7 +228,12 @@ def asof_join(
     # valid nearest match) so the running last can't smear a null-ts payload
     right = right.filter(F.col(on).isNotNull())
     blk_expr = None
-    if block_size == "auto":
+    if isinstance(block_size, str):
+        if block_size != "auto":
+            raise ValueError(
+                f"block_size must be 'auto', a number, a boundary list or "
+                f"None, got {block_size!r}"
+            )
         block_size = None
         if not by and bexpr is not None:
             blk_expr = _derive_block_bins(left, right, on, bexpr)
@@ -193,6 +242,9 @@ def asof_join(
             f"block_size requires a numeric/timestamp/date 'on' column; "
             f"{on!r} is {dict(right.dtypes)[on]}"
         )
+    elif isinstance(block_size, (list, tuple)):
+        blk_expr = _bins_to_expr(block_size, bexpr)
+        block_size = None
     val_cols = [c for c in right.columns if c != on and c not in by]
     if not val_cols:
         raise ValueError("right side has no value columns beyond the join keys")
@@ -211,16 +263,35 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias(on_right), *[F.col(c).alias(out_name[c]) for c in val_cols]
     )
-    # __asof_s: per-row sequence id on the right — the deterministic
-    # tiebreaker among right rows tied on (by, on). No shuffle; ids follow
-    # scan order, so "last/first duplicate" matches pandas on a sorted feed.
+    # __asof_s: per-row sequence id on the right — the tiebreaker among
+    # right rows tied on (by, on). Default is monotonically_increasing_id
+    # (no shuffle; ids follow scan order, so "last/first duplicate" matches
+    # pandas on a sorted feed but is only repeatable while the right side's
+    # partitioning is); an explicit `tiebreak` column replaces it with a
+    # user-owned, scan-order-independent ordering.
+    if tiebreak is not None:
+        if tiebreak not in right.columns:
+            raise ValueError(f"tiebreak column {tiebreak!r} not in right side")
+        if tiebreak == on or tiebreak in by:
+            raise ValueError(
+                f"tiebreak column {tiebreak!r} cannot be a join key"
+            )
+        seq_expr = F.col(tiebreak)
+        seq_type = right.schema[tiebreak].dataType
+    else:
+        seq_expr = F.monotonically_increasing_id()
+        seq_type = "long"
     r = right.select(
-        *by, F.col(on), payload.alias("__asof_p"), F.lit(0).alias("__asof_t")
-    ).withColumn("__asof_s", F.monotonically_increasing_id())
+        *by,
+        F.col(on),
+        payload.alias("__asof_p"),
+        F.lit(0).alias("__asof_t"),
+        seq_expr.alias("__asof_s"),
+    )
     l = left.select(
         "*", F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
         F.lit(1).alias("__asof_t"),
-    ).withColumn("__asof_s", F.lit(None).cast("long"))
+    ).withColumn("__asof_s", F.lit(None).cast(seq_type))
     # align schemas: right side gets nulls for the left-only columns
     for c in left.columns:
         if c not in by and c != on:

@@ -89,29 +89,47 @@ class _LinearBase:
     ):
         """Gram matrix as one JVM HashAggregate: (k+1)(k+2)/2 sum() exprs over
         products — no Python workers in the training path at all. Sample
-        weights fold into the sums (weighted least squares)."""
+        weights fold into the sums (weighted least squares). The aggregate
+        expressions are built as SQL strings parsed JVM-side in one pass:
+        at k features that is (k+1)(k+2)/2 + k + 2 aggregates, and
+        node-by-node py4j construction of them dominated fit()'s fixed
+        plan-build floor (same pathology measured on simhash/minhash — see
+        operators/dedup.py r9 notes)."""
+        from .utils import qsql
+
         orig_cols = list(feature_cols)
         k = len(orig_cols)
-        cols = [F.lit(1.0)] + [qcol(c).cast("double") for c in orig_cols]
-        y = qcol(target_col).cast("double")
-        w = F.lit(1.0) if weight_col is None else qcol(weight_col).cast("double")
-        valid = y.isNotNull() & ~F.isnan(y)
+        cols = ["1.0D"] + [
+            f"cast({qsql(c)} as double)" for c in orig_cols
+        ]
+        y = f"cast({qsql(target_col)} as double)"
+        parts = [f"({y} is not null and not isnan({y}))"]
         for c in cols[1:]:
-            valid = valid & c.isNotNull() & ~F.isnan(c)
+            parts.append(f"({c} is not null and not isnan({c}))")
         if weight_col is not None:
-            valid = valid & w.isNotNull() & ~F.isnan(w)
+            w = f"cast({qsql(weight_col)} as double)"
+            parts.append(f"({w} is not null and not isnan({w}))")
+        else:
+            w = "1.0D"
+        valid = " and ".join(parts)
         aggs = []
         for i in range(k + 1):
             for j in range(i, k + 1):
                 aggs.append(
-                    F.sum(F.when(valid, w * cols[i] * cols[j])).alias(f"g_{i}_{j}")
+                    F.expr(
+                        f"sum(if({valid}, {w} * {cols[i]} * {cols[j]}, null))"
+                    ).alias(f"g_{i}_{j}")
                 )
         for i in range(k + 1):
-            aggs.append(F.sum(F.when(valid, w * cols[i] * y)).alias(f"xy_{i}"))
+            aggs.append(
+                F.expr(f"sum(if({valid}, {w} * {cols[i]} * {y}, null))").alias(
+                    f"xy_{i}"
+                )
+            )
         if weight_col is None:
-            aggs.append(F.sum(valid.cast("long")).alias("n"))
+            aggs.append(F.expr(f"sum(cast({valid} as long))").alias("n"))
         else:
-            aggs.append(F.sum(F.when(valid, w)).alias("n"))
+            aggs.append(F.expr(f"sum(if({valid}, {w}, null))").alias("n"))
         row = df.agg(*aggs).collect()[0]
         gram = np.zeros((k + 1, k + 1))
         xty = np.zeros(k + 1)

@@ -100,7 +100,10 @@ def minhash_signatures(
 
     k affine permutations ``(a_i * h + b_i) mod p`` over a single
     ``xxhash64(shingle)`` base hash — k JVM expressions, one aggregation;
-    no Python in the loop.
+    no Python in the loop. The k ``min`` aggregates and the signature
+    array are built as SQL strings parsed JVM-side (same analyzed plan;
+    node-by-node py4j construction was ~0.7 s of per-call driver overhead
+    at k=32 — the same floor pathology measured on ``simhash``).
     """
     import random
 
@@ -109,16 +112,16 @@ def minhash_signatures(
         (rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME))
         for _ in range(num_hashes)
     ]
-    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
     mins = [
-        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        F.expr(
+            f"min(pmod(pmod(xxhash64(shingle), {_MH_PRIME}L) * {a}L + {b}L,"
+            f" {_MH_PRIME}L))"
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     sig = shingles.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    arr = "array(" + ",".join(f"mh_{i}" for i in range(num_hashes)) + ")"
+    return sig.select(F.col(id_col), F.expr(arr).alias("signature"))
 
 
 def _shuffle_hash(df: DataFrame) -> DataFrame:
@@ -428,28 +431,35 @@ def simhash(
     (round 4) 3.90 but overflow-unsafe / packed-3×21 shift-add 3.72, and on
     the 2026-08-14 session multiply-spread **2.30** vs shift-add 2.43 (9
     reps; 2.47 vs 2.55 in a 5-rep run). Identical fingerprints verified
-    across all variants (exceptAll empty both directions at sf1)."""
+    across all variants (exceptAll empty both directions at sf1).
+
+    Plan-floor note (r9): the lane sums and the 63-term fingerprint
+    reassembly are built as SQL STRINGS parsed JVM-side (one ``F.expr``
+    each) instead of node-by-node py4j Column algebra — identical analyzed
+    plans and results, but the py4j round trips per node dominated the
+    query's fixed floor: measured at sf0.001 (5 warm reps, local[32]) the
+    full dedup_simhash query dropped 1.69 s -> 0.72 s median, with the
+    build phase 1.24 s -> 0.28 s and analyze/execute unchanged."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64(F.col("tok"))
-    one = F.lit(1).cast("long")
-    spread_mul = F.lit((1) | (1 << 20) | (1 << 40)).cast("long")
-    spread_mask = F.lit((1) | (1 << 21) | (1 << 42)).cast("long")
-    lane_sums = []
-    for j in range(21):
-        group = F.shiftrightunsigned(h, 3 * j).bitwiseAND(F.lit(7).cast("long"))
-        contrib = (group * spread_mul).bitwiseAND(spread_mask)
-        lane_sums.append(F.sum(contrib).alias(f"l{j}"))
+    spread_mul = (1) | (1 << 20) | (1 << 40)
+    spread_mask = (1) | (1 << 21) | (1 << 42)
+    lane_sums = [
+        F.expr(
+            f"sum((shiftrightunsigned(xxhash64(tok), {3 * j}) & 7L)"
+            f" * {spread_mul}L & {spread_mask}L)"
+        ).alias(f"l{j}")
+        for j in range(21)
+    ]
     agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
-    fp = F.lit(0).cast("long")
-    mask = F.lit((1 << 21) - 1).cast("long")
+    mask = (1 << 21) - 1
+    terms = []
     for i in range(63):  # keep the sign bit clear to avoid ANSI overflow
         j, k = divmod(i, 3)
-        ones = F.shiftrightunsigned(F.col(f"l{j}"), 21 * k).bitwiseAND(mask)
-        fp = fp + F.when(
-            ones * 2 > F.col("_n"), F.shiftleft(one, i)
-        ).otherwise(F.lit(0).cast("long"))
+        ones = f"(shiftrightunsigned(l{j}, {21 * k}) & {mask}L)"
+        terms.append(f"if({ones} * 2 > _n, shiftleft(1L, {i}), 0L)")
+    fp = F.expr(" + ".join(terms))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 

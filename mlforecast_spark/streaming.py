@@ -483,12 +483,16 @@ def stream_asof_enrich(
 
     Scale notes: the per-batch cost is the as-of join's one shuffle on
     ``by`` over (batch + reference); a keyless feed gets the blocked
-    parallel scan via ``block_size='auto'`` (the derive's tiny min/max
-    aggregation runs per batch — pass an explicit ``block_size`` to skip
-    it on hot paths). Batch input: returns the plain ``asof_join`` result
-    instead of starting a query. Streaming input returns the
-    ``StreamingQuery``."""
-    from .joins import asof_join
+    parallel scan, with the equi-depth bin boundaries derived ONCE from
+    the reference table at query start (one sampled ``approxQuantile``
+    job) and reused for every micro-batch — bins only affect parallelism,
+    never results, so boundaries from a query-start snapshot stay correct
+    even for a slowly-changing reference. Pass an explicit ``block_size``
+    (or a boundary list from :func:`mlforecast_spark.joins.
+    derive_asof_bins`) to skip the derive entirely. Batch input: returns
+    the plain ``asof_join`` result instead of starting a query. Streaming
+    input returns the ``StreamingQuery``."""
+    from .joins import _block_expr, asof_join, derive_asof_bins
 
     kwargs = dict(
         on=on, by=by, direction=direction,
@@ -506,6 +510,17 @@ def stream_asof_enrich(
 
     if not facts.isStreaming:
         return asof_join(facts, _ref(), **kwargs)
+
+    # keyless auto-blocking: derive the equi-depth bins ONCE from the
+    # reference (not per batch — asof_join's 'auto' would rerun
+    # approxQuantile over batch UNION reference every micro-batch)
+    if kwargs["block_size"] == "auto" and not by:
+        ref0 = _ref()
+        if _block_expr(on, dict(ref0.dtypes)[on]) is not None:
+            bins = derive_asof_bins(ref0, on)
+            kwargs["block_size"] = bins if len(bins) >= 2 else None
+        else:
+            kwargs["block_size"] = None
 
     def process(batch: DataFrame, _batch_id: int):
         if not batch.head(1):
@@ -552,7 +567,19 @@ def stream_stream_asof(
     ``allow_exact_matches=False`` makes the bound strictly-before. Ties
     among right rows at the same (by, on) pick an arbitrary one (streams
     have no scan order to break ties with). Right columns arrive suffixed
-    on name collisions. Batch inputs degrade to
+    on name collisions. Null ``by`` keys match each other (``eqNullSafe``,
+    same null grouping as the batch path's ``Window.partitionBy``).
+
+    CARDINALITY CAVEAT: the match-pick aggregation groups by EVERY left
+    column, so left rows that are fully duplicate — identical in every
+    column including the timestamp — collapse to ONE output row (batch
+    ``asof_join``/``merge_asof`` would emit both). Streams have no stable
+    row identity to salt with (a ``uuid()`` column would break
+    exactly-once on replay: re-executed tasks regenerate different ids
+    into state). If exact cardinality of duplicate rows matters, give the
+    left stream a unique id column upstream (an offset, a sequence
+    number) — any distinguishing column preserves cardinality since all
+    left columns key the aggregation. Batch inputs degrade to
     :func:`mlforecast_spark.joins.asof_join` with the same tolerance.
     Returns an unstarted DataFrame — attach your own ``writeStream``.
     """
@@ -583,7 +610,9 @@ def stream_stream_asof(
         else (F.col("__ssa_on") < F.col(on))
     )
     for c in by:
-        cond = cond & (F.col(c) == F.col(f"__ssa_{c}"))
+        # eqNullSafe: null by-keys match each other, like the batch path's
+        # Window.partitionBy (plain == would silently never match them)
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ssa_{c}"))
     joined = l.join(r, cond, "leftOuter")
 
     # the aggregation needs EXACTLY ONE event-time column: window(on) keys

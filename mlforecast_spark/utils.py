@@ -25,6 +25,12 @@ def qcol(name: str) -> Column:
     return F.col(name)
 
 
+def qsql(name: str) -> str:
+    """Backtick-quoted identifier for SQL-string expression building (the
+    string analog of :func:`qcol`)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 _FREQ_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
 
 # pandas alias -> (unit, multiplier) where unit is a make_interval unit

@@ -433,3 +433,68 @@ def test_filter_on_match_column_after_auto_blocked_join(spark, feeds, direction)
         block_size=None,
     )
     assert n_auto == single.filter(F.col("px").isNotNull()).count()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_explicit_tiebreak_column_beats_scan_order(spark, direction):
+    """tiebreak='seq': among right duplicates at the same (by, on) the
+    LARGEST seq wins for backward and the SMALLEST for forward, regardless
+    of the right side's scan/partition order (here deliberately reversed
+    and split across partitions)."""
+    lp = pd.DataFrame({"ts": [5, 10]})
+    # seq deliberately DESCENDING in input order, spread over 4 partitions
+    rp = pd.DataFrame(
+        {"ts": [3, 3, 7, 7], "seq": [2, 1, 9, 4], "v": [20.0, 10.0, 90.0, 40.0]}
+    )
+    l = spark.createDataFrame(lp)
+    r = spark.createDataFrame(rp).repartition(4)
+    got = (
+        asof_join(l, r, on="ts", direction=direction, tiebreak="seq")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    if direction == "backward":
+        assert got["v"].tolist() == [20.0, 90.0]  # max-seq duplicate wins
+    else:
+        # ts=5 -> first-at-or-after is ts=7, min-seq duplicate (seq 4) wins;
+        # ts=10 has no right row at-or-after -> null
+        assert got["v"].tolist()[0] == 40.0
+        assert pd.isna(got["v"].tolist()[1])
+
+    # blocked path must agree with the window path
+    got_b = (
+        asof_join(l, r, on="ts", direction=direction, tiebreak="seq", block_size=4)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert got_b["v"].equals(got["v"]), (got_b["v"].tolist(), got["v"].tolist())
+
+    with pytest.raises(ValueError, match="not in right side"):
+        asof_join(l, r, on="ts", tiebreak="nope")
+    with pytest.raises(ValueError, match="join key"):
+        asof_join(l, r, on="ts", tiebreak="ts")
+
+
+def test_precomputed_bins_block_size(spark, feeds):
+    """block_size=<boundary list from derive_asof_bins> equals both the
+    'auto' and single-window plans — the streaming enrich path's reuse
+    contract (bins affect parallelism, never results)."""
+    from mlforecast_spark.joins import derive_asof_bins
+
+    ldf, rdf, *_ = feeds
+    l, r = ldf.drop("sym"), rdf.drop("sym")
+    bins = derive_asof_bins(r, "ts")
+    assert len(bins) >= 2 and bins == sorted(bins)
+    got = asof_join(l, r, on="ts", block_size=bins).toPandas()
+    exp = asof_join(l, r, on="ts", block_size=None).toPandas()
+    key = ["ts", "size"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # degenerate boundary lists fall back to the single-window plan
+    one = asof_join(l, r, on="ts", block_size=[1.0]).toPandas()
+    pd.testing.assert_frame_equal(
+        one.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
