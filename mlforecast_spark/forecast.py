@@ -156,6 +156,12 @@ class MLForecast:
         feats = plan.apply(df)
         self.feature_names_ = plan.feature_names()
         self.features_order_ = extra_cols + self.feature_names_
+        # pre-filter frame (no dropna, no keep_last_n): the predict-state
+        # capture reads THIS — it is the transformed panel plus feature
+        # columns, so when fit() caches it the state trim becomes a tiny
+        # window over the cache instead of a second scan of the whole
+        # upstream panel pipeline (see _capture_state)
+        self._feats_all_ = feats
         if dropna:
             cond = None
             for c in self.feature_names_:
@@ -282,8 +288,14 @@ class MLForecast:
             keep_last_n=keep_last_n,
         )
         self.max_horizon_ = max_horizon
+        self._cache_train_df_ = cache_train_df
         if cache_train_df:
-            feats = feats.cache()
+            # cache the PRE-filter frame: the training filters (dropna /
+            # keep_last_n) and the predict-state capture both read it, so
+            # one materialization (the first training action) serves both —
+            # Spark's cache substitution matches the cached plan as a
+            # subtree of the filtered training plan
+            self._feats_all_ = self._feats_all_.cache()
         self._fitted_feats = feats
         try:
             if max_horizon is None:
@@ -428,10 +440,20 @@ class MLForecast:
     def _capture_state(self, df: DataFrame, id_col, time_col, target_col):
         """Tail frame + per-series statics (the predict state).
 
-        One job over the panel (trim + checkpoint); the statics frame is then
-        derived from the tiny checkpointed tail rather than re-running the
-        upstream panel plan a second time."""
-        panel = getattr(self, "transformed_panel_", df)
+        When the training frame is cached (``cache_train_df=True``, the
+        default) the tail trim reads the cached PRE-filter feature frame —
+        it carries the transformed panel's columns, so the state is a tiny
+        lazy window over data the Gram/GBT fit already materialized, and
+        the separate state-capture job (panel re-scan + eager
+        localCheckpoint: ~0.35 s of fit()'s fixed floor at any SF)
+        disappears. Uncached fits keep the one-job trim + checkpoint so
+        predict never re-runs the upstream panel plan per action."""
+        cached = getattr(self, "_cache_train_df_", False)
+        feats_all = getattr(self, "_feats_all_", None)
+        if cached and feats_all is not None:
+            panel = feats_all
+        else:
+            panel = getattr(self, "transformed_panel_", df)
         keep = self.plan_.keep_last_n_bound()
         state_cols = [
             id_col,
@@ -449,7 +471,11 @@ class MLForecast:
                 .filter(F.col("_rn") <= keep)
                 .drop("_rn")
             )
-        self.state_ = state.localCheckpoint(eager=True)
+        if cached and feats_all is not None:
+            # lazy on purpose: cache-backed, one tiny window per consumer
+            self.state_ = state
+        else:
+            self.state_ = state.localCheckpoint(eager=True)
         w_last = Window.partitionBy(id_col).orderBy(F.col(time_col).desc())
         # lazy on purpose: state_ is already a checkpointed, keep_last_n-sized
         # frame, so this is one tiny window per consuming action — an eager
@@ -1784,6 +1810,10 @@ class MLForecast:
                         "refit=False with target_transforms is not supported yet"
                     )
                 self.transformed_panel_ = train
+                # _feats_all_ still belongs to the last FITTED window's
+                # train frame — drop it so the state capture reads THIS
+                # window's train, not the stale cache
+                self._feats_all_ = None
                 self._capture_state(train, id_col, time_col, target_col)
                 if fitted:
                     # models are reused but the train window advanced —
