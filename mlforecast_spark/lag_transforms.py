@@ -134,6 +134,18 @@ class _BaseLagTransform:
         """Return the feature Column, or None if a pandas pass is needed."""
         return None
 
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        """Return the feature as ONE SQL expression string, or None to fall
+        back to :meth:`expr`. Parsed JVM-side via a single ``F.expr`` call —
+        the plan-build fast path for wide feature matrices, where node-by-
+        node py4j Column construction dominates the driver floor (measured
+        ~0.6 s for a 23-column plan before this path). Only emitted when the
+        planner set ``ctx.y_name`` (the local rows-frame mode); pooled and
+        range contexts keep the Column path. MUST compile to the exact same
+        resolved expression tree as :meth:`expr` — the DuckDB value oracle
+        (tools/check_oracle.py) guards the equivalence."""
+        return None
+
     def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
         """Pooled fast path: emit the feature from windowed per-(bucket, ts)
         partial aggregates (``ctx.wsum/wcnt/wsumsq/wmin/wmax``) — the
@@ -201,6 +213,11 @@ class Lag(_BaseLagTransform):
     def expr(self, ctx, lag: int) -> Column:
         return ctx.shift(self.lag)
 
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        return ctx.sql_shift(self.lag)
+
     def frontier_fn(self, lag: int):
         import numpy as np
 
@@ -240,6 +257,11 @@ class LookupLag(_BaseLagTransform):
     def expr(self, ctx, lag: int) -> Column:
         w = ctx.window(extra_partition=tuple(self.partition_by))
         return F.lag(ctx.y, lag).over(w)
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        return ctx.sql_shift(lag, extra_partition=tuple(self.partition_by))
 
     def frontier_fn(self, lag: int):
         raise NotImplementedError(
@@ -304,6 +326,20 @@ class _RollingBase(_BaseLagTransform):
         cnt = F.count(ctx.y).over(w)
         ms = self._effective_min_samples()
         return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None or self._agg not in ("mean", "min", "max"):
+            return None
+        over = ctx.sql_over(-(lag + self.window_size - 1), -lag)
+        if over is None:
+            return None
+        y = ctx.y_name
+        ms = max(self._effective_min_samples(), 1)
+        agg = {"mean": "avg", "min": "min", "max": "max"}[self._agg]
+        return (
+            f"case when count({y}) {over} >= {ms}"
+            f" then {agg}({y}) {over} end"
+        )
 
     def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
         w = ctx.frame(-(lag + self.window_size - 1), -lag)
@@ -377,6 +413,23 @@ class RollingStd(_RollingBase):
         var = F.greatest((s2 - s * s / cnt) / (cnt - 1), F.lit(0.0))
         return F.when((cnt >= max(ms, 2)) & (cnt > 1), F.sqrt(var))
 
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        over = ctx.sql_over(-(lag + self.window_size - 1), -lag)
+        if over is None:
+            return None
+        y = ctx.y_name
+        ms = max(self._effective_min_samples(), 2)
+        s = f"sum({y}) {over}"
+        s2 = f"sum({y} * {y}) {over}"
+        cnt = f"count({y}) {over}"
+        var = f"greatest((({s2}) - ({s}) * ({s}) / ({cnt})) / (({cnt}) - 1), 0.0D)"
+        return (
+            f"case when ({cnt}) >= {ms} and ({cnt}) > 1"
+            f" then sqrt({var}) end"
+        )
+
     def expr_partial_agg(self, ctx, lag: int) -> Column:
         w = ctx.frame(-(lag + self.window_size - 1), -lag)
         ms = self._effective_min_samples()
@@ -425,6 +478,19 @@ class RollingQuantile(_RollingBase):
         cnt = F.count(ctx.y).over(w)
         ms = self._effective_min_samples()
         return F.when(cnt >= max(ms, 1), self._stat(ctx.y, w))
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        over = ctx.sql_over(-(lag + self.window_size - 1), -lag)
+        if over is None:
+            return None
+        y = ctx.y_name
+        ms = max(self._effective_min_samples(), 1)
+        return (
+            f"case when count({y}) {over} >= {ms}"
+            f" then percentile({y}, {self.p!r}D) {over} end"
+        )
 
     def frontier_fn(self, lag: int):
         import numpy as np
@@ -480,6 +546,25 @@ class _ExpandingBase(_BaseLagTransform):
             return F.when(cnt > 1, F.sqrt(var))
         fn = {"mean": F.avg, "min": F.min, "max": F.max}[self._agg]
         return F.when(cnt > 0, fn(y).over(w))
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None or self._agg not in ("mean", "min", "max", "std"):
+            return None
+        over = ctx.sql_over(None, -lag)
+        if over is None:
+            return None
+        y = ctx.y_name
+        cnt = f"count({y}) {over}"
+        if self._agg == "std":
+            s = f"sum({y}) {over}"
+            s2 = f"sum({y} * {y}) {over}"
+            var = (
+                f"greatest((({s2}) - ({s}) * ({s}) / ({cnt})) / (({cnt}) - 1),"
+                f" 0.0D)"
+            )
+            return f"case when ({cnt}) > 1 then sqrt({var}) end"
+        agg = {"mean": "avg", "min": "min", "max": "max"}[self._agg]
+        return f"case when ({cnt}) > 0 then {agg}({y}) {over} end"
 
     def expr_partial_agg(self, ctx, lag: int) -> Optional[Column]:
         w = ctx.frame(None, -lag)
@@ -572,6 +657,18 @@ class ExpandingQuantile(_ExpandingBase):
         w = ctx.frame(None, -lag)
         cnt = F.count(ctx.y).over(w)
         return F.when(cnt > 0, F.percentile(ctx.y, F.lit(self.p)).over(w))
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        over = ctx.sql_over(None, -lag)
+        if over is None:
+            return None
+        y = ctx.y_name
+        return (
+            f"case when count({y}) {over} > 0"
+            f" then percentile({y}, {self.p!r}D) {over} end"
+        )
 
     def frontier_fn(self, lag: int):
         import numpy as np
@@ -666,6 +763,35 @@ class _SeasonalRollingBase(_BaseLagTransform):
         else:
             stat = self._stat(lagged, w)
         return F.when(cnt >= max(ms, 1), stat)
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if ctx.y_name is None:
+            return None
+        lagged = ctx.sql_shift(lag)
+        over = ctx.sql_seasonal_over(
+            self.season_length, -(self.window_size - 1), 0
+        )
+        if lagged is None or over is None:
+            return None
+        cnt = f"count({lagged}) {over}"
+        ms = self._effective_min_samples()
+        if self._agg == "std":
+            s = f"sum({lagged}) {over}"
+            s2 = f"sum(({lagged}) * ({lagged})) {over}"
+            var = (
+                f"greatest((({s2}) - ({s}) * ({s}) / ({cnt})) / (({cnt}) - 1),"
+                f" 0.0D)"
+            )
+            return (
+                f"case when ({cnt}) >= {max(ms, 2)} and ({cnt}) > 1"
+                f" then sqrt({var}) end"
+            )
+        if self._agg == "quantile":
+            stat = f"percentile({lagged}, {self.p!r}D) {over}"
+        else:
+            agg = {"mean": "avg", "min": "min", "max": "max"}[self._agg]
+            stat = f"{agg}({lagged}) {over}"
+        return f"case when ({cnt}) >= {max(ms, 1)} then {stat} end"
 
     def frontier_fn(self, lag: int):
         import math
@@ -925,6 +1051,14 @@ class Offset(_BaseLagTransform):
             )
         return self.tfm.expr(ctx, lag + self.n)
 
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        if lag + self.n < 1:
+            raise ValueError(
+                f"Offset(n={self.n}) applied to lag {lag} produces an effective "
+                f"lag of {lag + self.n}; the effective lag must be at least 1."
+            )
+        return self.tfm.sql_expr(ctx, lag + self.n)
+
     def pandas_fn(self, lag: int):
         return self.tfm.pandas_fn(lag + self.n)
 
@@ -976,6 +1110,23 @@ class Combine(_BaseLagTransform):
             return None  # at least one side needs the pandas path
         op = self._OP_COLS.get(self.operator, self.operator)
         return op(e1, e2)
+
+    _OP_SQL = {
+        operator.truediv: "/",
+        operator.add: "+",
+        operator.sub: "-",
+        operator.mul: "*",
+    }
+
+    def sql_expr(self, ctx, lag: int) -> Optional[str]:
+        op = self._OP_SQL.get(self.operator)
+        if op is None:
+            return None  # arbitrary callables keep the Column/pandas path
+        s1 = self.tfm1.sql_expr(ctx, lag)
+        s2 = self.tfm2.sql_expr(ctx, lag)
+        if s1 is None or s2 is None:
+            return None
+        return f"(({s1}) {op} ({s2}))"
 
     def pandas_fn(self, lag: int):
         # only reached when a side is python-only (e.g. Combine(EWM, Lag))

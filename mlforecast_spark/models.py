@@ -112,25 +112,23 @@ class _LinearBase:
         else:
             w = "1.0D"
         valid = " and ".join(parts)
+        # one struct-valued aggregate expression -> ONE F.expr/py4j call for
+        # the whole Gram (78 separate F.expr calls at k=11 measurably slowed
+        # the fit floor; the parsed tree is identical either way)
         aggs = []
         for i in range(k + 1):
             for j in range(i, k + 1):
                 aggs.append(
-                    F.expr(
-                        f"sum(if({valid}, {w} * {cols[i]} * {cols[j]}, null))"
-                    ).alias(f"g_{i}_{j}")
+                    f"sum(if({valid}, {w} * {cols[i]} * {cols[j]}, null))"
+                    f" as g_{i}_{j}"
                 )
         for i in range(k + 1):
-            aggs.append(
-                F.expr(f"sum(if({valid}, {w} * {cols[i]} * {y}, null))").alias(
-                    f"xy_{i}"
-                )
-            )
+            aggs.append(f"sum(if({valid}, {w} * {cols[i]} * {y}, null)) as xy_{i}")
         if weight_col is None:
-            aggs.append(F.expr(f"sum(cast({valid} as long))").alias("n"))
+            aggs.append(f"sum(cast({valid} as long)) as n")
         else:
-            aggs.append(F.expr(f"sum(if({valid}, {w}, null))").alias("n"))
-        row = df.agg(*aggs).collect()[0]
+            aggs.append(f"sum(if({valid}, {w}, null)) as n")
+        row = df.agg(F.expr(f"struct({', '.join(aggs)})").alias("_g")).collect()[0]["_g"]
         gram = np.zeros((k + 1, k + 1))
         xty = np.zeros(k + 1)
         for i in range(k + 1):

@@ -635,9 +635,20 @@ def ivf_search(
     # prune the corpus to the PROBED lists before the cogroup (a broadcast
     # semi-join the optimizer can push toward the scan): with nprobe <<
     # n_lists the cogroup would otherwise shuffle every inverted list,
-    # probed or not — the pruning the old per-pair join got implicitly
-    probed_lists = probes.select("_list").distinct()
-    assigned = assigned.join(F.broadcast(probed_lists), on="_list", how="left_semi")
+    # probed or not — the pruning the old per-pair join got implicitly.
+    # Full probe (nprobe >= n_lists, the brute-force-equivalent oracle
+    # config) touches every list by construction: the prune is a no-op
+    # there, so skip its distinct + semi-join stages outright.
+    # (only decidable action-free when the centroids are driver-resident;
+    # a load()ed index keeps the prune unconditionally rather than pay a
+    # count job to find out)
+    local = getattr(index, "local_centers", None)
+    n_lists = len(local) if local is not None else None
+    if n_lists is None or nprobe < n_lists:
+        probed_lists = probes.select("_list").distinct()
+        assigned = assigned.join(
+            F.broadcast(probed_lists), on="_list", how="left_semi"
+        )
     pairs = (
         probes.groupBy("_list")
         .cogroup(assigned.groupBy("_list"))

@@ -218,8 +218,17 @@ def test_pooled_agg_path_ordinal_stays_on_collapsed_frame(spark, panel):
 
 def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):
     """predict(engine='cogroup') must plan as a single grouped-map pass over
-    the state: exactly one FlatMapGroupsInPandas, NO WindowExec and NO
-    per-step union cascade — the shape whose cost is one shuffle at any h."""
+    the state: exactly one FlatMapGroupsInPandas and NO per-step union
+    cascade — the shape whose cost is one shuffle at any h.
+
+    Since fit() fuses state capture into the cached training frame, the
+    keep_last_n tail trim rides inside this plan as a row_number over the
+    InMemoryRelation; Spark runs it as a WindowGroupLimit (per-partition
+    top-k, no added Exchange), so the single-shuffle property is asserted
+    on the Exchange count, not on the absence of Window nodes: one
+    hash-partitioning exchange feeding the grouped map (the cached frame
+    is already hash-clustered only in the fit job, not for this read) and
+    nothing else."""
     from mlforecast_spark import MLForecast
     from mlforecast_spark.lag_transforms import RollingMean
     from mlforecast_spark.models import LinearRegression
@@ -235,8 +244,17 @@ def test_cogroup_predict_plan_is_one_grouped_map(spark, panel):
     preds = mf.predict(7, engine="cogroup")
     plan = _plan(preds)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
-    assert "Window" not in plan, plan[:2000]
     assert "Union" not in plan, plan[:2000]
+    # tail trim must stay a group-limit, never a full-window rank over raw rows
+    if "Window" in plan:
+        assert "WindowGroupLimit" in plan, plan[:2000]
+    # one exchange into the grouped map, one range exchange for the output
+    # ordering — anything more means a per-step or per-feature shuffle crept
+    # in. Exchanges INSIDE the InMemoryRelation string are the fit-time plan
+    # (already executed and cached), not work this predict does: cut there.
+    live = plan.split("InMemoryRelation", 1)[0]
+    exchanges = re.findall(r"Exchange (\w+)", live)
+    assert len(exchanges) <= 2, (exchanges, plan[:2000])
 
 
 def test_dedup_paragraphs_aggregates_are_hash_not_sort(spark):
