@@ -972,19 +972,22 @@ class ExponentiallyWeightedMean(_BaseLagTransform):
                 .otherwise(F.lit(0.0)),
             )
         )
+        from .utils import qsql
+
+        over = (
+            f"over (partition by {qsql(schema.id_col)} order by "
+            f"{qsql(schema.time_col)})"
+        )
+        keep = [qsql(c) for c in df.columns if c not in ("_ewm_A", "_ewm_B")]
         step = 1
         for _ in range(rounds):
-            ap = F.lag("_ewm_A", step).over(w)
-            bp = F.lag("_ewm_B", step).over(w)
-            df = (
-                df.withColumn("_ewm_A2", F.col("_ewm_A") * F.coalesce(ap, F.lit(1.0)))
-                .withColumn(
-                    "_ewm_B2",
-                    F.col("_ewm_A") * F.coalesce(bp, F.lit(0.0)) + F.col("_ewm_B"),
-                )
-                .drop("_ewm_A", "_ewm_B")
-                .withColumnRenamed("_ewm_A2", "_ewm_A")
-                .withColumnRenamed("_ewm_B2", "_ewm_B")
+            # one selectExpr per round (the 6-op withColumn/rename chain per
+            # round built ~250 py4j DataFrame nodes at the default 31 rounds)
+            df = df.selectExpr(
+                *keep,
+                f"_ewm_A * coalesce(lag(_ewm_A, {step}) {over}, 1.0D) as _ewm_A",
+                f"_ewm_A * coalesce(lag(_ewm_B, {step}) {over}, 0.0D) + _ewm_B"
+                f" as _ewm_B",
             )
             step = min(step * 2, 1 << 30)
         return df.withColumn(

@@ -23,6 +23,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,6 +49,61 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_unit", F.when(n > 0, F.transform(v, lambda x: x / n)))
 
 
+def _gram_topk_fn(k: int, rt: int):
+    """Cogrouped-Arrow scorer shared by :func:`cosine_topk` and
+    :func:`ivf_search`: one BLAS gram ``Q @ N.T`` per group over the
+    ``(query_id, _qv)`` x ``(neighbor_id, _nv)`` frames, HALF_UP rounding
+    to ``rt`` decimals (matches Spark ``F.round`` / DuckDB ``ROUND`` —
+    numpy's banker's rounding diverges on exact .5 ties), self-pairs
+    excluded, per-group top-k by (cosine desc, neighbor_id asc)."""
+    import pandas as pd
+
+    def score_list(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if qpdf.empty or npdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+        N = np.stack(npdf["_nv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        nn = np.linalg.norm(N, axis=1)
+        qn[qn == 0] = 1.0
+        nn[nn == 0] = 1.0
+        raw = (Q @ N.T) / np.outer(qn, nn)
+        scale = 10.0 ** rt
+        cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
+        qids = qpdf["query_id"].to_numpy()
+        nids = npdf["neighbor_id"].to_numpy()
+        # fully vectorized per-group top-k (a per-query pandas loop here
+        # cost 640k tiny sort_values/head frames at sf1 — 70 of the 76 s):
+        # columns pre-sorted by neighbor_id so ONE stable argsort on the
+        # negated rounded cosine realizes the (cosine desc, neighbor_id
+        # asc) tie rule for every query at once; self-pairs are pushed to
+        # the end via -inf and dropped after selection
+        order = np.argsort(nids, kind="stable")
+        nids_s = nids[order]
+        cos_s = cos[:, order]
+        self_mask = qids[:, None] == nids_s[None, :]
+        ranked = np.where(self_mask, -np.inf, cos_s)
+        kk = min(int(k), ranked.shape[1])
+        idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
+        rowi = np.repeat(np.arange(len(Q)), kk)
+        coli = idx.ravel()
+        sel = ranked[rowi, coli]
+        keep = sel != -np.inf  # legit cosines are finite by construction
+        return pd.DataFrame(
+            {
+                "query_id": qids[rowi[keep]],
+                "neighbor_id": nids_s[coli[keep]],
+                "cosine": sel[keep],
+            }
+        )
+
+    return score_list
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -54,24 +111,47 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    num_buckets: Optional[int] = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors of each query vector.
+    """Exact top-k cosine neighbors of each query vector — the brute-force
+    baseline every ANN variant is measured against.
 
     Output: (query_id, neighbor_id, cosine), ranked by rounded cosine with
     neighbor-id tie-break so results are deterministic across engines.
-    """
+
+    Engine: the corpus is salted into ``num_buckets`` hash buckets
+    (default: the session's parallelism), the query set is replicated to
+    every bucket, each bucket scores one BLAS gram ``Q @ N.T`` + local
+    top-k inside cogrouped ``applyInPandas``, and an exact global top-k
+    window runs over the per-bucket slivers (lossless: every global top-k
+    member is a fortiori in its bucket's local top-k; only
+    ``num_buckets * k`` rows per query leave Python). The previous form —
+    per-pair ``zip_with``/``aggregate`` dot products over a nested-loop
+    join — had BOTH no parallelism (pair count inherits the corpus scan's
+    partitioning: one file = one task) and interpreted-HOF per-pair cost;
+    the sf1 STRICT oracle sweep caught it at 52+ min single-core where
+    this form takes seconds, the same BLAS-vs-interpreter cliff as
+    ivf_search's scorer (measured there: 13.5 s -> 2 s at sf10) and
+    semantic_dedup's pairwise pass (241 s -> 8.5 s at sf1)."""
+    spark = vectors.sparkSession
+    nb = int(num_buckets or spark.sparkContext.defaultParallelism or 32)
     a = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     b = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_b"),
     )
-    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
-    nv = F.transform(F.col("_nv"), lambda x: x.cast("double"))
-    cos = _dot(qv, nv) / (_norm(qv) * _norm(nv))
+    buckets = spark.range(nb).select(F.col("id").cast("int").alias("_b"))
+    a_rep = a.crossJoin(F.broadcast(buckets))
+    id_type = dict(a.dtypes)["query_id"]
+    nbr_type = dict(b.dtypes)["neighbor_id"]
+    out_schema = f"query_id {id_type}, neighbor_id {nbr_type}, cosine double"
     pairs = (
-        a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cosine"))
+        a_rep.groupBy("_b")
+        .cogroup(b.groupBy("_b"))
+        .applyInPandas(_gram_topk_fn(int(k), int(round_to)), schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -571,8 +651,6 @@ def ivf_search(
     lossless: every global top-k member is a fortiori in its own list's
     top-k. Ties break on (rounded cosine desc, neighbor_id asc), matching
     the brute-force oracle."""
-    import pandas as pd
-
     assigned = index.assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("_nv"),
@@ -591,46 +669,7 @@ def ivf_search(
     out_schema = (
         f"query_id {id_type}, neighbor_id {nbr_type}, cosine double"
     )
-    k_local = int(k)
-    rt = int(round_to)
-
-    def score_list(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if qpdf.empty or npdf.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine": []}
-            )
-        Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
-        N = np.stack(npdf["_nv"].to_numpy()).astype(np.float64)
-        qn = np.linalg.norm(Q, axis=1)
-        nn = np.linalg.norm(N, axis=1)
-        qn[qn == 0] = 1.0
-        nn[nn == 0] = 1.0
-        raw = (Q @ N.T) / np.outer(qn, nn)
-        # HALF_UP like Spark F.round / DuckDB ROUND — np.round's banker's
-        # rounding diverges on exact .5 ties, which would break the
-        # brute-force-oracle hash parity and could flip a top-k boundary
-        scale = 10.0 ** rt
-        cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
-        qids = qpdf["query_id"].to_numpy()
-        nids = npdf["neighbor_id"].to_numpy()
-        frames = []
-        for i in range(len(Q)):
-            mask = nids != qids[i]
-            row = pd.DataFrame(
-                {
-                    "query_id": qids[i],
-                    "neighbor_id": nids[mask],
-                    "cosine": cos[i][mask],
-                }
-            )
-            frames.append(
-                row.sort_values(
-                    ["cosine", "neighbor_id"], ascending=[False, True]
-                ).head(k_local)
-            )
-        return pd.concat(frames, ignore_index=True)
+    score_list = _gram_topk_fn(int(k), int(round_to))
 
     # prune the corpus to the PROBED lists before the cogroup (a broadcast
     # semi-join the optimizer can push toward the scan): with nprobe <<
