@@ -112,16 +112,33 @@ def main() -> None:
         ),
     }
 
+    # reps are ROUND-ROBIN across queries (rep loop outside, queries
+    # inside): with consecutive per-query reps, one transient machine
+    # slowdown (GC pause, kcompactd burst, a neighbor VM) lands on ALL
+    # of a single query's reps and the min doesn't filter it — observed
+    # as a 5x floor outlier on one query per run whose "floor" exceeded
+    # its own gate-SF wall. Spreading a query's reps minutes apart makes
+    # the per-query min robust to any transient shorter than a full pass.
+    floors = {name: float("inf") for name in all_names}
+    gates = {name: float("inf") for name in all_names}
+    for _ in range(REPS):
+        for name in all_names:
+            fn = runner(name)
+            t0 = time.perf_counter()
+            _force(fn(floor_dir))
+            floors[name] = min(floors[name], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _force(fn(gate_dir))
+            gates[name] = min(gates[name], time.perf_counter() - t0)
     per_query = {}
     for name in all_names:
         fn = runner(name)
-        floor = _min_wall(lambda: _force(fn(floor_dir)))
-        gate = _min_wall(lambda: _force(fn(gate_dir)))
         # job count from MAX job id (the retained-jobs buffer evicts old
         # entries, so a length delta goes wrong after ~1000 session jobs)
         before = max(tracker.getJobIdsForGroup(None) or [0])
         _force(fn(gate_dir))  # one dedicated run for an exact job count
         jobs = max(tracker.getJobIdsForGroup(None) or [0]) - before
+        floor, gate = round(floors[name], 3), round(gates[name], 3)
         per_query[name] = {
             "floor_sec_sf0.001": floor,
             "wall_sec_gate_sf": gate,
@@ -132,8 +149,9 @@ def main() -> None:
     total_floor = round(sum(v["floor_sec_sf0.001"] for v in per_query.values()), 3)
     total_gate = round(sum(v["wall_sec_gate_sf"] for v in per_query.values()), 3)
     out = {
-        "method": "floor = min wall over REPS warm reps at sf0.001; "
-        "data-dependent = gate-SF wall - floor; one shared warm session",
+        "method": "floor = min wall over REPS warm reps at sf0.001, reps "
+        "round-robin across queries (transient-robust); data-dependent = "
+        "gate-SF wall - floor; one shared warm session",
         "reps": REPS,
         "gate_sf_dir": gate_dir,
         "session_nulls_sec": nulls,
