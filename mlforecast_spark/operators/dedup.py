@@ -435,34 +435,40 @@ def simhash(
     reps; 2.47 vs 2.55 in a 5-rep run). Identical fingerprints verified
     across all variants (exceptAll empty both directions at sf1).
 
-    Plan-floor note (r9): the lane sums and the 63-term fingerprint
-    reassembly are built as SQL STRINGS parsed JVM-side (one ``F.expr``
-    each) instead of node-by-node py4j Column algebra — identical analyzed
-    plans and results, but the py4j round trips per node dominated the
-    query's fixed floor: measured at sf0.001 (5 warm reps, local[32]) the
-    full dedup_simhash query dropped 1.69 s -> 0.72 s median, with the
-    build phase 1.24 s -> 0.28 s and analyze/execute unchanged."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
-    ).filter(F.length("tok") > 0)
+    Plan-floor note (r9): the whole query — tokenize, lane sums, and the
+    63-term fingerprint reassembly — is ONE ``spark.sql`` string with the
+    input DataFrame passed as a SQL parameter; identical analyzed plan and
+    results to the node-by-node Column construction, but the py4j round
+    trips per node dominated the query's fixed floor (measured at sf0.001,
+    5 warm reps, local[32]: full dedup_simhash 1.69 s -> 0.72 s median
+    from the earlier F.expr-per-aggregate form, then the residual ~0.15 s
+    of groupBy/select plumbing removed by this single-statement form)."""
+    spark = df.sparkSession
+    iq = f"`{id_col}`"
+    tq = f"`{text_col}`"
     spread_mul = (1) | (1 << 20) | (1 << 40)
     spread_mask = (1) | (1 << 21) | (1 << 42)
-    lane_sums = [
-        F.expr(
-            f"sum((shiftrightunsigned(xxhash64(tok), {3 * j}) & 7L)"
-            f" * {spread_mul}L & {spread_mask}L)"
-        ).alias(f"l{j}")
+    lane_sums = ", ".join(
+        f"sum((shiftrightunsigned(xxhash64(tok), {3 * j}) & 7L)"
+        f" * {spread_mul}L & {spread_mask}L) AS l{j}"
         for j in range(21)
-    ]
-    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
+    )
     mask = (1 << 21) - 1
     terms = []
     for i in range(63):  # keep the sign bit clear to avoid ANSI overflow
         j, k = divmod(i, 3)
         ones = f"(shiftrightunsigned(l{j}, {21 * k}) & {mask}L)"
         terms.append(f"if({ones} * 2 > _n, shiftleft(1L, {i}), 0L)")
-    fp = F.expr(" + ".join(terms))
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp = " + ".join(terms)
+    sql = (
+        f"SELECT {iq}, {fp} AS simhash FROM ("
+        f"SELECT {iq}, count(1) AS _n, {lane_sums} FROM ("
+        f"SELECT {iq}, tok FROM ("
+        f"SELECT {iq}, explode(split(trim(lower({tq})), '\\\\s+')) AS tok "
+        f"FROM {{df}}) WHERE length(tok) > 0"
+        f") GROUP BY {iq})"
+    )
+    return spark.sql(sql, df=df)
 
 
 def connected_components(
@@ -630,71 +636,53 @@ def simhash_candidates(
     (where pinned fingerprint frames would accumulate) should pass
     ``cache=False`` and persist/unpersist ``fps`` themselves around
     materialization."""
+    import os
+
     if cache:
         fps = fps.cache()
-    chunks = fps.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+    spark = fps.sparkSession
+    iq = f"`{id_col}`"
+    chunk_arr = "array(" + ", ".join(
+        f"shiftright(simhash, {16 * i}) & 65535L" for i in range(4)
+    ) + ")"
+    exploded = (
+        f"SELECT {iq}, simhash, chunk_idx, chunk FROM "
+        f"(SELECT {iq}, simhash FROM {{fps}}) "
+        f"LATERAL VIEW posexplode({chunk_arr}) t AS chunk_idx, chunk"
+    )
+    counted = (
+        f"SELECT *, count(1) OVER (PARTITION BY chunk_idx, chunk) AS _bn "
+        f"FROM ({exploded})"
     )
     if max_bucket_size is None:
-        chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], None)
-        cap_cols = []
+        chunks_sql = (
+            f"SELECT {iq}, simhash, chunk_idx, chunk FROM ({counted}) "
+            f"WHERE _bn >= 2"
+        )
     else:
         # capped mode, shuffle-free dedup (same construction as the minhash
         # path): every chunk row carries the doc's per-chunk CAPPED flags so
         # "first chunk agreeing in an UNCAPPED bucket" is a join-row filter
         # instead of a dropDuplicates over the quadratic candidate set
-        wb = Window.partitionBy("chunk_idx", "chunk")
-        wid = Window.partitionBy(id_col)
-        chunks = (
-            chunks.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .withColumn(
-                "_cap",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("chunk_idx"),
-                                (F.col("_bn") > max_bucket_size).alias("c"),
-                            )
-                        ).over(wid)
-                    ),
-                    lambda s: s["c"],
-                ),
-            )
-            .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
-            .drop("_bn")
+        capped = (
+            f"SELECT {iq}, simhash, chunk_idx, chunk, _bn, "
+            f"transform(array_sort(collect_list(named_struct("
+            f"'chunk_idx', chunk_idx, 'c', _bn > {max_bucket_size})) "
+            f"OVER (PARTITION BY {iq})), s -> s.c) AS _cap "
+            f"FROM ({counted})"
         )
-        cap_cols = [F.col("a._cap").alias("_cap_a")]
-    a = chunks.alias("a")
+        chunks_sql = (
+            f"SELECT {iq}, simhash, chunk_idx, chunk, _cap FROM ({capped}) "
+            f"WHERE _bn >= 2 AND _bn <= {max_bucket_size}"
+        )
     # same reasoning as the minhash banded join: capped buckets bound skew,
     # so a runtime hash join can skip sorting both exploded chunk sides
-    # (AQE's SMJ->SHJ threshold decides; _shuffle_hash only pins it under
-    # MLFS_FORCE_SHUFFLE_HASH=1); uncapped keeps AQE skew-splitting free
-    # to act on degenerate buckets.
-    b = _shuffle_hash(chunks).alias("b") if max_bucket_size else chunks.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.simhash").alias("fp_a"),
-        F.col("b.simhash").alias("fp_b"),
-        F.col("a.chunk_idx").alias("_band"),
-        *cap_cols,
+    # (AQE's SMJ->SHJ threshold decides; the SHUFFLE_HASH hint only pins it
+    # under MLFS_FORCE_SHUFFLE_HASH=1); uncapped keeps AQE skew-splitting
+    # free to act on degenerate buckets.
+    force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
+    join_hint = (
+        "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
     )
     # first-matching-band dedup: both fingerprints ride the join row, so
     # "is this the FIRST band where the pair's chunks agree" is a plain
@@ -704,24 +692,29 @@ def simhash_candidates(
     # goes to the first band agreeing in an UNCAPPED bucket (the _cap
     # flags; agreement means the bucket is shared, so a's flag is the
     # pair's).
-    mask = F.lit(0xFFFF).cast("long")
-    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    no_earlier = F.lit(True)
+    terms = []
     for j in range(3):
-        band_j_differs = F.shiftright(xor, 16 * j).bitwiseAND(mask) != 0
-        claim_free_at_j = (
-            band_j_differs
-            if max_bucket_size is None
-            else (band_j_differs | F.col("_cap_a")[j])
+        differs = (
+            f"(shiftright(a.simhash ^ b.simhash, {16 * j}) & 65535L) != 0"
         )
-        no_earlier = no_earlier & F.when(
-            F.col("_band") > j, claim_free_at_j
-        ).otherwise(F.lit(True))
-    pairs = joined.filter(no_earlier).select("id_a", "id_b", "fp_a", "fp_b")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+        claim_free = (
+            differs
+            if max_bucket_size is None
+            else f"(({differs}) OR a._cap[{j}])"
+        )
+        terms.append(f"IF(a.chunk_idx > {j}, {claim_free}, TRUE)")
+    no_earlier = " AND ".join(terms)
+    sql = (
+        f"SELECT id_a, id_b, hamming FROM ("
+        f"SELECT {join_hint}a.{iq} AS id_a, b.{iq} AS id_b, "
+        f"bit_count(a.simhash ^ b.simhash) AS hamming "
+        f"FROM ({chunks_sql}) a JOIN ({chunks_sql}) b "
+        f"ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk "
+        f"AND a.{iq} < b.{iq} "
+        f"WHERE {no_earlier}"
+        f") WHERE hamming <= {max_hamming}"
     )
+    return spark.sql(sql, fps=fps)
 
 
 def dedup_corpus(
