@@ -10,6 +10,7 @@ from .forecast import MLForecast
 from .core import FeaturePlan, PanelSchema
 from .joins import asof_join, range_join
 from .local_predict import CogroupUnsupportedError
+from .preprocessing import fill_gaps
 from . import lag_transforms, target_transforms, models, utils
 
 __version__ = "0.1.0"
@@ -21,6 +22,7 @@ __all__ = [
     "CogroupUnsupportedError",
     "asof_join",
     "range_join",
+    "fill_gaps",
     "lag_transforms",
     "target_transforms",
     "models",
