@@ -181,6 +181,6 @@ def validate_df(
         raise ValueError(
             f"Series contain missing or duplicate timestamps with the "
             f"specified freq {freq}\nAffected series: {ids}\n"
-            f"Consider using the fill_gaps parameter or preprocessing your "
-            f"data."
+            f"Consider mlforecast_spark.preprocessing.fill_gaps or "
+            f"preprocessing your data."
         )
