@@ -76,6 +76,7 @@ def fill_gaps(
     id_col: str = "unique_id",
     time_col: str = "ds",
     chunk: int = 4096,
+    on_grid: bool = False,
 ) -> DataFrame:
     """Complete each series' calendar at ``freq`` between ``start`` and
     ``end`` (both inclusive); missing rows appear with NULLs in every
@@ -88,6 +89,12 @@ def fill_gaps(
     which assumes grid-aligned input; run ``validate_df`` first if you
     need that assumption checked. Input rows before an explicit ``start``
     / after an explicit ``end`` are dropped.
+
+    ``on_grid=True`` declares every input timestamp to be on the freq grid
+    (e.g. after :func:`mlforecast_spark.data_validation.validate_df`) and
+    skips the union+distinct shuffle that exists only to keep off-grid
+    rows — at large scale that removes one full pass over the (id, time)
+    pairs; off-grid rows are silently DROPPED under this flag.
     """
     ds_type = df.schema[time_col].dataType
     limits = df.groupBy(id_col).agg(
@@ -143,13 +150,16 @@ def fill_gaps(
         time_plus(F.col("_s"), freq, F.col("_k")).cast(ds_type).alias(time_col),
     )
 
-    # observed timestamps off the freq grid survive via the union; the
-    # distinct collapses grid rows that coincide with observed ones
-    keys = grid.unionByName(df.select(id_col, time_col)).distinct()
-    if not (_is_mode(start, "per_serie") or _is_mode(start, "global")):
-        keys = keys.filter(F.col(time_col) >= F.lit(start).cast(ds_type))
-    if not (_is_mode(end, "per_serie") or _is_mode(end, "global")):
-        keys = keys.filter(F.col(time_col) <= F.lit(end).cast(ds_type))
+    if on_grid:
+        keys = grid
+    else:
+        # observed timestamps off the freq grid survive via the union; the
+        # distinct collapses grid rows that coincide with observed ones
+        keys = grid.unionByName(df.select(id_col, time_col)).distinct()
+        if not (_is_mode(start, "per_serie") or _is_mode(start, "global")):
+            keys = keys.filter(F.col(time_col) >= F.lit(start).cast(ds_type))
+        if not (_is_mode(end, "per_serie") or _is_mode(end, "global")):
+            keys = keys.filter(F.col(time_col) <= F.lit(end).cast(ds_type))
 
     return keys.join(df, [id_col, time_col], "left").select(
         id_col, time_col, *[c for c in df.columns if c not in (id_col, time_col)]

@@ -159,6 +159,26 @@ def test_fill_gaps_extra_columns_null_filled(spark):
     assert got["tag"].tolist() == ["x", None, "z"]
 
 
+def test_fill_gaps_on_grid_fast_path(spark):
+    frames = _frames_daily()
+    rows = [
+        (uid, r.ds.date(), r.y) for uid, f in frames.items() for r in f.itertuples()
+    ]
+    df = _panel(spark, rows)
+    slow = _collect(fill_gaps(df, "D", start="per_serie", end="global"))
+    fast = _collect(fill_gaps(df, "D", start="per_serie", end="global", on_grid=True))
+    pd.testing.assert_frame_equal(slow, fast)
+    # the fast path drops the union+distinct: no Union in its plan
+    plan = (
+        fill_gaps(df, "D", on_grid=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Union" not in plan
+    assert "Union" in (
+        fill_gaps(df, "D")._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_fill_gaps_plan_has_no_cartesian_or_window(spark):
     df = _panel(spark, [("A", datetime.date(2024, 1, 1), 1.0)])
     plan = fill_gaps(df, "D", start="global", end="global")._jdf.queryExecution().executedPlan().toString()
