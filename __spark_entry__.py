@@ -760,17 +760,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """LSH recall promoted into the correctness contract: candidates from
         banded minhash, exact-verified by n-gram Jaccard >= 0.3. The result
         equals the exact all-pairs set (the DuckDB oracle) iff LSH recall at
-        this threshold is 100% — any recall regression breaks the hash."""
+        this threshold is 100% — any recall regression breaks the hash.
+
+        Banding comes from ``optimal_bands(32, threshold=0.3)`` = (12, 2)
+        so the S-curve matches the query's own verification threshold. The
+        r9 sf1 STRICT sweep caught the default (8, 4) — tuned for t~0.59 —
+        missing 223/250600 pairs at j 0.7-0.9, each miss binomially
+        consistent with (1-s^4)^8 (no agreeing band on inspection); the
+        solver banding measures recall 1.0 on the same corpus at +53%
+        candidates (BASELINE.md round-9 notes)."""
         from mlforecast_spark.operators.dedup import (
             minhash_lsh_candidates,
             minhash_signatures,
             ngram_jaccard_pairs,
+            optimal_bands,
             shingle_df,
         )
 
         docs = _docs(spark, sf)
         sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
-        cand = minhash_lsh_candidates(sig).select("id_a", "id_b")
+        n_bands, _ = optimal_bands(32, threshold=0.3)
+        cand = minhash_lsh_candidates(sig, num_bands=n_bands).select(
+            "id_a", "id_b"
+        )
         exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3, allow_all_pairs=True)
         return exact.join(cand, on=["id_a", "id_b"], how="inner").select(
             "id_a", "id_b", "jaccard"
