@@ -391,11 +391,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["validation_stats"] = validation_stats
 
     def future_grid_q(spark, sf):
+        """Merged slot (r9): the dense per-series calendar from
+        ``preprocessing.fill_gaps`` (gap rows carry NULL y) unioned with
+        the 7-step future grid — one oracle row covering both calendar
+        operators (generate_series min..max+7 LEFT JOIN panel in DuckDB)."""
+        from mlforecast_spark.preprocessing import fill_gaps
         from mlforecast_spark.utils import future_grid
 
-        return future_grid(_panel(spark, sf), "D", 7)
+        panel = _panel(spark, sf)
+        filled = fill_gaps(panel, "D", start="per_serie", end="per_serie")
+        future = future_grid(panel, "D", 7).withColumn(
+            "y", F.lit(None).cast("double")
+        )
+        return filled.unionByName(future)
 
-    q["future_grid"] = future_grid_q
+    q["fill_gaps_future_grid"] = future_grid_q
 
     def keep_last_n(spark, sf):
         from pyspark.sql import Window
@@ -1563,13 +1573,16 @@ def oracle_sql() -> dict[str, str]:
         " FROM panel GROUP BY unique_id"
     )
 
-    o["future_grid"] = (
-        f"WITH {PANEL_SQL}, last AS ("
-        " SELECT unique_id, MAX(ds) AS last_ds FROM panel GROUP BY 1)"
-        " SELECT unique_id, CAST(unnest(generate_series("
-        "   CAST(last_ds AS TIMESTAMP) + INTERVAL 1 DAY,"
-        "   CAST(last_ds AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds"
-        " FROM last"
+    o["fill_gaps_future_grid"] = (
+        f"WITH {PANEL_SQL}, lim AS ("
+        " SELECT unique_id, MIN(ds) AS min_ds, MAX(ds) AS max_ds"
+        " FROM panel GROUP BY 1),"
+        " grid AS (SELECT unique_id, CAST(unnest(generate_series("
+        "   CAST(min_ds AS TIMESTAMP),"
+        "   CAST(max_ds AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds"
+        "  FROM lim)"
+        " SELECT g.unique_id, g.ds, p.y"
+        " FROM grid g LEFT JOIN panel p ON g.unique_id = p.unique_id AND g.ds = p.ds"
     )
 
     o["keep_last_n"] = (
