@@ -589,11 +589,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- date features (string family + dummy expansion, one slot) ------
+    # r9 merge: the slot also carries the deterministic positional
+    # regressors (feature_engineering.fourier/trend via pipeline — one
+    # row_number window), so their values are oracle-checked too
     def date_feats_all(spark, sf):
         from mlforecast_spark.date_features import apply_date_features, date_feature_col
+        from mlforecast_spark.feature_engineering import fourier, pipeline, trend
 
         panel = _panel(spark, sf)
-        out, names = apply_date_features(panel, "ds", ["dayofweek"], as_dummies=True)
+        det, _ = pipeline(
+            panel, [(fourier, {"season_length": 7, "k": 1}), trend], "D"
+        )
+        out, names = apply_date_features(det, "ds", ["dayofweek"], as_dummies=True)
         ds = F.col("ds")
         return out.select(
             "unique_id",
@@ -605,6 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             date_feature_col("is_month_end", ds).alias("is_month_end"),
             date_feature_col("daysinmonth", ds).alias("daysinmonth"),
             *names,
+            F.round("sin1_7", 6).alias("sin1_7"),
+            F.round("cos1_7", 6).alias("cos1_7"),
+            F.col("trend"),
         )
 
     q["date_features_all"] = date_feats_all
@@ -1652,8 +1662,12 @@ def oracle_sql() -> dict[str, str]:
         " CAST(DAYOFYEAR(ds) AS INTEGER) AS dayofyear,"
         " CAST(ds = last_day(ds) AS INTEGER) AS is_month_end,"
         " CAST(DAY(last_day(ds)) AS INTEGER) AS daysinmonth,"
-        f" {dow_dummies}"
-        " FROM panel"
+        f" {dow_dummies},"
+        " ROUND(SIN(2 * PI() * t / 7), 6) AS sin1_7,"
+        " ROUND(COS(2 * PI() * t / 7), 6) AS cos1_7,"
+        " CAST(t AS DOUBLE) AS trend"
+        " FROM (SELECT *, ROW_NUMBER() OVER ("
+        "  PARTITION BY unique_id ORDER BY ds) AS t FROM panel)"
     )
 
     o["expanding_mean"] = (
