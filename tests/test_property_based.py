@@ -514,3 +514,66 @@ def test_asof_join_matches_pandas_on_random_feeds(spark, feeds):
         got[["k", "ts", "size", "px"]], exp[["k", "ts", "size", "px"]],
         check_dtype=False,
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fill_gaps_matches_pandas_on_random_panels(spark, data):
+    """fill_gaps vs a pandas date_range/merge replay on random sparse
+    panels: random per-series subsets of a daily calendar, random
+    start/end modes, random step size."""
+    from mlforecast_spark.preprocessing import fill_gaps
+
+    n_series = data.draw(st.integers(1, 3), label="n_series")
+    step = data.draw(st.integers(1, 3), label="step_days")
+    start_mode = data.draw(
+        st.sampled_from(["per_serie", "global"]), label="start"
+    )
+    end_mode = data.draw(st.sampled_from(["per_serie", "global"]), label="end")
+    base = pd.Timestamp("2024-03-01")
+    frames = {}
+    rows = []
+    for sid in range(n_series):
+        # random on-grid offsets: positions k*step for a random subset of k
+        ks = sorted(
+            data.draw(
+                st.sets(st.integers(0, 25), min_size=1, max_size=10),
+                label=f"ks{sid}",
+            )
+        )
+        ds = [base + pd.Timedelta(days=k * step) for k in ks]
+        f = pd.DataFrame({"ds": ds, "y": [float(k) for k in ks]})
+        frames[f"s{sid}"] = f
+        rows += [(f"s{sid}", d.date(), float(k)) for d, k in zip(ds, ks)]
+    df = spark.createDataFrame(rows, "unique_id string, ds date, y double")
+    got = (
+        fill_gaps(df, f"{step}D", start=start_mode, end=end_mode)
+        .toPandas()
+        .sort_values(["unique_id", "ds"])
+        .reset_index(drop=True)
+    )
+    gmin = min(f.ds.min() for f in frames.values())
+    gmax = max(f.ds.max() for f in frames.values())
+    expected = []
+    for uid, f in frames.items():
+        s = f.ds.min() if start_mode == "per_serie" else gmin
+        e = f.ds.max() if end_mode == "per_serie" else gmax
+        grid = pd.date_range(s, e, freq=f"{step}D")
+        g = pd.DataFrame({"unique_id": uid, "ds": grid}).merge(
+            f.assign(unique_id=uid), on=["unique_id", "ds"], how="outer"
+        )
+        expected.append(g)
+    exp = (
+        pd.concat(expected)
+        .sort_values(["unique_id", "ds"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["unique_id"].tolist() == exp["unique_id"].tolist()
+    assert [str(d) for d in got["ds"]] == [str(d.date()) for d in exp["ds"]]
+    a, b = got["y"].to_numpy(), exp["y"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
