@@ -300,7 +300,13 @@ def minhash_lsh_candidates(
             f"SELECT {iq}, _bks, band, bucket, _cap FROM ({capped}) "
             f"WHERE _bn >= 2 AND _bn <= {max_bucket_size}"
         )
-    bands = spark.sql(bands_sql, sig=signatures).cache()
+    # NOT cached (r9 A/B): the self-join's two sides recompute the banding
+    # from the CACHED signatures, which measures equal-or-faster than
+    # caching the exploded band rows at sf0.1 (1.13 vs 1.23 s min) and
+    # sf10 (21.4 vs 21.9 s min) — and repeated calls with the cache
+    # accumulated storage churn (first sf10 reps 47–60 s vs a stable
+    # 21–25 s uncached). One fewer materialization job per call.
+    bands = spark.sql(bands_sql, sig=signatures)
     force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
     join_hint = (
         "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
