@@ -612,8 +612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             date_feature_col("is_month_end", ds).alias("is_month_end"),
             date_feature_col("daysinmonth", ds).alias("daysinmonth"),
             *names,
-            F.round("sin1_7", 6).alias("sin1_7"),
-            F.round("cos1_7", 6).alias("cos1_7"),
+            # `+ 0.0` normalizes IEEE signed zero: Spark folds 2*pi/7 in
+            # Python while DuckDB evaluates SIN(2*PI()*t/7), so at t % 7 == 0
+            # the two ulp-sized results round to +0.0 vs -0.0 and the
+            # driver's byte-level hash diverges (r9's one red row).
+            (F.round("sin1_7", 6) + F.lit(0.0)).alias("sin1_7"),
+            (F.round("cos1_7", 6) + F.lit(0.0)).alias("cos1_7"),
             F.col("trend"),
         )
 
@@ -1663,8 +1667,8 @@ def oracle_sql() -> dict[str, str]:
         " CAST(ds = last_day(ds) AS INTEGER) AS is_month_end,"
         " CAST(DAY(last_day(ds)) AS INTEGER) AS daysinmonth,"
         f" {dow_dummies},"
-        " ROUND(SIN(2 * PI() * t / 7), 6) AS sin1_7,"
-        " ROUND(COS(2 * PI() * t / 7), 6) AS cos1_7,"
+        " ROUND(SIN(2 * PI() * t / 7), 6) + 0.0 AS sin1_7,"
+        " ROUND(COS(2 * PI() * t / 7), 6) + 0.0 AS cos1_7,"
         " CAST(t AS DOUBLE) AS trend"
         " FROM (SELECT *, ROW_NUMBER() OVER ("
         "  PARTITION BY unique_id ORDER BY ds) AS t FROM panel)"

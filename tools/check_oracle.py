@@ -54,7 +54,15 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
             b = pd.to_numeric(b, errors="coerce").astype(float)
             both_nan = a.isna() & b.isna()
             if STRICT:
-                close = (a == b) | both_nan
+                # `==` treats -0.0 == 0.0 as true, but the driver's hash is
+                # byte-level — require matching signbit on zero values so
+                # representational breaks (r9's date_features_all) are caught
+                # locally before the driver sees them.
+                av, bv = a.to_numpy(float), b.to_numpy(float)
+                same_zero_sign = ~(
+                    (av == 0.0) & (bv == 0.0) & (np.signbit(av) != np.signbit(bv))
+                )
+                close = ((a == b) & same_zero_sign) | both_nan
             else:
                 close = np.isclose(a, b, rtol=1e-6, atol=1e-6) | both_nan
             if not close.all():
