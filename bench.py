@@ -181,16 +181,35 @@ def main():
         "queries": timings,
         "sf": sf,
     }
-    # attach the recorded DuckDB single-node baseline (tools/bench_oracle.py)
-    # so each bench run carries its own ratio-vs-baseline; per-SF file wins
+    # Same-session DuckDB baseline (bench_both protocol): re-measure the
+    # oracle in THIS process so ratio_vs_oracle always pairs identical
+    # machine states. The r9 committed-file denominator was captured during
+    # a documented 40-70% machine slowdown and made BENCH_r09's headline
+    # ratio non-comparable; a live re-run can't skew that way. Falls back to
+    # the committed ORACLE_BENCH file only if the live run fails.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    base_path = os.path.join(repo_dir, f"ORACLE_BENCH_sf{sf}.json")
-    if not os.path.exists(base_path):
-        base_path = os.path.join(repo_dir, "ORACLE_BENCH.json")
-    if os.path.exists(base_path):
+    base = None
+    try:
+        sys.path.insert(0, os.path.join(repo_dir, "tools"))
+        import bench_oracle
+
+        base = bench_oracle.measure(sf_dir, cpus)
+        out_src = "same_session"
+    except Exception:
+        base = None
+    if base is None:
+        base_path = os.path.join(repo_dir, f"ORACLE_BENCH_sf{sf}.json")
+        if not os.path.exists(base_path):
+            base_path = os.path.join(repo_dir, "ORACLE_BENCH.json")
+        if os.path.exists(base_path):
+            try:
+                with open(base_path) as f:
+                    base = json.load(f)
+                out_src = "committed_file"
+            except Exception:
+                base = None
+    if base is not None:
         try:
-            with open(base_path) as f:
-                base = json.load(f)
             if base.get("sf") == sf:
                 base_total = sum(
                     v for k, v in base["queries"].items() if v is not None and k in timings
@@ -200,6 +219,7 @@ def main():
                 )
                 out["oracle_engine"] = base.get("engine", "duckdb")
                 out["oracle_sec"] = round(base_total, 3)
+                out["oracle_source"] = out_src
                 out["ratio_vs_oracle"] = round(ours_covered / base_total, 2)
         except Exception:
             pass

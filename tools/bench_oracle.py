@@ -197,8 +197,12 @@ SELECT COUNT(*), SUM(lag1 + lag14 + rm7_l1 + rm28_l1 + rs7_l1 + em_l1 + ewm_l1 +
 """
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def measure(sf_dir: str, threads: int) -> dict:
+    """Run the full warm-then-timed DuckDB pass and return the result dict.
+
+    Callable from bench.py so the driver bench's ratio_vs_oracle is always a
+    same-session, same-machine-state pair (the r9 committed denominator was
+    captured during a documented machine slowdown and flattered the ratio)."""
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -208,7 +212,7 @@ def main():
     import __spark_entry__ as entry
 
     con = duckdb.connect()
-    con.execute(f"SET threads TO {int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}")
+    con.execute(f"SET threads TO {threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -276,9 +280,18 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "threads": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "threads": threads,
         "warm": True,
     }
+    con.close()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = measure(sf_dir, threads)
+    sf = out["sf"]
     with open(f"ORACLE_BENCH_sf{sf}.json", "w") as f:
         json.dump(out, f, indent=2)
     if sf == 0.1:  # keep the canonical bench-SF file in sync
