@@ -222,15 +222,23 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     num_hashes: int = 32,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: hash each band of the
     signature to a bucket, self-join on (band, bucket). Returns distinct
     (id_a, id_b) with id_a < id_b plus the estimated Jaccard from signature
     agreement.
 
-    ``signatures`` is cached before the self-join: it is tiny (one row per
-    document) and feeds both sides, so recomputing the shingle+hash pipeline
-    twice would dominate the cost. Only (id, bucket vector, band, bucket)
+    ``signatures`` is cached before the self-join (``cache=True``): it is
+    tiny (one row per document) and feeds all four join sides, so
+    recomputing the shingle+hash pipeline would dominate the cost. The
+    cache's lifetime is the session — this function returns lazily and
+    cannot unpersist — so pipelines that call this repeatedly should either
+    unpersist the ``signatures`` frame they passed in after their terminal
+    action (``cache()`` marks the caller's own frame; same pattern as
+    ``simhash``'s documented ``cache=False`` contract), or pass
+    ``cache=False`` and manage persistence themselves.
+    Only (id, bucket vector, band, bucket)
     flows through the self-join — num_bands longs per row, enough for the
     first-matching-band dedup filter — while the full signature arrays are
     joined back onto the deduplicated pair set, keeping the wide payload out
@@ -258,7 +266,8 @@ def minhash_lsh_candidates(
     A/Bs (see ``_shuffle_hash``)."""
     import os
 
-    signatures = signatures.cache()
+    if cache:
+        signatures = signatures.cache()
     spark = signatures.sparkSession
     rpb = max(1, num_hashes // num_bands)
     iq = f"`{id_col}`"
@@ -1124,6 +1133,9 @@ def minhash_recall_estimate(
     )
     exact.unpersist()
     cands.unpersist()
+    # minhash_lsh_candidates cached `sigs` (cache() marks this frame); the
+    # counts above were the terminal actions, so release it here
+    sigs.unpersist()
     return out
 
 
