@@ -74,6 +74,12 @@ def _future_positions(
     """ids × next h timestamps with the series' position index continued
     (``_t`` = n+1 .. n+h). The timestamp is cast back to the input time
     type (time_plus promotes DATE to TIMESTAMP)."""
+    if h < 1:
+        # sequence(1, 0) defaults to step -1 and yields [1, 0] — two
+        # spurious rows per series (step 0 duplicating the last in-sample
+        # timestamp). h=0 means "no future frame": empty, same schema.
+        stats = stats.where(F.lit(False))
+        h = 1
     out = stats.select(
         id_col, "_last", "_n",
         F.explode(F.sequence(F.lit(1), F.lit(int(h)))).alias("_step"),
@@ -154,11 +160,21 @@ def pipeline(
     for entry in features:
         fn, kwargs = entry if isinstance(entry, tuple) else (entry, {})
         if fn is fourier:
+            missing = [k for k in ("season_length", "k") if k not in kwargs]
+            if missing:
+                raise ValueError(
+                    "pipeline fourier entry requires kwargs "
+                    f"{missing}: pass (fourier, {{'season_length': ..., 'k': ...}})"
+                )
             cols.extend(_fourier_cols(kwargs["season_length"], kwargs["k"]))
         elif fn is trend:
             cols.append(F.col("_t").cast("double").alias("trend"))
         else:
-            raise ValueError(f"unsupported pipeline feature: {fn!r}")
+            raise ValueError(
+                f"unsupported pipeline feature: {fn!r} — supported entries are "
+                "the fourier and trend functions from this module, optionally "
+                "as (fn, kwargs) tuples"
+            )
     transformed = with_t.select(*df.columns, *cols)
     future = fut.select(id_col, time_col, *cols)
     return transformed, future

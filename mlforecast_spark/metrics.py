@@ -214,6 +214,17 @@ def evaluate(
     present in ``cv_df``."""
     frames = []
     for name in metrics:
+        if name == "coverage" and level and len(level) > 1:
+            # one row per level, metric named 'coverage-{lv}' — mirrors the
+            # utilsforecast evaluate(level=[...]) pattern so coverage can mix
+            # with mqloss in one call instead of raising on multiple levels
+            for lv in level:
+                frames.append(
+                    coverage(cv_df, models, lv, id_col, target_col).withColumn(
+                        "metric", F.lit(f"coverage-{lv}")
+                    )
+                )
+            continue
         if name == "smape":
             f = smape(cv_df, models, id_col, target_col)
         elif name == "mae":

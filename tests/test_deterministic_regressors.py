@@ -106,3 +106,29 @@ def test_fourier_features_through_predict(spark):
     # the pure sin target is recovered through the fourier regressors
     expected = 10.0 + 3.0 * merged["sin1_7"] + (merged["unique_id"] == "B") * 1.0
     np.testing.assert_allclose(merged["LinearRegression"], expected, atol=1e-6)
+
+
+def test_h0_future_frame_is_empty(spark):
+    """h=0 (the default) must yield a row-free future frame: sequence(1, 0)
+    defaults to step -1 and would emit [1, 0] — two spurious rows per series,
+    step 0 duplicating the last in-sample timestamp."""
+    df = _panel(spark)
+    for fn, kwargs in (
+        (fourier, {"season_length": 7, "k": 1}),
+        (trend, {}),
+    ):
+        transformed, future = fn(df, "D", **kwargs)
+        assert future.count() == 0
+        assert transformed.count() == df.count()
+    _, future = pipeline(df, [(fourier, {"season_length": 7, "k": 1}), trend], "D")
+    assert future.count() == 0
+    # schema survives the empty short-circuit
+    assert future.columns == ["unique_id", "ds", "sin1_7", "cos1_7", "trend"]
+
+
+def test_pipeline_kwargs_validation(spark):
+    df = _panel(spark)
+    with pytest.raises(ValueError, match="season_length"):
+        pipeline(df, [(fourier, {"k": 1})], "D")
+    with pytest.raises(ValueError, match="supported entries"):
+        pipeline(df, [len], "D")

@@ -108,3 +108,34 @@ def test_mape_zero_target_rows_excluded(spark):
     out = mape(cv, ["m1"]).toPandas()
     # the y=0 row contributes NULL and is skipped: mean over the one valid row
     np.testing.assert_allclose(out["m1"].iloc[0], 0.5)
+
+
+def test_evaluate_coverage_multiple_levels(spark):
+    """coverage with level=[80, 95] emits one 'coverage-{lv}' row per level
+    so it can mix with mqloss in a single evaluate call (the utilsforecast
+    evaluate(level=[...]) pattern)."""
+    import numpy as np
+
+    from mlforecast_spark.metrics import evaluate
+
+    rows = []
+    rng = np.random.RandomState(3)
+    for uid in ["a", "b"]:
+        for t in range(10):
+            y = float(t + rng.rand())
+            p = y + rng.randn()
+            rows.append((uid, t, y, p, p - 1.0, p + 1.0, p - 2.0, p + 2.0))
+    cv = spark.createDataFrame(
+        rows,
+        "unique_id string, ds long, y double, m1 double, `m1-lo-80` double,"
+        " `m1-hi-80` double, `m1-lo-95` double, `m1-hi-95` double",
+    )
+    ev = evaluate(cv, ["mqloss", "coverage"], ["m1"], level=[80, 95]).toPandas()
+    assert set(ev["metric"]) == {"mqloss", "coverage-80", "coverage-95"}
+    assert len(ev) == 6  # 2 series x 3 metric rows
+    pdf = cv.toPandas()
+    for lv in (80, 95):
+        sub = ev[ev.metric == f"coverage-{lv}"].set_index("unique_id")
+        for uid, g in pdf.groupby("unique_id"):
+            exp = np.mean((g.y >= g[f"m1-lo-{lv}"]) & (g.y <= g[f"m1-hi-{lv}"]))
+            np.testing.assert_allclose(sub.loc[uid, "m1"], exp, rtol=1e-12)
