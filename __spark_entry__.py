@@ -112,6 +112,23 @@ def _quantize(panel: DataFrame) -> DataFrame:
     return panel.withColumn("y", F.round(F.col("y") / 16) * 16)
 
 
+def _round6_repr(expr: str) -> str:
+    """DuckDB ROUND that reproduces Spark's round() semantics exactly.
+
+    Spark rounds DOUBLE via BigDecimal.valueOf — HALF_UP on the SHORTEST
+    round-trip decimal repr — while DuckDB's ROUND works off the exact
+    binary value; they disagree when the shortest repr is a tie at the 7th
+    digit but the exact double is not (r10 caught one in the quantized ewm
+    slot: raw 265180.56591449998 has shortest repr "265180.5659145" →
+    Spark ...915, DuckDB ...914). CAST(v AS VARCHAR) produces the shortest
+    repr, DECIMAL(38,18) holds it exactly for |v| < 1e20, and DuckDB's
+    decimal ROUND is half-away-from-zero = BigDecimal HALF_UP."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), 6)"
+        " AS DOUBLE)"
+    )
+
+
 # fixed retrieval query for the BM25 leg of the doc_text_profile slot
 _BM25_TERMS = ["spark", "window", "vector"]
 
@@ -446,6 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # merged variants: one queries() slot each covers 4 (resp. 2) rolling /
     # expanding operators under the 50-row oracle window
+    # quantize: the r9 sf1 STRICT sweep caught 2 rows flipping a round(6)
+    # boundary from summation-tree reassociation in the windowed std; the
+    # /16 grid makes the window sums exact integers (same fix as the pooled
+    # family), so both engines agree bit-for-bit at every SF
     q["rolling_std_quantile"] = _multi_feature_query(
         lambda: {
             1: [
@@ -456,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         },
         ["rs", "rq", "rmin", "rmax"],
+        quantize=True,
     )
     q["expanding_mean"] = _multi_feature_query(
         lambda: {1: [ExpandingMean(), ExpandingStd()]}, ["em", "es"], quantize=True
@@ -478,11 +500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ]
             },
             ["srm", "srs"],
+            quantize=True,
         )(spark, sf)
 
     q["seasonal_rolling_mean_std"] = seasonal_mean_std_q
     q["ewm"] = _feature_query(
-        lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val"
+        lambda: (1, ExponentiallyWeightedMean(alpha=0.3)), "ewm_val", quantize=True
     )
     q["rolling_mean_min_samples"] = _feature_query(
         lambda: (2, RollingMean(window_size=14, min_samples=3)), "rmms"
@@ -1623,16 +1646,20 @@ def oracle_sql() -> dict[str, str]:
 
     o["rolling_mean"] = _rolling_sql(_MEAN_AGG, _MEAN_RES, 1, 7, 7, "rm")
     o["rolling_std_quantile"] = (
-        f"WITH {PANEL_SQL}, aggs AS ("
+        f"WITH {PANEL_SQL}, qpanel AS (SELECT unique_id, ds, {QUANT_SQL} AS y"
+        " FROM panel), aggs AS ("
         " SELECT unique_id, ds, SUM(y) OVER w AS w_sum, SUM(y*y) OVER w AS w_sum_sq,"
         "  COUNT(y) OVER w AS w_cnt, quantile_cont(y, 0.5) OVER w AS w_q,"
-        "  MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max FROM panel"
+        "  MIN(y) OVER w AS w_min, MAX(y) OVER w AS w_max FROM qpanel"
         " WINDOW w AS (PARTITION BY unique_id ORDER BY ds"
         "  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
-        " SELECT unique_id, ds,"
-        "  ROUND(CASE WHEN w_cnt >= 7 AND w_cnt > 1 THEN"
-        "   SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt) / (w_cnt - 1), 0.0))"
-        "  END, 6) AS rs,"
+        " SELECT unique_id, ds, "
+        + _round6_repr(
+            "CASE WHEN w_cnt >= 7 AND w_cnt > 1 THEN"
+            " SQRT(GREATEST((w_sum_sq - w_sum * w_sum * 1.0 / w_cnt)"
+            " / (w_cnt - 1), 0.0)) END"
+        )
+        + " AS rs,"
         "  ROUND(CASE WHEN w_cnt >= 7 THEN w_q END, 6) AS rq,"
         "  ROUND(CASE WHEN w_cnt >= 7 THEN w_min END, 6) AS rmin,"
         "  ROUND(CASE WHEN w_cnt >= 7 THEN w_max END, 6) AS rmax"
@@ -1708,32 +1735,40 @@ def oracle_sql() -> dict[str, str]:
 
     # seasonal: same-phase ROWS window over the lag-shifted series
     o["seasonal_rolling_mean_std"] = (
-        f"WITH {PANEL_SQL}, base AS ("
+        f"WITH {PANEL_SQL}, qpanel AS (SELECT unique_id, ds, {QUANT_SQL} AS y"
+        " FROM panel), base AS ("
         " SELECT unique_id, ds,"
         "  ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS ord,"
         "  LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS ly"
-        " FROM panel), aggs AS ("
+        " FROM qpanel), aggs AS ("
         " SELECT unique_id, ds, AVG(ly) OVER w AS w_avg, SUM(ly) OVER w AS s,"
         "  SUM(ly*ly) OVER w AS sq, COUNT(ly) OVER w AS c"
         " FROM base WINDOW w AS (PARTITION BY unique_id, ord % 7 ORDER BY ds"
         "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))"
-        " SELECT unique_id, ds,"
-        "  ROUND(CASE WHEN c >= 1 THEN w_avg END, 6) AS srm,"
-        "  ROUND(CASE WHEN c >= 2 AND c > 1 THEN"
-        "   SQRT(GREATEST((sq - s * s * 1.0 / c) / (c - 1), 0.0)) END, 6) AS srs"
-        " FROM aggs"
+        " SELECT unique_id, ds, "
+        + _round6_repr("CASE WHEN c >= 1 THEN w_avg END")
+        + " AS srm, "
+        + _round6_repr(
+            "CASE WHEN c >= 2 AND c > 1 THEN"
+            " SQRT(GREATEST((sq - s * s * 1.0 / c) / (c - 1), 0.0)) END"
+        )
+        + " AS srs FROM aggs"
     )
 
     # EWM: array_agg of the preceding values + list_reduce recursion
     o["ewm"] = (
-        f"WITH {PANEL_SQL}, aggs AS ("
+        f"WITH {PANEL_SQL}, qpanel AS (SELECT unique_id, ds, {QUANT_SQL} AS y"
+        " FROM panel), aggs AS ("
         " SELECT unique_id, ds, array_agg(y) OVER ("
         "  PARTITION BY unique_id ORDER BY ds"
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vals"
-        " FROM panel)"
-        " SELECT unique_id, ds, ROUND(CASE WHEN COALESCE(len(vals), 0) > 0 THEN"
-        "  list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) END, 6) AS ewm_val"
-        " FROM aggs"
+        " FROM qpanel)"
+        " SELECT unique_id, ds, "
+        + _round6_repr(
+            "CASE WHEN COALESCE(len(vals), 0) > 0 THEN"
+            " list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) END"
+        )
+        + " AS ewm_val FROM aggs"
     )
 
     o["combine_ratio"] = (
@@ -1872,8 +1907,12 @@ def oracle_sql() -> dict[str, str]:
         " aggs AS (SELECT region, ord, array_agg(y) OVER ("
         "  PARTITION BY region ORDER BY ord"
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vals FROM collapsed)"
-        " SELECT b.unique_id, b.ds, ROUND(CASE WHEN COALESCE(len(a.vals), 0) > 0 THEN"
-        "  list_reduce(a.vals, (acc, x) -> 0.4 * x + 0.6 * acc) END, 6) AS pgewm"
+        " SELECT b.unique_id, b.ds, "
+        + _round6_repr(
+            "CASE WHEN COALESCE(len(a.vals), 0) > 0 THEN"
+            " list_reduce(a.vals, (acc, x) -> 0.4 * x + 0.6 * acc) END"
+        )
+        + " AS pgewm"
         " FROM base b LEFT JOIN aggs a ON b.region = a.region AND b.ord = a.ord"
     )
 
