@@ -627,6 +627,124 @@ def _centroid_probe(
     )
 
 
+# ivf_search collects query batches up to this many rows to the driver and
+# computes their centroid probes in numpy (zero Spark jobs) instead of
+# planning the distributed probe+cogroup. 4096 queries x 64 doubles = 2 MB —
+# comfortably driver/closure-sized; batches past the cap (or loaded indexes
+# without driver-resident centroids) take the distributed path unchanged.
+_SMALL_QUERY_BATCH_CAP = 4096
+
+
+def _ivf_search_small(
+    index: IVFIndex,
+    qrows,
+    k: int,
+    nprobe: int,
+    round_to: int,
+    out_schema: str,
+) -> DataFrame:
+    """Small-query-batch IVF probe: the serving shape (a handful of queries
+    against a huge corpus). The query batch is already driver-resident, so
+    the nprobe nearest centroids per query are a numpy argsort (no probe
+    plan at all), the corpus is pruned with a scan-pushed ``isin`` on the
+    probed list ids (partition-pruned when ``assigned`` is stored
+    partitioned by ``list_id`` — see :meth:`IVFIndex.save`), and scoring is
+    one ``mapInPandas`` pass over the pruned scan: per Arrow batch, one BLAS
+    gram per probed list against that list's querying vectors with a
+    per-batch top-k, so only ``<= partitions * queries * k`` candidate rows
+    reach the final global top-k window. ZERO corpus shuffles — the
+    cogrouped path pays two exchanges (both cogroup sides) plus the
+    semi-join prune stages, which at the bench SF were pure per-job floor
+    (8 jobs -> 4) and at 100 TB are a full corpus shuffle this path never
+    does."""
+    import numpy as np
+
+    local = index.local_centers
+    list_ids = np.array([int(l) for l, _ in local], dtype=np.int64)
+    C = np.array([c for _, c in local], dtype=np.float64)
+    Q = np.stack(
+        [np.asarray(r["_qv"], dtype=np.float64) for r in qrows]
+    )
+    qids = np.array([r["query_id"] for r in qrows])
+    # L2 rank, ties to the lower list id — same rule as _centroid_probe's
+    # struct ('d', 'l') sort
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.broadcast_to(list_ids, d2.shape), d2), axis=1)
+    probed = order[:, : min(int(nprobe), len(local))]
+    q_for_list: dict[int, np.ndarray] = {}
+    for qi in range(len(qrows)):
+        for ci in probed[qi]:
+            q_for_list.setdefault(int(list_ids[ci]), []).append(qi)
+    q_for_list = {l: np.asarray(v) for l, v in q_for_list.items()}
+    needed = sorted(q_for_list)
+
+    assigned = index.assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+        F.col("list_id").alias("_list"),
+    )
+    spark = assigned.sparkSession
+    if not needed:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    kk = int(k)
+    rt = int(round_to)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for l, grp in pdf.groupby("_list"):
+                qidx = q_for_list.get(int(l))
+                if qidx is None or grp.empty:
+                    continue
+                N = np.stack(grp["_nv"].to_numpy()).astype(np.float64)
+                nids = grp["neighbor_id"].to_numpy()
+                nn = np.linalg.norm(N, axis=1)
+                nn[nn == 0] = 1.0
+                raw = (Q[qidx] @ N.T) / np.outer(qn[qidx], nn)
+                scale = 10.0 ** rt
+                # HALF_UP, matching _gram_topk_fn / Spark F.round
+                cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
+                o = np.argsort(nids, kind="stable")
+                nids_s = nids[o]
+                cos_s = cos[:, o]
+                self_mask = qids[qidx][:, None] == nids_s[None, :]
+                ranked = np.where(self_mask, -np.inf, cos_s)
+                kb = min(kk, ranked.shape[1])
+                idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kb]
+                rowi = np.repeat(np.arange(len(qidx)), kb)
+                coli = idx.ravel()
+                sel = ranked[rowi, coli]
+                keep = sel != -np.inf
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qidx][rowi[keep]],
+                            "neighbor_id": nids_s[coli[keep]],
+                            "cosine": sel[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = assigned.filter(F.col("_list").isin([int(l) for l in needed])).mapInPandas(
+        scan, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_search(
     index: IVFIndex,
     queries: DataFrame,
@@ -657,6 +775,29 @@ def ivf_search(
         F.col("list_id").alias("_list"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+
+    id_type_early = dict(q.dtypes)["query_id"]
+    nbr_type_early = dict(assigned.dtypes)["neighbor_id"]
+    local0 = getattr(index, "local_centers", None)
+    if local0 is not None and nprobe < len(local0):
+        # partial-probe small-batch fast path (see _ivf_search_small): one
+        # bounded collect decides — <= CAP rows means the batch IS the
+        # collected data; past the cap the rows are discarded and the
+        # distributed plan below runs (one wasted tiny job, amortized by
+        # the batch size that caused it). Full probe (nprobe >= n_lists)
+        # keeps the cogrouped plan: it is the brute-force-equivalent
+        # oracle configuration and probe order cannot change its result.
+        qrows = q.limit(_SMALL_QUERY_BATCH_CAP + 1).collect()
+        if len(qrows) <= _SMALL_QUERY_BATCH_CAP:
+            return _ivf_search_small(
+                index,
+                qrows,
+                k,
+                nprobe,
+                round_to,
+                f"query_id {id_type_early}, neighbor_id {nbr_type_early},"
+                " cosine double",
+            )
     probes = _centroid_probe(
         q, index.centroids, "query_id", "_qv", nprobe,
         local_centers=getattr(index, "local_centers", None),
@@ -684,7 +825,10 @@ def ivf_search(
     local = getattr(index, "local_centers", None)
     n_lists = len(local) if local is not None else None
     if n_lists is None or nprobe < n_lists:
-        probed_lists = probes.select("_list").distinct()
+        # no .distinct(): left-semi is duplicate-tolerant, and dropping it
+        # removes the distinct's exchange from the broadcast build (the
+        # probed-lists frame is n_queries * nprobe rows — tiny either way)
+        probed_lists = probes.select("_list")
         assigned = assigned.join(
             F.broadcast(probed_lists), on="_list", how="left_semi"
         )

@@ -639,21 +639,43 @@ def test_dedup_corpus_end_to_end(spark):
 
 
 def test_ivf_search_prunes_to_probed_lists(spark):
-    """The cogrouped scorer must only receive the PROBED inverted lists: the
-    plan carries a broadcast left-semi join on list_id ahead of the cogroup
-    (with nprobe << n_lists the unpruned cogroup would shuffle the whole
-    corpus)."""
+    """Both probe paths must only score the PROBED inverted lists. The
+    small-batch path prunes with a scan-pushed ``isin`` on list_id (zero
+    corpus shuffles); the distributed (cogrouped) path carries a broadcast
+    left-semi join on list_id ahead of the cogroup (with nprobe << n_lists
+    the unpruned cogroup would shuffle the whole corpus)."""
     import numpy as np
+    import mlforecast_spark.operators.similarity as sim
     from mlforecast_spark.operators.similarity import build_ivf_index, ivf_search
 
     rng = np.random.default_rng(9)
     rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(160)]
     embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     index = build_ivf_index(embs, n_lists=8, seed=7)
-    out = ivf_search(index, embs.filter(F.col("vec_id") < 3), k=5, nprobe=2)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan, plan[:3000]
-    assert out.count() > 0
+    queries = embs.filter(F.col("vec_id") < 3)
+
+    # small-batch path: isin filter ahead of the mapInPandas scorer, no
+    # join/exchange over the corpus
+    out_small = ivf_search(index, queries, k=5, nprobe=2)
+    plan_small = out_small._jdf.queryExecution().executedPlan().toString()
+    assert "_list IN" in plan_small or "_list#" in plan_small, plan_small[:3000]
+    assert "LeftSemi" not in plan_small
+    assert out_small.count() > 0
+
+    # distributed path (forced by capping the small batch at 0 queries)
+    cap = sim._SMALL_QUERY_BATCH_CAP
+    sim._SMALL_QUERY_BATCH_CAP = 0
+    try:
+        out = ivf_search(index, queries, k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan[:3000]
+        assert out.count() > 0
+        # the two paths agree on the result set
+        a = out_small.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        sim._SMALL_QUERY_BATCH_CAP = cap
 
 
 def test_ivf_index_build_save_load_search(spark, tmp_path):
