@@ -99,8 +99,20 @@ def _fit_predict(spark, sf_dir):
     # bucket_by=128 amortizes the per-series Python-call cost once the
     # replicated SFs multiply the series count (sf10: 2500 series, predict
     # 5.2 -> 1.4 s, output bit-exact — LinearRegression's batched scoring is
-    # row-independent); with sf0.1's 25 series it's a no-op.
-    return mf.predict(7, engine="cogroup", cogroup_buckets=128)
+    # row-independent). Below sf1 (25-250 series) bucketing is pure cost:
+    # the cached feature frame is already hash-partitioned by id, so
+    # groupBy(id) plans ZERO exchanges while groupBy(bucket) adds one —
+    # pick the bucketed plan only where it pays. sort_output=False: the
+    # forced consumer is an order-independent aggregate (like any
+    # downstream trainer/sink), so the global (id, ds) sort — a range
+    # exchange + boundary-sampling job over the whole forecast frame —
+    # is skipped; values identical (the kwarg only drops the orderBy).
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 1.0
+    buckets = 128 if sf >= 1 else None
+    return mf.predict(
+        7, engine="cogroup", cogroup_buckets=buckets, sort_output=False
+    )
 
 
 def main():

@@ -561,6 +561,7 @@ class MLForecast:
         cogroup_buckets: Optional[int] = None,
         transfer_conformal=None,
         x_align: str = "exact",
+        sort_output: bool = True,
     ) -> DataFrame:
         """``ewm_update_mode``: 'recompute' (default) re-derives EWM features
         from history each step — cheapest at short histories / local scale.
@@ -595,6 +596,14 @@ class MLForecast:
         grid step carries the most recent exogenous row at or before it),
         then feeds the aligned frame to whichever engine runs — one extra
         distributed join, identical plan downstream.
+
+        ``sort_output``: globally sort the forecast frame by (id, time)
+        before returning (default, matching the reference's ordered
+        output). A global sort is a range-partitioning exchange plus a
+        boundary-sampling job over the ENTIRE forecast frame — at cluster
+        scale (millions of series x h rows) that is a full extra shuffle a
+        downstream trainer or sink that doesn't care about row order never
+        needs. Pass ``False`` to skip it; values are identical.
         """
         if engine not in ("spark", "cogroup", "auto"):
             raise ValueError("engine must be 'spark', 'cogroup' or 'auto'")
@@ -672,10 +681,12 @@ class MLForecast:
                 h, X_df=X_df, ids=ids, state=state, statics=statics, horizons=horizons
             )
             results = self._inverse_transforms(results, list(self.models_), tfms)
-            results = results.orderBy(s.id_col, s.time_col)
+            if sort_output:
+                results = results.orderBy(s.id_col, s.time_col)
         elif cogroup_results is not None:
             results = self._inverse_transforms(cogroup_results, list(self.models_), tfms)
-            results = results.orderBy(s.id_col, s.time_col)
+            if sort_output:
+                results = results.orderBy(s.id_col, s.time_col)
         else:
             results = None
             for name, model in self.models_.items():
@@ -689,7 +700,8 @@ class MLForecast:
                     preds, on=[s.id_col, s.time_col], how="inner"
                 )
             results = self._inverse_transforms(results, list(self.models_), tfms)
-            results = results.orderBy(s.id_col, s.time_col)
+            if sort_output:
+                results = results.orderBy(s.id_col, s.time_col)
         if level is not None:
             results = self._add_intervals(results, h, level)
         if "_step" in results.columns:

@@ -214,6 +214,43 @@ def test_bucketed_rollout_identical(spark, panel):
     pd.testing.assert_frame_equal(base, bucketed[base.columns])
 
 
+def test_sort_output_false_same_values(spark, panel):
+    """sort_output=False drops only the final global orderBy: the row SET is
+    identical for both engines, and the unsorted plan carries no Sort/range
+    exchange above the rollout."""
+    mf = MLForecast(
+        models=[LinearRegression()],
+        freq="D",
+        lags=[1, 7],
+        lag_transforms={1: [RollingMean(window_size=7, min_samples=1)]},
+    )
+    mf.fit(panel)
+    key = ["unique_id", "ds"]
+    for eng in ("spark", "cogroup"):
+        ordered = mf.predict(4, engine=eng).toPandas()
+        unordered = (
+            mf.predict(4, engine=eng, sort_output=False)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            ordered.sort_values(key).reset_index(drop=True),
+            unordered[ordered.columns],
+        )
+    plan = mf.predict(
+        4, engine="cogroup", sort_output=False
+    )._jdf.queryExecution().optimizedPlan().toString()
+    global_sorts = [
+        ln for ln in plan.splitlines() if "Sort [" in ln and "], true" in ln
+    ]
+    assert not global_sorts, global_sorts
+    plan_sorted = mf.predict(
+        4, engine="cogroup"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert any(
+        "Sort [" in ln and "], true" in ln for ln in plan_sorted.splitlines()
+    )
+
+
 def test_generic_numpy_model(spark, panel):
     """A model with only fit/predict (no Spark scorer): the loop engine
     scores it via a broadcast pandas_udf, the cogroup engine calls predict
