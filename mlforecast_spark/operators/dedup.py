@@ -415,6 +415,76 @@ def ngram_jaccard_pairs(
     return res
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on GIVEN candidate pairs only — the bounded
+    verifier the 100 TB pipeline runs after LSH banding.
+
+    ``ngram_jaccard_pairs`` computes the exact all-pairs set via a shingle
+    self-join — quadratic in hot shingles and (by design) the recall
+    ORACLE, not the production path: the r10 sf10 STRICT sweep confirmed
+    it is DNF-class at 500k docs on both engines. This operator bounds
+    the exact work by the candidate set instead: semi-join each side's
+    shingles onto the pairs (only candidate docs' shingles survive the
+    scan), join a-side to b-side per pair on shingle equality, and
+    per-pair counts give |A∩B| with |A|,|B| from a per-doc agg —
+    total join volume is Σ over pairs of matching shingles, linear in
+    the candidate list for bounded-length docs. Same output columns
+    (id_a, id_b, jaccard) and the same round(6) as the all-pairs form;
+    equality on the candidate subset is pinned in
+    tests/test_operators.py::test_jaccard_verify_pairs_matches_allpairs.
+
+    Compose: ``minhash_lsh_candidates(sig) |> jaccard_verify_pairs(docs,
+    ...)`` — banding generates, this verifies, both shuffles bounded."""
+    p = pairs.select("id_a", "id_b")
+    sh = shingle_df(df, text_col, id_col, n=n, distinct=True)
+    ids = p.select(F.col("id_a").alias(id_col)).union(
+        p.select(F.col("id_b").alias(id_col))
+    )
+    sh = sh.join(ids.distinct(), on=id_col, how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("_sh_a"))
+    sb = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_sh_b"))
+    inter = (
+        p.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sh_a") == F.col("_sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    res = (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        res = res.filter(F.col("jaccard") >= threshold)
+    return res
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

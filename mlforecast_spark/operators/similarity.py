@@ -49,13 +49,31 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_unit", F.when(n > 0, F.transform(v, lambda x: x / n)))
 
 
+# Per-worker memory bound for one gram block, in float64 CELLS. 16M cells
+# = 128 MB per gram block (~4 transient arrays of that size live at once:
+# raw/cos/mask/ranked, so ~0.5 GB peak per worker; 32 concurrent workers
+# ~16 GB) — small enough for the box, large enough that BLAS runs at full
+# throughput. The sf10 STRICT sweep (200k queries x 6.25k-vector buckets
+# = a 10 GB gram PER TASK x 32 workers) crashed the unchunked form's
+# python workers; chunking the query axis is exact (each query row's
+# scores are independent).
+_GRAM_BLOCK_CELLS = 16_000_000
+
+
 def _gram_topk_fn(k: int, rt: int):
     """Cogrouped-Arrow scorer shared by :func:`cosine_topk` and
-    :func:`ivf_search`: one BLAS gram ``Q @ N.T`` per group over the
+    :func:`ivf_search`: BLAS gram ``Q @ N.T`` per group over the
     ``(query_id, _qv)`` x ``(neighbor_id, _nv)`` frames, HALF_UP rounding
     to ``rt`` decimals (matches Spark ``F.round`` / DuckDB ``ROUND`` —
     numpy's banker's rounding diverges on exact .5 ties), self-pairs
-    excluded, per-group top-k by (cosine desc, neighbor_id asc)."""
+    excluded, per-group top-k by (cosine desc, neighbor_id asc).
+
+    The gram is computed in fixed-size QUERY-ROW chunks so one task's
+    resident block never exceeds ``_GRAM_BLOCK_CELLS`` float64 cells
+    regardless of how many queries the group carries — per-query rows are
+    independent, so chunking the query axis changes nothing but peak
+    memory (bit-identical output, asserted in
+    tests/test_operators.py::test_gram_chunking_identical)."""
     import pandas as pd
 
     def score_list(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
@@ -71,9 +89,6 @@ def _gram_topk_fn(k: int, rt: int):
         nn = np.linalg.norm(N, axis=1)
         qn[qn == 0] = 1.0
         nn[nn == 0] = 1.0
-        raw = (Q @ N.T) / np.outer(qn, nn)
-        scale = 10.0 ** rt
-        cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
         qids = qpdf["query_id"].to_numpy()
         nids = npdf["neighbor_id"].to_numpy()
         # fully vectorized per-group top-k (a per-query pandas loop here
@@ -84,20 +99,31 @@ def _gram_topk_fn(k: int, rt: int):
         # the end via -inf and dropped after selection
         order = np.argsort(nids, kind="stable")
         nids_s = nids[order]
-        cos_s = cos[:, order]
-        self_mask = qids[:, None] == nids_s[None, :]
-        ranked = np.where(self_mask, -np.inf, cos_s)
-        kk = min(int(k), ranked.shape[1])
-        idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
-        rowi = np.repeat(np.arange(len(Q)), kk)
-        coli = idx.ravel()
-        sel = ranked[rowi, coli]
-        keep = sel != -np.inf  # legit cosines are finite by construction
+        N_s = N[order]
+        nn_s = nn[order]
+        scale = 10.0 ** rt
+        kk = min(int(k), len(nids_s))
+        chunk = max(1, _GRAM_BLOCK_CELLS // max(1, len(nids_s)))
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, len(Q), chunk):
+            hi = min(lo + chunk, len(Q))
+            raw = (Q[lo:hi] @ N_s.T) / np.outer(qn[lo:hi], nn_s)
+            cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
+            self_mask = qids[lo:hi, None] == nids_s[None, :]
+            ranked = np.where(self_mask, -np.inf, cos)
+            idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
+            rowi = np.repeat(np.arange(hi - lo), kk)
+            coli = idx.ravel()
+            sel = ranked[rowi, coli]
+            keep = sel != -np.inf  # legit cosines are finite by construction
+            out_q.append(qids[lo:hi][rowi[keep]])
+            out_n.append(nids_s[coli[keep]])
+            out_c.append(sel[keep])
         return pd.DataFrame(
             {
-                "query_id": qids[rowi[keep]],
-                "neighbor_id": nids_s[coli[keep]],
-                "cosine": sel[keep],
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
             }
         )
 

@@ -41,6 +41,39 @@ def test_ngram_jaccard(spark, docs):
     assert len(near) == 1 and 0.2 < near["jaccard"].iloc[0] < 1.0
 
 
+def test_jaccard_verify_pairs_matches_allpairs(spark, docs):
+    """The bounded per-pair verifier equals the all-pairs oracle on the
+    candidate subset, returns jaccard=0.0 for disjoint candidate pairs,
+    and never computes pairs it wasn't given."""
+    from mlforecast_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    allp = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, allow_all_pairs=True
+    ).toPandas()
+    # candidates: one overlapping pair, one near pair, one disjoint pair
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = (
+        jaccard_verify_pairs(docs, cand, n=3)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        exact = allp[(allp.id_a == r.id_a) & (allp.id_b == r.id_b)]
+        want = exact["jaccard"].iloc[0] if len(exact) else 0.0
+        assert r.jaccard == want, (r.id_a, r.id_b, r.jaccard, want)
+    # threshold filter drops the disjoint pair
+    kept = jaccard_verify_pairs(docs, cand, n=3, threshold=0.1).toPandas()
+    assert set(zip(kept.id_a, kept.id_b)) <= set(zip(out.id_a, out.id_b))
+    assert (kept.jaccard >= 0.1).all()
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     from mlforecast_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -159,6 +192,37 @@ def test_cosine_topk_vs_numpy(spark):
         ][:5]
         got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
         assert got == order, (q, got, order)
+
+
+def test_gram_chunking_identical():
+    """The query-axis gram chunking (the sf10 worker-OOM fix) is exact:
+    forcing chunk=1-row blocks must reproduce the one-block result
+    bit-for-bit, including the -inf self-pair drop and tie ranking."""
+    import pandas as pd
+
+    from mlforecast_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    n = 40
+    vecs = rng.randn(n, 8)
+    # planted exact ties: rows 30/31 duplicate row 0
+    vecs[30] = vecs[0]
+    vecs[31] = vecs[0]
+    qpdf = pd.DataFrame(
+        {"query_id": range(n), "_qv": [v.tolist() for v in vecs]}
+    )
+    npdf = pd.DataFrame(
+        {"neighbor_id": range(n), "_nv": [v.tolist() for v in vecs]}
+    )
+    fn = S._gram_topk_fn(5, 6)
+    one_block = fn(qpdf, npdf)
+    orig = S._GRAM_BLOCK_CELLS
+    S._GRAM_BLOCK_CELLS = 1  # chunk = max(1, 1 // 40) = 1 query row
+    try:
+        chunked = fn(qpdf, npdf)
+    finally:
+        S._GRAM_BLOCK_CELLS = orig
+    pd.testing.assert_frame_equal(one_block, chunked)
 
 
 def test_lsh_topk_recall(spark):
