@@ -817,9 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         solver banding measures recall 1.0 on the same corpus at +53%
         candidates (BASELINE.md round-9 notes)."""
         from mlforecast_spark.operators.dedup import (
+            jaccard_verify_pairs,
             minhash_lsh_candidates,
             minhash_signatures,
-            ngram_jaccard_pairs,
             optimal_bands,
             shingle_df,
         )
@@ -830,8 +830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cand = minhash_lsh_candidates(sig, num_bands=n_bands).select(
             "id_a", "id_b"
         )
-        exact = ngram_jaccard_pairs(docs, n=3, threshold=0.3, allow_all_pairs=True)
-        return exact.join(cand, on=["id_a", "id_b"], how="inner").select(
+        # r11: verify via the BOUNDED verifier (shingles semi-joined onto the
+        # candidate set — join volume linear in candidates), not the all-pairs
+        # shingle self-join: the exact form OOM'd Python workers at sf10
+        # (500k docs). Output is identical — candidates ∩ {jaccard >= 0.3} —
+        # and still equals the oracle's all-pairs set iff LSH recall is 100%
+        # (jaccard_verify_pairs is equality-pinned vs ngram_jaccard_pairs in
+        # test_jaccard_verify_pairs_matches_allpairs).
+        return jaccard_verify_pairs(docs, cand, n=3, threshold=0.3).select(
             "id_a", "id_b", "jaccard"
         )
 

@@ -107,9 +107,12 @@ def _fit_predict(spark, sf_dir):
     # downstream trainer/sink), so the global (id, ds) sort — a range
     # exchange + boundary-sampling job over the whole forecast frame —
     # is skipped; values identical (the kwarg only drops the orderBy).
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 1.0
-    buckets = 128 if sf >= 1 else None
+    # tightened SF pattern (r"sf([0-9.]+)" matched trailing dots -> float()
+    # ValueError) and conservative default: an unparseable path means
+    # UNKNOWN scale, and unbucketed is the safe plan there — the old
+    # sf=1.0 default silently turned bucketing ON for nonconforming paths.
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    buckets = 128 if (m and float(m.group(1)) >= 1) else None
     return mf.predict(
         7, engine="cogroup", cogroup_buckets=buckets, sort_output=False
     )
@@ -118,7 +121,7 @@ def _fit_predict(spark, sf_dir):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     from mlforecast_spark.utils import get_spark

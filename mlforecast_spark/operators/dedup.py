@@ -441,8 +441,17 @@ def jaccard_verify_pairs(
     tests/test_operators.py::test_jaccard_verify_pairs_matches_allpairs.
 
     Compose: ``minhash_lsh_candidates(sig) |> jaccard_verify_pairs(docs,
-    ...)`` — banding generates, this verifies, both shuffles bounded."""
-    p = pairs.select("id_a", "id_b")
+    ...)`` — banding generates, this verifies, both shuffles bounded.
+
+    Robustness (r11): input pairs are ``distinct()``-ed first — a duplicated
+    (id_a, id_b) row would otherwise multiply n_inter through the
+    join-then-groupBy and silently report jaccard > truth (even > 1.0);
+    minhash_lsh_candidates happens to emit distinct pairs but external
+    candidate sources need not. Pairs touching a shingle-less doc (text
+    shorter than n tokens, or an id absent from ``df``) are KEPT with
+    jaccard = 0.0 via left joins on the size agg — previously the inner
+    joins dropped them, contradicting the contract."""
+    p = pairs.select("id_a", "id_b").distinct()
     sh = shingle_df(df, text_col, id_col, n=n, distinct=True)
     ids = p.select(F.col("id_a").alias(id_col)).union(
         p.select(F.col("id_b").alias(id_col))
@@ -460,24 +469,28 @@ def jaccard_verify_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    n_i = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    denom = n_a + n_b - n_i
     res = (
         p.join(inter, ["id_a", "id_b"], "left")
         .join(
             sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
             "id_a",
+            "left",
         )
         .join(
             sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
             "id_b",
+            "left",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ).alias("jaccard"),
+            F.when(denom > 0, F.round(n_i / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
     if threshold > 0:

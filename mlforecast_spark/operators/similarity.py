@@ -138,6 +138,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_to: int = 6,
     num_buckets: Optional[int] = None,
+    num_query_blocks: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector — the brute-force
     baseline every ANN variant is measured against.
@@ -145,13 +146,31 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine), ranked by rounded cosine with
     neighbor-id tie-break so results are deterministic across engines.
 
-    Engine: the corpus is salted into ``num_buckets`` hash buckets
-    (default: the session's parallelism), the query set is replicated to
-    every bucket, each bucket scores one BLAS gram ``Q @ N.T`` + local
-    top-k inside cogrouped ``applyInPandas``, and an exact global top-k
-    window runs over the per-bucket slivers (lossless: every global top-k
-    member is a fortiori in its bucket's local top-k; only
-    ``num_buckets * k`` rows per query leave Python). The previous form —
+    Engine: a 2D-blocked BLAS gram. The corpus is salted into
+    ``num_buckets`` hash buckets (default: the session's parallelism) and
+    the query set into ``num_query_blocks`` hash blocks; every
+    (query-block, corpus-bucket) cell is one cogrouped ``applyInPandas``
+    task scoring ``Q_block @ N_bucket.T`` + local top-k, and an exact
+    global top-k window runs over the per-bucket slivers (lossless: every
+    global top-k member is a fortiori in its bucket's local top-k; only
+    ``num_buckets * k`` rows per query leave Python).
+
+    ``num_query_blocks`` bounds the PER-TASK resident query payload: each
+    task holds |Q|/qb query rows and |N|/nb corpus rows, so both axes of
+    a task's memory stay O(data / blocks) no matter how large either side
+    grows; shuffle volume is |Q|*nb + |N|*qb (the classic block-matrix
+    trade). Default: ``num_buckets`` when ``queries is vectors`` (the
+    all-pairs near-dup self-join -> square blocking), else 1 (small query
+    batches keep the zero-extra-shuffle 1D plan). The r10 sf10 STRICT
+    sweep measured why the query axis must be blocked: with qb=1 the full
+    2M-vector query set was replicated into EVERY bucket task (>=1 GB of
+    float64 plus pandas object overhead per task, x32 concurrent) and
+    crashed the Python workers — the r10 gram-chunking
+    (``_GRAM_BLOCK_CELLS``) bounds the gram block but not the stacked Q;
+    query-blocking bounds both. Pass ``num_query_blocks`` explicitly for
+    large query frames that are not the identical DataFrame object.
+
+    The previous form —
     per-pair ``zip_with``/``aggregate`` dot products over a nested-loop
     join — had BOTH no parallelism (pair count inherits the corpus scan's
     partitioning: one file = one task) and interpreted-HOF per-pair cost;
@@ -161,6 +180,10 @@ def cosine_topk(
     semantic_dedup's pairwise pass (241 s -> 8.5 s at sf1)."""
     spark = vectors.sparkSession
     nb = int(num_buckets or spark.sparkContext.defaultParallelism or 32)
+    if num_query_blocks is None:
+        qb_n = nb if queries is vectors else 1
+    else:
+        qb_n = max(1, int(num_query_blocks))
     a = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -170,15 +193,29 @@ def cosine_topk(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_b"),
     )
     buckets = spark.range(nb).select(F.col("id").cast("int").alias("_b"))
-    a_rep = a.crossJoin(F.broadcast(buckets))
     id_type = dict(a.dtypes)["query_id"]
     nbr_type = dict(b.dtypes)["neighbor_id"]
     out_schema = f"query_id {id_type}, neighbor_id {nbr_type}, cosine double"
-    pairs = (
-        a_rep.groupBy("_b")
-        .cogroup(b.groupBy("_b"))
-        .applyInPandas(_gram_topk_fn(int(k), int(round_to)), schema=out_schema)
-    )
+    scorer = _gram_topk_fn(int(k), int(round_to))
+    if qb_n <= 1:
+        a_rep = a.crossJoin(F.broadcast(buckets))
+        pairs = (
+            a_rep.groupBy("_b")
+            .cogroup(b.groupBy("_b"))
+            .applyInPandas(scorer, schema=out_schema)
+        )
+    else:
+        qblocks = spark.range(qb_n).select(F.col("id").cast("int").alias("_qb"))
+        a_rep = a.withColumn(
+            "_qb",
+            F.pmod(F.xxhash64(F.col("query_id")), F.lit(qb_n)).cast("int"),
+        ).crossJoin(F.broadcast(buckets))
+        b_rep = b.crossJoin(F.broadcast(qblocks))
+        pairs = (
+            a_rep.groupBy("_qb", "_b")
+            .cogroup(b_rep.groupBy("_qb", "_b"))
+            .applyInPandas(scorer, schema=out_schema)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

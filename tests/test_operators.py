@@ -74,6 +74,40 @@ def test_jaccard_verify_pairs_matches_allpairs(spark, docs):
     assert (kept.jaccard >= 0.1).all()
 
 
+def test_jaccard_verify_pairs_robust_inputs(spark, docs):
+    """r11 ADVICE hardening: duplicated candidate rows must not multiply
+    n_inter (jaccard stays <= truth, one output row per distinct pair), and
+    pairs touching a shingle-less doc (id absent from df, or text shorter
+    than n tokens) are kept with jaccard = 0.0 instead of silently dropped."""
+    from mlforecast_spark.operators.dedup import jaccard_verify_pairs
+
+    # (1,2) duplicated 3x; (1,999) -> 999 absent from docs; add a doc whose
+    # text is shorter than n=3 tokens (zero shingles) paired with itself
+    short = docs.union(
+        spark.createDataFrame(
+            [(7, "too short", "en", "a")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (1, 999), (3, 7), (7, 999)],
+        "id_a long, id_b long",
+    )
+    out = (
+        jaccard_verify_pairs(short, cand, n=3)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # one row per DISTINCT pair, duplicates collapsed
+    assert len(out) == 4
+    got = {(r.id_a, r.id_b): r.jaccard for _, r in out.iterrows()}
+    assert got[(1, 2)] == 1.0  # not inflated by the 3x duplication
+    assert got[(1, 999)] == 0.0  # absent doc -> disjoint, kept
+    assert got[(3, 7)] == 0.0  # shingle-less doc -> disjoint, kept
+    assert got[(7, 999)] == 0.0  # both sides empty -> 0/0 guard -> 0.0
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     from mlforecast_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -223,6 +257,36 @@ def test_gram_chunking_identical():
     finally:
         S._GRAM_BLOCK_CELLS = orig
     pd.testing.assert_frame_equal(one_block, chunked)
+
+
+def test_cosine_topk_query_blocking_identical(spark):
+    """2D query-blocking (the sf10 self-join OOM fix) is exact: the square
+    self-join default (queries is vectors -> qb = num_buckets), an explicit
+    odd block count, and the 1D qb=1 plan must all produce identical
+    (query_id, neighbor_id, cosine, rank) sets."""
+    from mlforecast_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(7)
+    n = 50
+    vecs = rng.randn(n, 8).astype("float32")
+    vecs[40] = vecs[1]  # planted near-dup pair crosses block boundaries
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def norm(sdf):
+        return (
+            sdf.toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    base = norm(cosine_topk(df, df2, k=3, num_buckets=4, num_query_blocks=1))
+    # identity default: queries is vectors -> square blocking kicks in
+    auto = norm(cosine_topk(df, df, k=3, num_buckets=4))
+    pd.testing.assert_frame_equal(base, auto)
+    explicit = norm(cosine_topk(df, df2, k=3, num_buckets=4, num_query_blocks=7))
+    pd.testing.assert_frame_equal(base, explicit)
 
 
 def test_lsh_topk_recall(spark):
