@@ -261,8 +261,23 @@ def _text_profile_quality_sql() -> str:
     )
 
 
-def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None, quantize: bool = False):
-    """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature)."""
+def _feature_query(transform_factory, out_name: str, with_region: bool = False, extra_cols=None, quantize: bool = False, broadcast_join_back=None, plan_cse_y: bool = False):
+    """Query = panel -> FeaturePlan with one transform -> (unique_id, ds, feature).
+
+    ``broadcast_join_back=True`` is the caller's assertion that the pooled
+    bucket keys are tiny (here: TPC-H region names / a weekend flag), so the
+    collapsed feature frame broadcasts instead of sort-merge-joining the
+    whole panel.
+
+    ``plan_cse_y=True`` adds ``abs(y * 0.0)`` (identically +0.0 on this
+    panel's finite y) to the output expression — manual common-subexpression
+    elimination: a pooled plan references the panel on BOTH join-back sides,
+    and without a consumer for ``y`` on the probe side, column pruning makes
+    the two panel-aggregation subtrees differ so Spark cannot reuse the
+    exchange and builds the panel twice (scan + dim joins + shuffle, twice).
+    Consuming y makes the subtrees canonically identical -> AQE stage reuse
+    builds the panel ONCE (measured: one fewer job, one fewer orders scan;
+    values bit-identical since the addend is +0.0 and NULL propagates)."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         panel = _panel(spark, sf_dir, with_region=with_region)
@@ -273,17 +288,19 @@ def _feature_query(transform_factory, out_name: str, with_region: bool = False, 
                 panel = panel.withColumn(name, expr)
         lag, tfm = transform_factory()
         registry = _parse_transforms([], {lag: [tfm]})
-        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry,
+                           join_back_broadcast=broadcast_join_back)
         feats = plan.apply(panel)
         fname = next(iter(registry))
-        return feats.select(
-            "unique_id", "ds", F.round(qcol(fname), 6).alias(out_name)
-        )
+        out = F.round(qcol(fname), 6)
+        if plan_cse_y:
+            out = out + F.abs(F.col("y") * F.lit(0.0))
+        return feats.select("unique_id", "ds", out.alias(out_name))
 
     return q
 
 
-def _multi_feature_query(transforms_factory, out_names, with_region: bool = False, extra_cols=None, quantize: bool = False):
+def _multi_feature_query(transforms_factory, out_names, with_region: bool = False, extra_cols=None, quantize: bool = False, broadcast_join_back=None):
     """Query = panel -> FeaturePlan with several transforms -> one row per
     (unique_id, ds) with one column per transform. Merged variants keep every
     operator under the driver's value-hash gate while spending a single
@@ -297,7 +314,8 @@ def _multi_feature_query(transforms_factory, out_names, with_region: bool = Fals
             for name, expr in extra_cols.items():
                 panel = panel.withColumn(name, expr)
         registry = _parse_transforms([], transforms_factory())
-        plan = FeaturePlan(schema=PanelSchema(), registry=registry)
+        plan = FeaturePlan(schema=PanelSchema(), registry=registry,
+                           join_back_broadcast=broadcast_join_back)
         feats = plan.apply(panel)
         fnames = list(registry)
         return feats.select(
@@ -555,24 +573,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: (1, RollingMean(window_size=7, global_=True, time_agg="sum")),
         "pgrm",
         quantize=True,
+        plan_cse_y=True,
     )
     q["pooled_groupby_expanding_mean"] = _feature_query(
         lambda: (1, ExpandingMean(groupby=["region"])),
         "pgem",
         with_region=True,
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
     q["pooled_partition_rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7, partition_by=["is_weekend"])),
         "pprm",
         extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
     q["pooled_groupby_timeagg_rolling_mean"] = _feature_query(
         lambda: (1, RollingMean(window_size=7, groupby=["region"], time_agg="mean")),
         "pgtrm",
         with_region=True,
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
     q["pooled_seasonal_rolling_mean"] = _feature_query(
         lambda: (

@@ -248,6 +248,18 @@ class FeaturePlan:
     registry: "OrderedDict[str, tuple[int, _BaseLagTransform]]"
     date_features: Sequence[DateFeature] = field(default_factory=list)
     date_features_as_dummies: bool = False
+    # Join-back strategy for pooled features: the collapsed feature frame
+    # (one row per (bucket, ts)) is joined back onto every raw row. None =
+    # auto: broadcast it when there are NO bucket keys (global_ modes — the
+    # frame is at most |calendar| rows, safely broadcastable at any panel
+    # scale, and broadcasting spares the full panel a sort+shuffle for the
+    # sort-merge join). True = force the broadcast for bucketed modes too —
+    # an explicit caller assertion that |buckets| x |calendar| is small
+    # (e.g. a handful of regions); False = never (calendars beyond ~10M
+    # rows). Bucketed modes stay shuffle-join by default because bucket
+    # cardinality is unknowable at plan time and a wrong broadcast OOMs
+    # the driver.
+    join_back_broadcast: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def feature_names(self) -> list[str]:
@@ -688,7 +700,19 @@ class FeaturePlan:
     def _join_back(self, df, right, bucket, join_col, key_cols, feat_names):
         """Null-safe (bucket, join_col) left join of collapsed features onto
         rows; join_col is the parent-calendar ordinal when the raw rows carry
-        it, else the time column itself."""
+        it, else the time column itself.
+
+        Broadcasts ``right`` per ``join_back_broadcast`` (auto: bucket-empty
+        modes — right is calendar-sized). A broadcast here removes BOTH
+        sort-merge exchanges: the calendar-sized feature frame ships to the
+        executors and the raw panel streams through the probe side
+        unshuffled — at 100 TB that spares the panel a full sort+shuffle,
+        and on the bench it drops two AQE job boundaries."""
+        bcast = self.join_back_broadcast
+        if bcast is None:
+            bcast = not bucket
+        if bcast:
+            right = F.broadcast(right)
         cond = df[join_col].eqNullSafe(right[join_col])
         for c in bucket:
             cond = cond & key_cols[c].eqNullSafe(right[c])
