@@ -197,6 +197,73 @@ def verify_dedup_minhash_verified(sf_dir: str, sample: int, seed: int) -> list[s
     return errs
 
 
+def verify_dedup_ngram_jaccard(sf_dir: str, sample: int, seed: int) -> list[str]:
+    """Sampled-doc exact check for the (lang, source)-blocked exact-Jaccard
+    slot (threshold 0.2): same technique as dedup_minhash_verified's
+    verifier, with the block equality folded into the shingle join. The
+    slot's full all-pairs DuckDB oracle is quadratic-per-block and DNF-class
+    at sf10 on both engines; this bounds the exact reference by the sample."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    errs: list[str] = []
+    spark = _spark()
+    t0 = time.time()
+    out = entry.queries()["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    print(f"spark rows={len(out)} in {time.time() - t0:.1f}s")
+    con = duckdb.connect()
+    con.execute("SET memory_limit = '40GB'")
+    all_ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()["doc_id"].to_numpy()
+    rng = np.random.RandomState(seed)
+    sel = rng.choice(len(all_ids), size=min(sample, len(all_ids)), replace=False)
+    sample_ids = ",".join(str(int(x)) for x in all_ids[sel])
+    t0 = time.time()
+    exact = con.execute(
+        f"""
+        WITH toks AS (SELECT doc_id, lang, source,
+                      string_split_regex(TRIM(LOWER(text)), '\\s+') AS t
+                      FROM read_parquet('{sf_dir}/documents.parquet')),
+        sh AS (SELECT DISTINCT doc_id, lang, source,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+               WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        ssh AS (SELECT * FROM sh WHERE doc_id IN ({sample_ids})),
+        inter AS (SELECT s.doc_id AS sid, o.doc_id AS oid, COUNT(*) AS n_inter
+                  FROM ssh s JOIN sh o ON s.shingle = o.shingle
+                   AND s.lang = o.lang AND s.source = o.source
+                   AND s.doc_id <> o.doc_id
+                  GROUP BY 1, 2)
+        SELECT DISTINCT LEAST(sid, oid) AS id_a, GREATEST(sid, oid) AS id_b,
+               ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sid = sa.doc_id JOIN sizes sb ON oid = sb.doc_id
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+        """
+    ).df()
+    print(f"duckdb sampled exact: {len(exact)} pairs in {time.time() - t0:.1f}s")
+    sset = set(int(x) for x in all_ids[sel])
+    eng = out[out["id_a"].isin(sset) | out["id_b"].isin(sset)]
+    want = {(int(a), int(b)): float(j) for a, b, j in zip(exact.id_a, exact.id_b, exact.jaccard)}
+    got = {(int(a), int(b)): float(j) for a, b, j in zip(eng.id_a, eng.id_b, eng.jaccard)}
+    miss = set(want) - set(got)
+    extra = set(got) - set(want)
+    if miss:
+        errs.append(f"MISSING: {len(miss)} exact pairs >=0.2 absent, e.g. {sorted(miss)[:5]}")
+    if extra:
+        errs.append(f"EXTRA: {len(extra)} engine pairs not exact >=0.2, e.g. {sorted(extra)[:5]}")
+    vals = [(p, want[p], got[p]) for p in set(want) & set(got) if want[p] != got[p]]
+    if vals:
+        errs.append(f"VALUES: {len(vals)} jaccard mismatches, e.g. {vals[:5]}")
+    print(
+        f"sampled-doc exact: {len(sel)} docs, {len(want)} exact vs {len(got)} engine pairs, "
+        f"{len(errs)} failures"
+    )
+    return errs
+
+
 def verify_dedup_clusters(sf_dir: str, sample: int, seed: int) -> list[str]:
     from pyspark.sql import functions as F
 
@@ -288,6 +355,7 @@ def main() -> None:
     fns = {
         "embedding_near_dups": verify_embedding_near_dups,
         "dedup_minhash_verified": verify_dedup_minhash_verified,
+        "dedup_ngram_jaccard": verify_dedup_ngram_jaccard,
         "dedup_clusters": verify_dedup_clusters,
     }
     names = list(fns) if which == "all" else [which]
