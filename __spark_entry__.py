@@ -546,8 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         plan = FeaturePlan(schema=PanelSchema(), registry=registry)
         fname = next(iter(registry))
+        # same plan-CSE as _feature_query(plan_cse_y=True): consume y so the
+        # two join-back panel subtrees dedupe into one exchange
         return plan.apply(panel).select(
-            "unique_id", "ds", F.round(qcol(fname), 6).alias("pges")
+            "unique_id",
+            "ds",
+            (F.round(qcol(fname), 6) + F.abs(F.col("y") * F.lit(0.0))).alias("pges"),
         )
 
     q["pooled_global_expanding_std"] = pges_q
@@ -608,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "psrm",
         quantize=True,
+        plan_cse_y=True,
     )
     q["pooled_groupby_seasonal_rolling_mean"] = _feature_query(
         lambda: (
@@ -617,12 +622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgsrm",
         with_region=True,
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
     q["pooled_partition_expanding_mean"] = _feature_query(
         lambda: (1, ExpandingMean(partition_by=["is_weekend"])),
         "ppem",
         extra_cols={"is_weekend": ((F.dayofweek("ds") + 5) % 7 >= 5).cast("int")},
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
     # quantized input: the per-(region, ord) collapse AVG and the EWM
     # recursion compound float reassociation across engines/partitionings —
@@ -634,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgewm",
         with_region=True,
         quantize=True,
+        broadcast_join_back=True,
+        plan_cse_y=True,
     )
 
     # --- date features (string family + dummy expansion, one slot) ------
