@@ -174,16 +174,29 @@ def main():
                 pass
         _force(_wide_feature_matrix(spark, d))
         _force(_fit_predict(spark, d))
+    # r11 measurement fix: drop every InMemoryRelation before each timed
+    # query. The dedup operators cache their signature/fingerprint frames
+    # (session-lived by contract); r11 fixed the bug that silently killed
+    # those caches (utils.sql_with_frames), so without this clear the warm
+    # pass would pre-materialize them and the timed run would skip the
+    # signature computation entirely — result caching across runs, exactly
+    # what the timed region must not do. With the clear, each timed query
+    # computes from the parquet inputs (its own intra-query cache reuse is
+    # legitimate plan CSE); this also matches what the pre-r11 numbers
+    # actually measured, since their caches were dead at timing time.
     for name in bench_names:
         fn = overrides.get(name, qs.get(name))
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     _force(_wide_feature_matrix(spark, sf_dir))
     timings["wide_feature_matrix"] = round(time.perf_counter() - t0, 3)
 
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     _force(_fit_predict(spark, sf_dir))
     timings["fit_predict_linreg_h7"] = round(time.perf_counter() - t0, 3)

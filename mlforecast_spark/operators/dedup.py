@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..utils import sql_with_frames
+
 # Mersenne prime 2^31-1 for affine minhash permutations: with a, b, base all
 # < 2^31, products stay < 2^62 — no long overflow under Spark's ANSI mode
 _MH_PRIME = (1 << 31) - 1
@@ -48,28 +50,42 @@ def _exploded_shingles(
     extra_cols: tuple = (),
     distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) pairs via posexplode + lead windows.
+    """(id, shingle) pairs via a pure slice/arrays_zip projection — ZERO
+    shuffles before the consumer's own aggregation.
 
-    Spark's higher-order functions (transform/slice) run interpreted; the
-    window formulation stays in whole-stage codegen and is ~5× faster.
+    r11 rewrite: the original lead-window formulation (posexplode + n-1
+    ``lead``s over ``Window.partitionBy(id)``) paid a full Exchange+Sort of
+    EVERY TOKEN in the corpus just to stitch adjacent tokens back together —
+    at 100 TB that is a corpus-sized shuffle before any dedup work starts,
+    and on the bench it is one extra AQE stage in every shingle consumer.
+    Slicing the per-doc token array n ways and zipping restores adjacency
+    without leaving the row: ``slice``/``arrays_zip``/``explode``/
+    ``concat_ws`` are all codegen'd JVM expressions (unlike ``transform``,
+    whose interpreted lambda was the slow alternative measured earlier).
+    Output proven multiset-identical to the window form on sf0.01 + edge
+    cases (empty/whitespace/short docs, n=1..5, extra_cols) — shingle
+    STRINGS are unchanged, so every minhash signature and Jaccard value
+    downstream is unchanged.
+
     ``distinct=False`` skips the dedup shuffle — correct for consumers whose
     aggregation is duplicate-invariant (minhash MIN)."""
-    toks = df.select(
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], arr.alias("_toks")
+    )
+    cnt = F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(0))
+    slices = [F.slice("_toks", i + 1, cnt).alias(f"_s{i}") for i in range(n)]
+    sh = base.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-            "_pos", "_tok"
+        F.explode(F.arrays_zip(*slices)).alias("_z"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.concat_ws(" ", *[F.col(f"_z._s{i}") for i in range(n)]).alias(
+            "shingle"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("_tok", n - 1).over(w).alias("_last"),
-    )
-    sh = sh.filter(F.col("_last").isNotNull()).drop("_last")
     if distinct:
         sh = sh.dropDuplicates([id_col, "shingle"])
     return sh
@@ -222,22 +238,26 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     num_hashes: int = 32,
     max_bucket_size: int | None = None,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: hash each band of the
     signature to a bucket, self-join on (band, bucket). Returns distinct
     (id_a, id_b) with id_a < id_b plus the estimated Jaccard from signature
     agreement.
 
-    ``signatures`` is cached before the self-join (``cache=True``): it is
-    tiny (one row per document) and feeds all four join sides, so
-    recomputing the shingle+hash pipeline would dominate the cost. The
-    cache's lifetime is the session — this function returns lazily and
-    cannot unpersist — so pipelines that call this repeatedly should either
-    unpersist the ``signatures`` frame they passed in after their terminal
-    action (``cache()`` marks the caller's own frame; same pattern as
-    ``simhash``'s documented ``cache=False`` contract), or pass
-    ``cache=False`` and manage persistence themselves.
+    ``signatures`` feeds all four join sides. Sharing is by AQE stage reuse,
+    not caching (r11): all four subtrees are canonically identical (the
+    banded subquery filters ``id IS NOT NULL`` precisely so its scan matches
+    the null-filter the attach joins push down — null ids can never form a
+    pair, so the filter is free), and AQE materializes the signature
+    shuffle ONCE and wires every consumer to it via ReusedExchange. That
+    beats ``cache=True`` at every scale measured (sf0.1: 1.12 s vs 1.58 s
+    min, 8 vs 13 jobs — the cache adds a materialization job plus columnar
+    write/read without saving any recompute that stage reuse doesn't
+    already save). Pass ``cache=True`` only when the SAME ``signatures``
+    frame is consumed again by LATER queries in a pipeline (stage reuse is
+    per-query; the cache's lifetime is the session, so unpersist the frame
+    you passed in after your terminal action).
     Only (id, bucket vector, band, bucket)
     flows through the self-join — num_bands longs per row, enough for the
     first-matching-band dedup filter — while the full signature arrays are
@@ -277,9 +297,17 @@ def minhash_lsh_candidates(
     )
     # each band row carries the doc's full bucket vector (num_bands longs) so
     # pair dedup can run as a filter on the join rows instead of a shuffle
+    # IS NOT NULL: null ids can never survive the pair join (a.id < b.id is
+    # null, and the est_jaccard attach is an inner equi-join on id), so this
+    # filter cannot change the result — it exists to make the banded
+    # subtree's scan CANONICALLY EQUAL to the attach-join subtrees (whose
+    # scans carry the pushed-down join-key null filter). With the subtrees
+    # equal, AQE stage reuse computes the signature pipeline ONCE for all
+    # four consumers (measured: the corpus scan + shingle explode + 32-hash
+    # aggregate ran twice without it).
     exploded = (
         f"SELECT {iq}, _bks, band, bucket FROM "
-        f"(SELECT {iq}, {bks} AS _bks FROM {{sig}}) "
+        f"(SELECT {iq}, {bks} AS _bks FROM {{sig}} WHERE {iq} IS NOT NULL) "
         f"LATERAL VIEW posexplode(_bks) t AS band, bucket"
     )
     counted = (
@@ -315,7 +343,11 @@ def minhash_lsh_candidates(
     # sf10 (21.4 vs 21.9 s min) — and repeated calls with the cache
     # accumulated storage churn (first sf10 reps 47–60 s vs a stable
     # 21–25 s uncached). One fewer materialization job per call.
-    bands = spark.sql(bands_sql, sig=signatures)
+    # sql_with_frames, NOT spark.sql(..., sig=...): the stock parameterized
+    # form drops its temp views through the CacheManager and silently
+    # UNPERSISTS the signatures cache (see utils.sql_with_frames) — measured
+    # r11: the cached pipeline was recomputed on all four join sides.
+    bands = sql_with_frames(spark, bands_sql, sig=signatures)
     force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
     join_hint = (
         "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
@@ -358,7 +390,7 @@ def minhash_lsh_candidates(
         f"JOIN {{sig}} sa ON p.id_a = sa.{iq} "
         f"JOIN {{sig}} sb ON p.id_b = sb.{iq}"
     )
-    return spark.sql(pairs_sql, bands=bands, sig=signatures)
+    return sql_with_frames(spark, pairs_sql, bands=bands, sig=signatures)
 
 
 def ngram_jaccard_pairs(
@@ -566,7 +598,7 @@ def simhash(
         f"FROM {{df}}) WHERE length(tok) > 0"
         f") GROUP BY {iq})"
     )
-    return spark.sql(sql, df=df)
+    return sql_with_frames(spark, sql, df=df)
 
 
 def connected_components(
@@ -716,7 +748,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
@@ -727,13 +759,15 @@ def simhash_candidates(
     it explicitly (e.g. 1000) as the 100 TB guard against one degenerate
     chunk value turning the self-join quadratic (see ``_cap_buckets``).
 
-    ``cache``: both self-join sides read the fingerprints, so by default
-    they are cached (one 8-byte hash + id per doc) — otherwise the full
-    tokenize+aggregate pipeline upstream runs twice. The cache lives until
-    Spark evicts it (LRU); long-lived sessions looping over MANY corpora
-    (where pinned fingerprint frames would accumulate) should pass
-    ``cache=False`` and persist/unpersist ``fps`` themselves around
-    materialization."""
+    ``cache``: both self-join sides read the fingerprints; the default
+    relies on AQE stage reuse — the two sides' chunk exchanges are
+    canonically identical, so the fingerprint pipeline is materialized once
+    and shared (measured r11 at sf0.1: 1.05 s / 5 jobs vs 2.39 s / 8 jobs
+    with ``cache=True``, whose materialization job + columnar write buys
+    nothing stage reuse doesn't). Pass ``cache=True`` only when the same
+    ``fps`` frame feeds later queries in a session pipeline; the cache
+    lives until evicted (LRU), so unpersist the frame you passed in after
+    your terminal action."""
     import os
 
     if cache:
@@ -812,7 +846,9 @@ def simhash_candidates(
         f"WHERE {no_earlier}"
         f") WHERE hamming <= {max_hamming}"
     )
-    return spark.sql(sql, fps=fps)
+    # cache-safe substitution: fps is cached above, and the stock
+    # parameterized spark.sql would unpersist it while building this query
+    return sql_with_frames(spark, sql, fps=fps)
 
 
 def dedup_corpus(
@@ -1216,9 +1252,6 @@ def minhash_recall_estimate(
     )
     exact.unpersist()
     cands.unpersist()
-    # minhash_lsh_candidates cached `sigs` (cache() marks this frame); the
-    # counts above were the terminal actions, so release it here
-    sigs.unpersist()
     return out
 
 

@@ -31,6 +31,41 @@ def qsql(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def sql_with_frames(spark: SparkSession, sql_text: str, **frames):
+    """``spark.sql`` with DataFrame parameters, minus PySpark's cache-killing
+    side effect.
+
+    ``spark.sql("... {df} ...", df=df)`` routes through
+    ``SQLStringFormatter``, which registers each DataFrame argument as a
+    temp view and then calls ``catalog.dropTempView`` on it — and that drop
+    cascades into ``CacheManager.uncacheQuery`` on the view's analyzed plan,
+    which UNPERSISTS any cache entry whose plan matches the argument
+    (measured r11: ``signatures.cache()`` in ``minhash_lsh_candidates`` was
+    silently dead from the moment the first parameterized ``spark.sql`` was
+    built, so the signature pipeline was recomputed on all four join sides;
+    ``simhash_candidates``' fps cache likewise).
+
+    This helper does the same view substitution (``sql_text`` uses
+    ``{name}`` placeholders) but drops the views through the low-level
+    ``SessionCatalog``, which does not touch the CacheManager. The returned
+    DataFrame's plan is already resolved, so the drop is safe."""
+    import uuid
+
+    names = {k: f"_mlfs_{k}_{uuid.uuid4().hex}" for k in frames}
+    for k, df in frames.items():
+        df.createOrReplaceTempView(names[k])
+    try:
+        return spark.sql(sql_text.format(**names))
+    finally:
+        try:
+            cat = spark._jsparkSession.sessionState().catalog()
+            for nm in names.values():
+                cat.dropTempView(nm)
+        except Exception:  # pragma: no cover - non-classic sessions
+            for nm in names.values():
+                spark.catalog.dropTempView(nm)
+
+
 _FREQ_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
 
 # pandas alias -> (unit, multiplier) where unit is a make_interval unit

@@ -272,3 +272,93 @@ def test_dedup_paragraphs_aggregates_are_hash_not_sort(spark):
     plan = _plan(out)
     assert "SortAggregate" not in plan, plan[:3000]
     assert "HashAggregate" in plan
+
+
+def test_sql_with_frames_preserves_caches(spark):
+    """PySpark's parameterized ``spark.sql(..., df=df)`` drops its temp views
+    THROUGH the CacheManager, silently unpersisting any cache entry whose
+    plan matches a DataFrame argument (found r11: the minhash signatures
+    cache was dead from the first parameterized call, so the signature
+    pipeline recomputed on all four join sides). ``sql_with_frames`` must
+    not do that."""
+    from mlforecast_spark.utils import sql_with_frames
+
+    df = spark.range(50).selectExpr("id", "id * 3 AS v").cache()
+    try:
+        out = sql_with_frames(spark, "SELECT sum(v) AS s FROM {d}", d=df)
+        # the cache entry must still exist: a fresh consumer reads it
+        probe = df.groupBy().count()
+        assert "InMemoryTableScan" in _plan(probe)
+        # and the parameterized result itself resolves and reads the cache
+        assert out.collect()[0]["s"] == sum(3 * i for i in range(50))
+        assert "InMemoryTableScan" in _plan(out)
+    finally:
+        df.unpersist()
+
+
+def _minhash_docs(spark):
+    return spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in range(20)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta"),
+           (101, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_candidates_cache_optin_is_alive(spark):
+    """With ``cache=True`` the signatures cache must survive the SQL-string
+    construction inside ``minhash_lsh_candidates`` (the stock parameterized
+    ``spark.sql`` silently unpersisted it — utils.sql_with_frames) and be
+    substituted into all four join sides."""
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    sig = minhash_signatures(shingle_df(_minhash_docs(spark), n=3, distinct=False))
+    cand = minhash_lsh_candidates(sig, max_bucket_size=1000, cache=True)
+    plan = _plan(cand)
+    n_cached_scans = plan.count("InMemoryTableScan")
+    assert n_cached_scans >= 4, f"expected >=4 cached scans, got {n_cached_scans}"
+    sig.unpersist()
+
+
+def test_minhash_candidates_default_shares_signature_stage(spark):
+    """Default path (no cache): the four signature subtrees must be
+    canonically identical so AQE materializes the signature shuffle once —
+    the banded subquery's ``id IS NOT NULL`` filter exists purely to match
+    the null-filter the attach joins push down. Executing the query must
+    leave exactly ONE live scan of the corpus in the final adaptive plan."""
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    sig = minhash_signatures(shingle_df(_minhash_docs(spark), n=3, distinct=False))
+    cand = minhash_lsh_candidates(sig, max_bucket_size=1000)
+    # collect() executes cand's OWN queryExecution -> final adaptive plan
+    assert len(cand.collect()) > 0
+    final = _plan(cand).split("== Initial Plan ==")[0]
+    n_scans = final.count("Scan ExistingRDD") + final.count("FileScan")
+    assert n_scans == 1, f"expected 1 shared corpus scan, got {n_scans}"
+    assert "ReusedExchange" in final
+
+
+def test_shingles_have_no_exchange_before_consumer(spark):
+    """The slice/arrays_zip shingle builder is a pure projection: no
+    Exchange (token shuffle) may appear below the consumer's own
+    aggregation (the lead-window form paid Exchange+Sort of every token)."""
+    from mlforecast_spark.operators.dedup import shingle_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    sh = shingle_df(docs, n=3, distinct=False)
+    plan = _plan(sh)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    rows = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert (1, "a b c") in rows and (2, "e f g") in rows
+    assert len(rows) == 8

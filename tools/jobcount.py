@@ -46,6 +46,9 @@ def main() -> None:
         walls = []
         jobs = 0
         for i in range(3):
+            # same contract as bench.py's timed region (r11): no cache may
+            # survive from the warm rep into a timed rep
+            spark.catalog.clearCache()
             grp = f"jc_{name}_{i}"
             sc.setJobGroup(grp, name)
             t0 = time.perf_counter()
