@@ -562,6 +562,7 @@ class FeaturePlan:
                     F.min(y).alias("_pmin"),
                     F.max(y).alias("_pmax"),
                 )
+                collapsed = self._coalesce_collapsed(collapsed, bucket)
                 if not needs_raw_ord:
                     collapsed = self._collapsed_ord(
                         collapsed, parent_keys, bucket, ord_name
@@ -638,6 +639,7 @@ class FeaturePlan:
         collapsed = df.groupBy(
             *[key_cols[c].alias(c) for c in bucket], F.col(group_col)
         ).agg(agg_fn(F.col(s.target_col)).alias("_mlfs_v"))
+        collapsed = self._coalesce_collapsed(collapsed, bucket)
         if not needs_raw_ord:
             collapsed = self._collapsed_ord(collapsed, parent_keys, bucket, ord_name)
         cctx = FrameCtx(
@@ -660,6 +662,27 @@ class FeaturePlan:
         )
         res = self._join_back(df, right, bucket, group_col, key_cols, feat_names)
         return res.drop(ord_name, *temp_keys)
+
+    def _coalesce_collapsed(self, collapsed, bucket):
+        """Fuse the collapsed frame's downstream windows into its
+        aggregation stage (r11).
+
+        When there are no bucket keys (global_ modes) the collapsed frame
+        is calendar-sized and its ordinal/feature windows run over ONE
+        window partition anyway; with tiny asserted buckets
+        (``join_back_broadcast=True``) it is |buckets| x calendar and the
+        windows run over |buckets| partitions. Either way every row is
+        about to be funneled into one task per bucket — ``coalesce(1)``
+        (a narrow dependency) makes that explicit, so the planner drops
+        the Exchange it would otherwise insert for the window's
+        clustering requirement: final aggregate, ordinal ranking and
+        feature windows become one stage. Scale-safe exactly when the
+        broadcast join-back is (same predicate): the frame must be small
+        enough to ship to every executor anyway."""
+        small = self.join_back_broadcast
+        if small is None:
+            small = not bucket
+        return collapsed.coalesce(1) if small else collapsed
 
     def _collapsed_ord(self, collapsed, parent_keys, bucket, ord_name):
         """Parent-calendar ordinal derived ON the collapsed frame.

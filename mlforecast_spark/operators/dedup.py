@@ -1060,34 +1060,33 @@ def repeated_spans(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     w = int(window)
-    # one row per window start: hash of the w-token window. Lead-window
-    # formulation, not transform/slice HOFs — higher-order functions run
-    # interpreted, and hashing every window of every doc is the operator's
-    # hot loop (sf1 A/B, window=8, 3 warm reps each: HOF 12.7-15.4 s vs
-    # leads 3.6-5.3 s); the w-1 lead columns stay inside whole-stage
-    # codegen, same trick as _exploded_shingles
-    toks = df.select(
+    # one row per window start: hash of the w-token window. r11: built by a
+    # lambda-free slice/arrays_zip projection over the token array — ZERO
+    # shuffles (the earlier lead-window form paid an Exchange+Sort of every
+    # corpus token; the round-8 HOF dead end was the interpreted
+    # transform-LAMBDA per window, which this is not — slice/zip/explode/
+    # concat/xxhash64 are all codegen'd). Slices are sized to the valid
+    # window count, so posexplode's index IS the window start position over
+    # the length-filtered token sequence, matching the old filtered-lead
+    # rows exactly.
+    base = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("_pos", "_tok"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
     )
-    ww = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(ww) for i in range(1, w)]
-    wins = (
-        toks.select(
-            F.col(id_col),
-            F.col("_pos"),
-            F.xxhash64(F.concat_ws("\x1f", *parts)).alias("_wh"),
-            (F.lead("_tok", w - 1).over(ww) if w > 1 else F.col("_tok")).alias(
-                "_last"
-            ),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    wcnt = F.greatest(F.size("_toks") - F.lit(w - 1), F.lit(0))
+    slices = [F.slice("_toks", i + 1, wcnt).alias(f"_s{i}") for i in range(w)]
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(*slices)).alias("_pos", "_z"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.xxhash64(
+            F.concat_ws("\x1f", *[F.col(f"_z._s{i}") for i in range(w)])
+        ).alias("_wh"),
     )
     repeated = (
         wins.groupBy("_wh")

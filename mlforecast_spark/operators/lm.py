@@ -51,32 +51,33 @@ def _all_order_window_hashes(
 ) -> DataFrame:
     """One row per token position with columns ``_g1.._g{order}`` = xxhash64
     of the k-token window STARTING there (null when the window runs past
-    the document end). Lead-window formulation — tokenize-and-explode once,
-    ``k-1`` lead columns per order over one doc-partitioned sort — rather
-    than transform/slice higher-order functions, which run interpreted;
-    every gram of every order comes out of a single whole-stage-codegen
-    projection over one exchange. Hash strings are identical to the
+    the document end).
+
+    r11: slice/arrays_zip projection, ZERO shuffles — the previous
+    lead-window form paid a full Exchange+Sort of every corpus token just
+    to line adjacent tokens up. ``arrays_zip`` pads its shorter inputs
+    with nulls, which reproduces the lead-past-document-end semantics
+    exactly (``concat_ws`` skips nulls; the ``when`` guard nulls the gram).
+    The per-row expressions (slice/zip/explode/concat/xxhash64) are all
+    codegen'd — this is NOT the interpreted transform-lambda formulation
+    that lost the round-8 A/B. Hash strings are identical to the
     slice-based scoring hashes (``concat_ws`` over the same tokens)."""
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("_pos", "_tok"),
-    )
-    ww = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [
-        F.lead("_tok", i).over(ww) for i in range(1, order)
+    base = _tok_array(df, text_col, id_col)
+    slices = [
+        F.slice(
+            "_toks", i + 1, F.greatest(F.size("_toks") - F.lit(i), F.lit(0))
+        ).alias(f"_s{i}")
+        for i in range(order)
     ]
+    z = base.select(F.explode(F.arrays_zip(*slices)).alias("_z"))
+    parts = [F.col(f"_z._s{i}") for i in range(order)]
     cols = []
     for k in range(1, order + 1):
         g = F.xxhash64(F.concat_ws(_SEP, *parts[:k]))
         if k > 1:
             g = F.when(parts[k - 1].isNotNull(), g)
         cols.append(g.alias(f"_g{k}"))
-    return toks.select(*cols)
+    return z.select(*cols)
 
 
 class NGramLM:

@@ -224,10 +224,17 @@ def repetition_stats(
     projection of all four signals (array_distinct sizes + a sorted
     run-length ``aggregate`` for the top token + indexed-``transform``
     bigrams) looked strictly better on paper but ran ~100x slower — Spark
-    evaluates higher-order-function lambdas INTERPRETED (outside
+    evaluates higher-order-function LAMBDAS interpreted (outside
     whole-stage codegen), and the combined projection re-tokenizes per
     signal; the exploded hash aggregates here are fully codegen'd and the
-    shuffles are distinct-token-sized, not corpus-sized."""
+    shuffles are distinct-token-sized, not corpus-sized.
+
+    r11: the bigrams no longer use a lead window (which paid an
+    Exchange+Sort of every token — a corpus-sized shuffle — just to pair
+    adjacent tokens); they come from a lambda-free slice/arrays_zip
+    projection over the token array, the same rewrite as the dedup shingle
+    builder. ``trim`` before split makes the array exactly the
+    length-filtered token sequence, so the pairs are identical."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
@@ -238,12 +245,29 @@ def repetition_stats(
         F.count(F.lit(1)).alias("_types"),
         F.max("_c").alias("_top"),
     )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    bigrams = toks.select(
-        F.col(id_col),
-        F.concat_ws(" ", F.col("_tok"), F.lead("_tok").over(w)).alias("_bg"),
-        F.lead("_tok").over(w).alias("_nxt"),
-    ).filter(F.col("_nxt").isNotNull())
+    # strip leading/trailing \s with a regexp (F.trim only strips spaces —
+    # a tab-leading doc would otherwise contribute an empty first token the
+    # window form filtered out), so the array is exactly the
+    # length-filtered token sequence
+    tarr = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
+    bcnt = F.greatest(F.size("_tarr") - F.lit(1), F.lit(0))
+    bigrams = (
+        df.select(F.col(id_col), tarr.alias("_tarr"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_tarr", 1, bcnt).alias("_a"),
+                    F.slice("_tarr", 2, bcnt).alias("_b"),
+                )
+            ).alias("_z"),
+        )
+        .select(
+            F.col(id_col), F.concat_ws(" ", "_z._a", "_z._b").alias("_bg")
+        )
+    )
     bg_counts = bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
     bg_stats = bg_counts.groupBy(id_col).agg(
         F.sum("_c").alias("_nbg"), F.count(F.lit(1)).alias("_dbg")
@@ -762,6 +786,52 @@ def bm25_scores(
         did,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
     ).filter(F.col("_tok") != "")
+    if len(terms) <= 32:
+        # pivoted fast path (r11): for a small fixed query vocabulary the
+        # per-(id, term) shuffle shape is overkill — ONE doc-keyed
+        # aggregation computes the doc length AND every term's tf as
+        # count_if columns (one corpus explode instead of two), then one
+        # tiny global aggregate yields (N, avgdl) plus every term's
+        # document frequency, broadcast as a single row. Scoring becomes a
+        # pure projection. tf=0 terms contribute an exact +0.0 (idf is
+        # finite, the tf factor is 0), so the fixed-order expression sum
+        # equals the general path's per-row SUM up to the same last-ulp
+        # reassociation the cross-engine oracle already tolerates.
+        per_doc = toks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_dl"),
+            *[
+                F.sum((F.col("_tok") == t).cast("long")).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        gstats = per_doc.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_dl").alias("_avgdl"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
+        )
+        score = F.lit(0.0)
+        for i in range(len(terms)):
+            idf_i = F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+                / (F.col(f"_df{i}") + F.lit(0.5))
+            )
+            tfn_i = (F.col(f"_tf{i}") * (k1 + 1)) / (
+                F.col(f"_tf{i}")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            )
+            score = score + F.when(
+                F.col(f"_tf{i}") > 0, idf_i * tfn_i
+            ).otherwise(F.lit(0.0))
+        scored = per_doc.crossJoin(F.broadcast(gstats)).select(
+            did, score.alias("_bm25")
+        )
+        return df.select(did).join(scored, id_col, "left").select(
+            did, F.coalesce(F.col("_bm25"), F.lit(0.0)).alias("bm25")
+        )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
