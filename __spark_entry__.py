@@ -767,26 +767,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drop reasons, keep flag) — the gate's formula is deterministic
         pure expressions, so it hash-verifies end-to-end; only the
         TRAINABLE classifier stays rows-only. The bench line stays pinned
-        to the plain text_profile workload (bench.py)."""
-        from mlforecast_spark.operators.text import (
-            bm25_scores,
-            quality_filter,
-            text_profile,
-        )
+        to the plain text_profile workload (bench.py).
 
-        docs = _docs(spark, sf)
-        bm = bm25_scores(docs, _BM25_TERMS).select(
-            "doc_id", F.round("bm25", 6).alias("bm25")
-        )
-        qf = quality_filter(docs).select(
-            "doc_id",
+        r11: computed via the fused ``profile_quality_bm25`` plan — the
+        three legs used to be composed as text_profile ⋈ bm25 ⋈ quality
+        (each leg rescanning and re-shuffling the corpus: ~8 scans, 6+
+        doc-keyed exchanges); the fusion derives every aggregation signal
+        from ONE per-(id, gram) count table and runs 2 corpus scans, 1
+        gram shuffle, 1 id join. Outputs proven exactly equal to the
+        composition (test_profile_quality_bm25_fused_matches_composition)
+        and STRICT oracle-green."""
+        from mlforecast_spark.operators.text import profile_quality_bm25
+
+        fused = profile_quality_bm25(_docs(spark, sf), _BM25_TERMS)
+        keep_front = [
+            c
+            for c in fused.columns
+            if c not in ("bm25", "type_token_ratio", "top_token_frac",
+                         "dup_bigram_frac", "drop_reasons", "keep")
+        ]
+        return fused.select(
+            *keep_front,
+            F.round("bm25", 6).alias("bm25"),
             "type_token_ratio",
             "top_token_frac",
             "dup_bigram_frac",
             F.array_join("drop_reasons", ",").alias("drop_reasons"),
             "keep",
         )
-        return text_profile(docs).join(bm, "doc_id").join(qf, "doc_id")
 
     q["doc_text_profile"] = doc_text_profile
 

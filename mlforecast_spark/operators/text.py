@@ -879,3 +879,238 @@ def bm25_top_k(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def profile_quality_bm25(
+    df: DataFrame,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_tokens: int = 20,
+    max_tokens: int = 200_000,
+    max_punct_ratio: float = 0.25,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_type_token_ratio: float = 0.15,
+    max_dup_bigram_frac: float = 0.4,
+) -> DataFrame:
+    """Plan-fusion of ``text_profile`` + ``quality_filter`` + ``bm25_scores``
+    for the combined curation profile: same output values as the three-way
+    join of those calls (for corpora with non-null, unique ids), computed
+    from TWO corpus scans and ONE gram shuffle instead of ~8 scans and 6+
+    doc-keyed shuffles.
+
+    How the legs collapse:
+
+    - The per-row signals (counts, ratios, fingerprint) are one projection
+      scan, exactly as in ``text_profile``.
+    - Every aggregation signal — distinct-token stats, bigram stats, marker
+      scores, BM25 term frequencies and document lengths — is a function of
+      the per-(id, gram) count table, where a gram is either a token or a
+      space-joined bigram. Whitespace tokens can never contain a space, so
+      the two key spaces are disjoint and need no tag: ``contains(' ')``
+      recovers the kind. One explode produces both streams (each zipped
+      (token, next-token) row emits the token and, when next exists, the
+      bigram), one hash aggregation collapses instances to distinct grams
+      map-side, and one id-keyed aggregation derives all per-doc signals.
+    - BM25's (N, avgdl, df) global row aggregates off the per-doc frame and
+      broadcasts, as in the pivoted fast path.
+
+    Value-equality notes: every count is integer-exact against the unfused
+    composition; ratio/score expressions reuse the identical operand shapes
+    (`_ratio_cols`, the pivoted BM25 scoring sum), so the only divergence
+    class is partition-order float reassociation in ``avg(dl)`` — the same
+    last-ulp class the unfused plan itself exhibits across partitionings,
+    absorbed by the 6-dp rounding of the consumers. Docs with a NULL id are
+    dropped up front (the unfused composition's inner joins on id drop them
+    too); duplicate ids would fan out k-fold here vs k^2-fold through the
+    three-way join, matching only for unique ids (the documents-table
+    contract the dedup operators already rely on).
+
+    Returns one row per non-null-id input row:
+    ``(id, n_chars, n_tokens, avg_token_len, punct_ratio, space_ratio,
+    score_<lang>..., lang_guess, fingerprint, bm25, type_token_ratio,
+    top_token_frac, dup_bigram_frac, drop_reasons array, keep)``.
+    """
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-blank term")
+    if len(terms) > 32:
+        raise ValueError(
+            "profile_quality_bm25 fuses the pivoted (<=32-term) BM25 path; "
+            "compose bm25_scores separately for larger vocabularies"
+        )
+    did = F.col(id_col)
+    text = F.col(text_col)
+    base = df.filter(did.isNotNull())
+
+    # scan 1: per-row projection (identical expressions to text_profile)
+    proj = base.select(
+        did, *_raw_count_cols(text), _fingerprint_col(text)
+    ).select(did, "n_chars", "n_tokens", *_ratio_cols(), "fingerprint")
+
+    # scan 2: one explode yields the token AND bigram streams. The zipped
+    # (token, next) pairs use the same trimmed-split construction as
+    # repetition_stats, so the bigram multiset is identical; the token
+    # multiset equals every leg's explode+filter form (empties can only
+    # arise from all-whitespace docs and are length-filtered).
+    trimmed = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    ta = F.split(trimmed, r"\s+")
+    pairs = (
+        base.select(did, ta.alias("_ta"))
+        .select(
+            did,
+            F.explode(
+                F.arrays_zip(
+                    F.col("_ta").alias("_a"),
+                    F.slice(
+                        "_ta", 2, F.greatest(F.size("_ta") - 1, F.lit(0))
+                    ).alias("_b"),
+                )
+            ).alias("_z"),
+        )
+        .select(did, F.col("_z._a").alias("_a"), F.col("_z._b").alias("_b"))
+    )
+    grams = pairs.select(
+        did,
+        F.explode(
+            F.array(
+                F.col("_a"),
+                F.when(
+                    F.col("_b").isNotNull(), F.concat_ws(" ", "_a", "_b")
+                ),
+            )
+        ).alias("_g"),
+    ).filter(F.length("_g") > 0)
+    gcounts = grams.groupBy(did, "_g").agg(F.count(F.lit(1)).alias("_c"))
+
+    istok = ~F.col("_g").contains(" ")
+    per_doc = gcounts.groupBy(did).agg(
+        F.sum(F.when(istok, F.col("_c"))).alias("_n"),
+        F.sum(F.when(istok, F.lit(1))).alias("_types"),
+        F.max(F.when(istok, F.col("_c"))).alias("_top"),
+        F.sum(F.when(~istok, F.col("_c"))).alias("_nbg"),
+        F.sum(F.when(~istok, F.lit(1))).alias("_dbg"),
+        *[
+            F.sum(
+                F.when(istok & (F.col("_g") == F.lit(t)), F.col("_c"))
+            ).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+        *[
+            F.sum(F.when(F.col("_g").isin(*words), F.col("_c"))).alias(
+                f"_s_{lang}"
+            )
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    # every per_doc row has >=1 token (a bigram implies 2 tokens), so the
+    # tf coalesce reproduces the pivoted path's count_if zeros exactly
+    per_doc = per_doc.select(
+        did,
+        "_n",
+        "_types",
+        "_top",
+        "_nbg",
+        "_dbg",
+        *[
+            F.coalesce(F.col(f"_tf{i}"), F.lit(0).cast("long")).alias(f"_tf{i}")
+            for i in range(len(terms))
+        ],
+        *[F.col(f"_s_{lang}") for lang in LANG_MARKERS],
+    )
+    gstats = per_doc.agg(
+        F.count(F.lit(1)).alias("_ndocs"),
+        F.avg("_n").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf_i = F.log(
+            F.lit(1.0)
+            + (F.col("_ndocs") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tfn_i = (F.col(f"_tf{i}") * (k1 + 1)) / (
+            F.col(f"_tf{i}")
+            + k1 * (1 - b + b * F.col("_n") / F.col("_avgdl"))
+        )
+        score = score + F.when(
+            F.col(f"_tf{i}") > 0, idf_i * tfn_i
+        ).otherwise(F.lit(0.0))
+
+    lvl1 = (
+        proj.join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            did,
+            "n_chars",
+            "n_tokens",
+            "avg_token_len",
+            "punct_ratio",
+            "space_ratio",
+            *_coalesced_score_cols(),
+            "fingerprint",
+            score.alias("_bm25"),
+            F.round(
+                F.when(
+                    F.col("_n") > 0, F.col("_types") / F.col("_n")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("type_token_ratio"),
+            F.round(
+                F.when(
+                    F.col("_n") > 0, F.col("_top") / F.col("_n")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_token_frac"),
+            F.round(
+                F.when(
+                    F.col("_nbg") > 0,
+                    (F.col("_nbg") - F.col("_dbg")) / F.col("_nbg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        ("punct_heavy", F.col("punct_ratio") > max_punct_ratio),
+        ("tokens_too_short", F.col("avg_token_len") < min_avg_token_len),
+        ("tokens_too_long", F.col("avg_token_len") > max_avg_token_len),
+        ("repetitive_vocab", F.col("type_token_ratio") < min_type_token_ratio),
+        ("repetitive_bigrams", F.col("dup_bigram_frac") > max_dup_bigram_frac),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return lvl1.select(
+        did,
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "space_ratio",
+        *[f"score_{lang}" for lang in LANG_MARKERS],
+        _guess_col(),
+        "fingerprint",
+        F.col("_bm25").alias("bm25"),
+        "type_token_ratio",
+        "top_token_frac",
+        "dup_bigram_frac",
+        reasons.alias("drop_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

@@ -2919,6 +2919,78 @@ def test_bm25_top_k_plan_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_profile_quality_bm25_fused_matches_composition(spark):
+    """The fused single-gram-table plan must be value-identical to the
+    three-way text_profile x bm25_scores x quality_filter composition it
+    replaces in the doc_text_profile entry slot (r11 fusion) — including
+    edge docs (empty / whitespace-only / tab-leading / single-token /
+    repeated / marker-heavy / query-term-heavy), and must read the source
+    far fewer times (2 scans vs ~8)."""
+    import math
+
+    from mlforecast_spark.operators.text import (
+        bm25_scores,
+        profile_quality_bm25,
+        quality_filter,
+        text_profile,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "\tleading tab and spark window vector spark"),
+        (5, "single"),
+        (6, "rep rep rep rep rep rep rep rep rep rep"),
+        (7, "der und die nicht ist der und die"),
+        (8, "le et les des est " * 30),
+        (9, "spark window vector " * 10),
+        (10, "a b a b a b a b c d e f g h i j k l m n o p"),
+        (11, "Punct!!! ??? ... ,,, ;;; ::: " + "'" * 3),
+        (12, "x" * 500),
+        (13, "el los que es una el los"),
+        (14, "mixed CASE Tokens With the AND of to is"),
+        (15, "trailing spaces   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    terms = ["spark", "window", "vector"]
+    composed = (
+        text_profile(df)
+        .join(bm25_scores(df, terms), "doc_id")
+        .join(
+            quality_filter(df).select(
+                "doc_id",
+                "type_token_ratio",
+                "top_token_frac",
+                "dup_bigram_frac",
+                "drop_reasons",
+                "keep",
+            ),
+            "doc_id",
+        )
+    )
+    fused = profile_quality_bm25(df, terms)
+    assert fused.columns == composed.columns
+    assert fused.dtypes == composed.dtypes
+    cr = composed.orderBy("doc_id").collect()
+    fr = fused.orderBy("doc_id").collect()
+    assert len(cr) == len(fr) == len(docs)
+    for a, b in zip(cr, fr):
+        for c in composed.columns:
+            va, vb = a[c], b[c]
+            if isinstance(va, float):
+                assert va == vb or (math.isnan(va) and math.isnan(vb)), (
+                    a["doc_id"], c, va, vb,
+                )
+            else:
+                assert va == vb, (a["doc_id"], c, va, vb)
+
+    # the fusion's point: the corpus is read twice (projection + grams),
+    # not once per leg
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 2, plan
+
+
 def _ppm_bytes(arr):
     import numpy as np
 
