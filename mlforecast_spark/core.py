@@ -357,12 +357,25 @@ class FeaturePlan:
             else:
                 python_local[name] = (lag, tfm)
 
+        # Python-path features (EWM engine='pandas') cross the Arrow
+        # boundary, and applyInPandas ships every column of its input both
+        # ways — so run that pass FIRST, on the narrow base frame (id, time,
+        # y [+statics]), not after the JVM window features have widened it
+        # (wide_feature_matrix: 24 columns through Arrow for one EWM input).
+        # Order is free: every engine's features are functions of
+        # (id, time, y) only, rows pass through unchanged, and consumers
+        # select features by name. The pandas pass clusters by id, which the
+        # feature windows' partitionBy(id) then reuses — same exchange count
+        # as the old order.
+        if python_local:
+            df = self._apply_python_local(df, python_local)
         if local_exprs:
             df = df.select("*", *[c.alias(n) for n, c in local_exprs.items()])
         for name, (lag, tfm) in multipass.items():
             df = tfm.multipass_apply(df, s, lag, name)
-        if python_local:
-            df = self._apply_python_local(df, python_local)
+        # mixed Combines need both the python-side and expression-side
+        # hidden columns on the frame, so they finish only after both passes
+        df = self._finish_combines(df)
         for mode_key, feats in pooled.items():
             df = self._apply_pooled(df, mode_key, feats)
         if self.date_features:
@@ -389,9 +402,15 @@ class FeaturePlan:
         self._pending_combines.append((name, n1, n2, op))
 
     def _finish_combines(self, df: DataFrame) -> DataFrame:
+        from .utils import qcol
+
         for name, n1, n2, op in getattr(self, "_pending_combines", []):
             if n1 in df.columns and n2 in df.columns:
-                df = df.withColumn(name, op(F.col(n1), F.col(n2))).drop(n1, n2)
+                # qcol: the hidden side names inherit the feature's
+                # reference-parity name, which may contain dots (alpha0.5)
+                df = df.withColumn(name, op(qcol(n1), qcol(n2))).drop(
+                    qcol(n1), qcol(n2)
+                )
         self._pending_combines = []
         return df
 
@@ -428,7 +447,7 @@ class FeaturePlan:
         res = df.groupBy(s.id_col).applyInPandas(compute, schema=out_schema)
         if safe_of:
             res = res.withColumnsRenamed({v: k for k, v in safe_of.items()})
-        return self._finish_combines(res)
+        return res
 
     # ------------------------------------------------------------------
     def _mode_cols(self, mode_key) -> tuple[list[str], list[str]]:

@@ -362,3 +362,36 @@ def test_shingles_have_no_exchange_before_consumer(spark):
     rows = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
     assert (1, "a b c") in rows and (2, "e f g") in rows
     assert len(rows) == 8
+
+
+def test_python_pass_ships_only_narrow_columns(spark, panel):
+    """The Arrow applyInPandas pass (EWM engine='pandas') must run on the
+    narrow base frame BEFORE the JVM window features widen it: applyInPandas
+    ships every input column both ways, so ordering it first bounds the
+    Python boundary at (id, time, y) + statics regardless of how many JVM
+    features the plan also attaches (wide_feature_matrix: 24 columns)."""
+    from mlforecast_spark.lag_transforms import (
+        ExponentiallyWeightedMean,
+        RollingMean,
+        RollingStd,
+    )
+
+    registry = _parse_transforms(
+        list(range(1, 8)),
+        {
+            1: [
+                RollingMean(window_size=7),
+                RollingStd(window_size=7),
+                ExponentiallyWeightedMean(alpha=0.3),
+            ]
+        },
+    )
+    feats = FeaturePlan(schema=PanelSchema(), registry=registry).apply(panel)
+    plan = _plan(feats)
+    m = re.search(r"FlatMapGroupsInPandas \[[^\]]*\], compute\(([^)]*)\)", plan)
+    assert m, plan
+    shipped = [c.split("#")[0] for c in m.group(1).split(", ")]
+    assert shipped == ["unique_id", "ds", "y"], shipped
+    # and the features are all still produced
+    missing = [n for n in registry if not any(n in c for c in feats.columns)]
+    assert not missing, missing

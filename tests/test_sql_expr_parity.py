@@ -130,3 +130,60 @@ def test_offset_sql_rejects_nonpositive_effective_lag():
     )
     with pytest.raises(ValueError, match="effective"):
         Offset(RollingMean(window_size=3), -2).sql_expr(ctx, 1)
+
+
+def test_mixed_python_jvm_combine_matches_pandas(spark):
+    """Combine with one python-path side (EWM pandas engine) and one JVM
+    window side must resolve and match an independent pandas replay. The
+    hidden side columns inherit reference-parity names containing dots
+    (alpha0.5), which `_finish_combines` must reference through qcol —
+    plain F.col parsed the dot as a struct accessor and the whole mixed
+    path raised AnalysisException (latent until r11 surfaced it; the
+    python-first pass reorder now also routes these through one shared
+    finish step after both passes)."""
+    import pandas as pd
+
+    from mlforecast_spark.lag_transforms import ExponentiallyWeightedMean
+
+    pdf = pd.DataFrame(
+        {
+            "unique_id": ["a"] * 30 + ["b"] * 20,
+            "ds": list(pd.date_range("2020-01-01", periods=30))
+            + list(pd.date_range("2020-02-01", periods=20)),
+            "y": [float(i + 1) for i in range(30)]
+            + [float(2 * i + 3) for i in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    registry = _parse_transforms(
+        [1],
+        {
+            1: [
+                Combine(
+                    ExponentiallyWeightedMean(alpha=0.5),
+                    RollingMean(window_size=7, min_samples=1),
+                    operator.truediv,
+                )
+            ]
+        },
+    )
+    out = FeaturePlan(schema=PanelSchema(), registry=registry).apply(df)
+    name = next(k for k in registry if "truediv" in k)
+    assert name in out.columns
+    assert not any(c.startswith("_mlfs_c") for c in out.columns)
+    got = {
+        (r["unique_id"], r["ds"]): r[name]
+        for r in out.collect()
+    }
+    for uid, g in pdf.groupby("unique_id"):
+        s = g["y"].shift(1)
+        exp = (
+            s.ewm(alpha=0.5, adjust=False, ignore_na=True).mean()
+            / s.rolling(7, min_periods=1).mean()
+        )
+        for ds, e in zip(g["ds"], exp):
+            a = got[(uid, ds)]
+            if pd.isna(e):
+                assert a is None, (uid, ds, a)
+            else:
+                assert a is not None and abs(a - e) < 1e-12, (uid, ds, a, e)
