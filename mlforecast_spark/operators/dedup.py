@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import sql_with_frames
+from ..utils import spread_scan, sql_with_frames
 
 # Mersenne prime 2^31-1 for affine minhash permutations: with a, b, base all
 # < 2^31, products stay < 2^62 — no long overflow under Spark's ANSI mode
@@ -68,9 +68,18 @@ def _exploded_shingles(
     downstream is unchanged.
 
     ``distinct=False`` skips the dedup shuffle — correct for consumers whose
-    aggregation is duplicate-invariant (minhash MIN)."""
+    aggregation is duplicate-invariant (minhash MIN).
+
+    The corpus scan is spread first (``spread_scan``): the shingle explode +
+    hash aggregation downstream is the CPU-heaviest work in the dedup
+    family, and a row-group-starved scan pins it to a handful of tasks.
+    Every consumer aggregation here is integer/min-valued, so the
+    partition-order change cannot move any result."""
+    src = spread_scan(
+        df.select(F.col(id_col), *[F.col(c) for c in extra_cols], F.col(text_col))
+    )
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(
+    base = src.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], arr.alias("_toks")
     )
     cnt = F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(0))
@@ -574,6 +583,10 @@ def simhash(
     from the earlier F.expr-per-aggregate form, then the residual ~0.15 s
     of groupBy/select plumbing removed by this single-statement form)."""
     spark = df.sparkSession
+    # spread a row-group-starved corpus scan before the token explode +
+    # 21-lane aggregation (see utils.spread_scan; lane sums are integers,
+    # so partition order cannot move the fingerprint)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     iq = f"`{id_col}`"
     tq = f"`{text_col}`"
     spread_mul = (1) | (1 << 20) | (1 << 40)
@@ -1068,7 +1081,9 @@ def repeated_spans(
     # concat/xxhash64 are all codegen'd). Slices are sized to the valid
     # window count, so posexplode's index IS the window start position over
     # the length-filtered token sequence, matching the old filtered-lead
-    # rows exactly.
+    # rows exactly. The scan is spread first (utils.spread_scan) so the
+    # window hashing isn't pinned to the parquet row-group count.
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     base = df.select(
         F.col(id_col),
         F.filter(

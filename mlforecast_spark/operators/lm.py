@@ -32,12 +32,19 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..utils import spread_scan
+
 # separator for hashing token windows; ASCII unit separator never appears in
 # whitespace-split tokens
 _SEP = "\x1f"
 
 
 def _tok_array(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # spread a row-group-starved corpus scan before the n-gram hash
+    # projections (utils.spread_scan; all LM aggregates are integer counts
+    # or per-doc sums over per-partition-complete rows, so partition order
+    # cannot move any result)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     return df.select(
         F.col(id_col),
         F.filter(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..utils import spread_scan
+
 # deterministic, SQL-expressible punctuation set; PUNCT_CHARS feeds
 # F.translate, which char-maps without a regex engine
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
@@ -135,7 +137,10 @@ def _fingerprint_col(text: Column, lowered: Column | None = None) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring statistics per document: char/token counts, average
-    token length, punctuation and whitespace ratios."""
+    token length, punctuation and whitespace ratios. Pure per-row
+    projection; the scan is spread so the regex counting isn't pinned to
+    the parquet row-group count (``utils.spread_scan``)."""
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     stage1 = df.select(F.col(id_col), *_raw_count_cols(F.col(text_col)))
     return stage1.select(
         F.col(id_col), "n_chars", "n_tokens", *_ratio_cols()
@@ -168,8 +173,14 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     back by id — the plan to run at 100 TB. The join moves (id, 4 ints) per
     doc with a marker hit, far cheaper than the 20 extra full-text string
     passes of the replace-arithmetic formulation it replaced (sf1 A/B: 4.2 s
-    vs 5.5 s, 5 interleaved warm reps)."""
+    vs 5.5 s, 5 interleaved warm reps).
+
+    Both legs read the spread corpus frame (``utils.spread_scan``): a
+    row-group-starved scan pins the tokenizing projection to a handful of
+    tasks, and with the spread exchange shared by AQE stage reuse the
+    corpus is read from parquet ONCE for both legs instead of twice."""
     text = F.col(text_col)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     stage1 = df.select(
         F.col(id_col),
         *_raw_count_cols(text),
@@ -234,7 +245,14 @@ def repetition_stats(
     adjacent tokens); they come from a lambda-free slice/arrays_zip
     projection over the token array, the same rewrite as the dedup shingle
     builder. ``trim`` before split makes the array exactly the
-    length-filtered token sequence, so the pairs are identical."""
+    length-filtered token sequence, so the pairs are identical.
+
+    All three legs (token counts, bigram counts, id join-back) read the
+    spread corpus frame (``utils.spread_scan``): the scan is unpinned from
+    the parquet row-group count, and AQE stage reuse makes the legs share
+    ONE corpus read. Every aggregate here is integer-valued, so the
+    partition-order change cannot move any result."""
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
@@ -782,7 +800,7 @@ def bm25_scores(
     if not terms:
         raise ValueError("query_terms must contain at least one non-blank term")
     did = F.col(id_col)
-    toks = df.select(
+    toks = spread_scan(df.select(did, F.col(text_col))).select(
         did,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
     ).filter(F.col("_tok") != "")
@@ -944,7 +962,13 @@ def profile_quality_bm25(
         )
     did = F.col(id_col)
     text = F.col(text_col)
-    base = df.filter(did.isNotNull())
+    # spread the (filtered) corpus scan once; the projection leg and the
+    # gram leg both read it, sharing one parquet read via AQE stage reuse
+    # (see utils.spread_scan — measured at the 100x bench scale the two
+    # row-group-starved scan legs were 260 s of the slot's 194 s wall)
+    base = spread_scan(
+        df.filter(did.isNotNull()).select(did, text)
+    )
 
     # scan 1: per-row projection (identical expressions to text_profile)
     proj = base.select(

@@ -163,6 +163,89 @@ def load_events(spark: SparkSession, sf_dir: str):
     return df
 
 
+_SPREAD_SCAN_NODES = re.compile(r"^(Project|Filter|Relation|InMemoryRelation)\b")
+_SPREAD_CACHE: dict = {}
+
+
+def spread_scan(df, min_parts: int | None = None):
+    """Round-robin repartition of a narrow file scan before CPU-heavy
+    per-row work (optimization guide §2.5 "input skew": repartition right
+    after the read when the source under-splits).
+
+    Spark cannot split a parquet ROW GROUP across tasks, so a compressed
+    corpus file exposes only as many effective scan tasks as it has row
+    groups — measured at the 100×-replicated bench scale:
+    documents.parquet is 58 MB with 5 row groups, and the minhash
+    signature stage (shingle explode + 32 hash-min aggregation, ~31 s of
+    CPU) ran on ≤5 effective tasks of 32 cores, 11.3 s wall. Spreading
+    the scan costs one corpus-sized exchange and unpins every downstream
+    token/hash stage; it pays whenever per-row CPU dominates one extra
+    pass over the bytes, which holds for every tokenizing operator.
+
+    Scale-adaptive and conservative — this is a no-op unless ALL hold:
+
+    - the plan is scan/project/filter only (no joins/aggregates/exchanges:
+      their presence would make the partition probe below trigger AQE
+      execution, and such plans aren't scan-starved anyway);
+    - the scan yields fewer partitions than ``sc.defaultParallelism``
+      (false at real scale, where the file count dwarfs the core count —
+      the repartition then never enters the plan);
+    - the scan's estimated size is at least
+      ``spark.mlforecast.spreadScan.minBytes`` (default 4 MB). Below that
+      the exchange's fixed stage cost exceeds what starvation can waste:
+      interleaved A/B on the 0.64 MB sf0.1 corpus measured +0.2-0.3 s per
+      dedup/text query from spreading, while at 5.9 MB (10×) spreading
+      already wins 2.3× on ``text_profile`` — the default sits between
+      those measured points and is conf-tunable per deployment;
+    - ``spark.mlforecast.spreadScan`` is not set to ``false``.
+
+    Only use upstream of order-insensitive consumers (integer/min/max/count
+    aggregations, per-row projections): round-robin repartitioning changes
+    which rows share a partition, so float partial-aggregation order moves
+    — same reassociation class the engine's 6-dp output rounding absorbs.
+    """
+    spark = df.sparkSession
+    if (
+        spark.conf.get("spark.mlforecast.spreadScan", "true").lower()
+        == "false"
+    ):
+        return df
+    plan = df._jdf.queryExecution().optimizedPlan().treeString()
+    nodes = [
+        ln.lstrip("+-: ").strip()
+        for ln in plan.splitlines()
+        if ln.strip()
+    ]
+    if not all(_SPREAD_SCAN_NODES.match(n) for n in nodes):
+        return df
+    if not any(n.startswith("Relation") for n in nodes):
+        return df  # in-memory frames (tests, createDataFrame) keep their plan
+    sc = spark.sparkContext
+    target = min_parts or sc.defaultParallelism
+    min_bytes = int(
+        spark.conf.get("spark.mlforecast.spreadScan.minBytes", str(4 << 20))
+    )
+    # memoize the probes per (session, optimized plan): .rdd costs 20-50 ms
+    # of driver plan building, which is bench-floor latency when every
+    # query re-derives the same corpus scan
+    key = (id(spark), plan)
+    probed = _SPREAD_CACHE.get(key)
+    if probed is None:
+        # size from the LEAF relation (file bytes), not the projected root:
+        # Project stats rescale strings to a 20-byte default width, badly
+        # underestimating text corpora — the cost being traded is the real
+        # bytes the scan decompresses and the exchange moves
+        leaf = df._jdf.queryExecution().optimizedPlan().collectLeaves().apply(0)
+        probed = _SPREAD_CACHE[key] = (
+            df.rdd.getNumPartitions(),
+            int(str(leaf.stats().sizeInBytes())),
+        )
+    n, size_bytes = probed
+    if n >= target or size_bytes < min_bytes:
+        return df
+    return df.repartition(target)
+
+
 def future_grid(df, freq: Freq, h: int, id_col: str = "unique_id", time_col: str = "ds"):
     """ids × next h timestamps after each series' last observation
     (`/root/reference/mlforecast/forecast.py:1425-1443` as sequence+explode)."""

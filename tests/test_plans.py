@@ -395,3 +395,96 @@ def test_python_pass_ships_only_narrow_columns(spark, panel):
     # and the features are all still produced
     missing = [n for n in registry if not any(n in c for c in feats.columns)]
     assert not missing, missing
+
+
+def test_spread_scan_fires_only_on_starved_big_file_scans(spark, tmp_path):
+    """spread_scan (r11) unpins CPU-heavy token stages from the parquet
+    row-group count: it must repartition a large single-file scan, and be a
+    NO-OP for in-memory frames, non-scan plans, and scans below the size
+    threshold (the sf0.1 bench crossover)."""
+    from mlforecast_spark.utils import spread_scan
+
+    path = str(tmp_path / "docs.parquet")
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{i}x"), F.col("id") % 17) for i in range(30)]
+        ).alias("text"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path).select("doc_id", "text")
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().treeString()
+
+    old = spark.conf.get("spark.mlforecast.spreadScan.minBytes", None)
+    try:
+        spark.conf.set("spark.mlforecast.spreadScan.minBytes", "1")
+        spread = spread_scan(scan)
+        assert "Repartition" in plan(spread)
+        assert (
+            spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        # in-memory frame: untouched (keeps plan-shape tests meaningful)
+        mem = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        assert "Repartition" not in plan(spread_scan(mem))
+        # non-scan plan: untouched (the partition probe must not run on
+        # plans whose .rdd would trigger AQE execution)
+        agg = scan.groupBy("doc_id").count()
+        assert spread_scan(agg) is agg
+        # below the size threshold: untouched
+        spark.conf.set(
+            "spark.mlforecast.spreadScan.minBytes", str(1 << 40)
+        )
+        assert "Repartition" not in plan(spread_scan(scan))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.mlforecast.spreadScan.minBytes")
+        else:
+            spark.conf.set("spark.mlforecast.spreadScan.minBytes", old)
+
+
+def test_spread_scan_consumers_results_identical(spark, tmp_path):
+    """The spread plans must produce exactly the rows of the unspread plans
+    for the tokenizing consumers (integer/min aggregates — partition-order
+    free): shingles (multiset), simhash fingerprints, repetition stats."""
+    from mlforecast_spark.operators.dedup import shingle_df, simhash
+    from mlforecast_spark.operators.text import repetition_stats, text_profile
+
+    path = str(tmp_path / "docs2.parquet")
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"t{i % 7}_"), F.col("id") % 13) for i in range(25)]
+        ).alias("text"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+
+    old = spark.conf.get("spark.mlforecast.spreadScan.minBytes", None)
+    try:
+        results = {}
+        for arm, min_bytes in [("spread", "1"), ("plain", str(1 << 40))]:
+            spark.conf.set("spark.mlforecast.spreadScan.minBytes", min_bytes)
+            results[arm] = {
+                "shingles": sorted(
+                    (r["doc_id"], r["shingle"])
+                    for r in shingle_df(scan, n=3, distinct=False).collect()
+                ),
+                "simhash": sorted(
+                    (r["doc_id"], r["simhash"]) for r in simhash(scan).collect()
+                ),
+                "reps": sorted(
+                    tuple(r) for r in repetition_stats(scan).collect()
+                ),
+                "profile": sorted(
+                    tuple(r) for r in text_profile(scan).collect()
+                ),
+            }
+        assert results["spread"] == results["plain"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.mlforecast.spreadScan.minBytes")
+        else:
+            spark.conf.set("spark.mlforecast.spreadScan.minBytes", old)
