@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..utils import spread_scan
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -268,6 +270,10 @@ def lsh_topk(
         dim = meta.get("dim")
     if dim is None:
         dim = len(vectors.select(vec_col).limit(1).first()[0])
+    # the hyperplane dot products (num_tables x num_planes interpreted
+    # aggregate HOFs per row) run in the scan stage — spread a row-group-
+    # starved corpus scan first (per-row projection, result-neutral)
+    vectors = spread_scan(vectors)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def bucketize(df, out_id):
@@ -515,10 +521,22 @@ def build_ivf_index(
         raise ValueError(f"n_lists must be >= 1, got {n_lists}")
     if trainer not in ("sample", "mllib"):
         raise ValueError(f"trainer must be 'sample' or 'mllib', got {trainer!r}")
+    # spread a row-group-starved vector scan BEFORE the per-row argmin
+    # assign pass and everything chained onto `assigned` (the probe's
+    # list-pruned mapInPandas runs in the same stage as the scan) — the
+    # 100x bench embeddings file is 52 MB in 2 row groups, pinning those
+    # BLAS kernels to 2 effective tasks. Only the ASSIGN input is spread:
+    # the training paths keep the original frame, because the Bernoulli
+    # `train_fraction` pre-sample and MLlib's kmeans|| init are partition-
+    # dependent (the default hash-ORDERED driver sample is not, but the
+    # restriction keeps every trainer bit-stable). Assignment is per-row
+    # and every search top-k merges under a total (score, id) order, so
+    # spreading it is result-neutral. See utils.spread_scan.
+    assign_src = spread_scan(vectors)
     if n_lists == 1:
         # degenerate single-list index (== brute force at search time);
         # MLlib KMeans rejects k=1, and no clustering is needed anyway
-        assigned = vectors.select(
+        assigned = assign_src.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             F.lit(0).alias("list_id"),
@@ -549,7 +567,12 @@ def build_ivf_index(
             train = feats.sample(fraction=train_fraction, seed=seed)
         km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_feat")
         model = km.fit(train)
-        assigned = model.transform(feats).select(
+        feats_assign = assign_src.select(
+            F.col(id_col).alias("vec_id_"),
+            F.col(vec_col).alias("embedding_"),
+            array_to_vector(vd).alias("_feat"),
+        )
+        assigned = model.transform(feats_assign).select(
             F.col("vec_id_").alias("vec_id"),
             F.col("embedding_").alias("embedding"),
             F.col("prediction").alias("list_id"),
@@ -584,7 +607,7 @@ def build_ivf_index(
 
     _assign = F.pandas_udf(_assign_fn, "int")
 
-    assigned = vectors.select(
+    assigned = assign_src.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         _assign(vd).alias("list_id"),
@@ -919,7 +942,13 @@ def quantize_embeddings(
     at 100 TB is usually the difference between an ANN index that fits the
     cluster's disks and one that doesn't; cosine rankings survive int8
     quantization nearly unchanged (standard FAISS SQ8 practice). All
-    expression-based; reconstruction error per element is <= scale/2."""
+    expression-based; reconstruction error per element is <= scale/2.
+
+    Per-row interpreted HOFs (the O(dim) max-abs aggregate + quantizing
+    transform) are the cost; the scan is spread first so they aren't
+    pinned to the parquet row-group count (utils.spread_scan; per-row
+    computation — partitioning cannot move any value)."""
+    df = spread_scan(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
@@ -1273,6 +1302,11 @@ def build_pq_index(
         n[n == 0] = 1.0
         X = X / n[:, None]
     k_eff = min(k, len(X))
+    # NOTE (r11, measured veto): thread-parallelizing the m independent
+    # sub-space fits is bit-identical but SLOWER here — each numpy kernel
+    # already fans out OpenBLAS threads, so an outer pool oversubscribes
+    # (m=8: 8.9 s serial vs 12.7 s pooled on 32 cores; no threadpoolctl
+    # available to pin inner threads). Keep the serial loop.
     books = np.stack(
         [
             _kmeans_numpy(X[:, j * dsub : (j + 1) * dsub], k_eff, seed + j, max_iter)
@@ -1310,7 +1344,11 @@ def build_pq_index(
 
     encode = F.pandas_udf(encode_fn, "binary")
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = vectors.select(
+    # spread a row-group-starved vector scan before the per-row BLAS encode
+    # pass only — the training sample above keeps the original frame (its
+    # optional Bernoulli pre-sample is partition-dependent; the default
+    # hash-ordered sample is not). See utils.spread_scan.
+    codes = spread_scan(vectors).select(
         F.col(id_col).alias("vec_id"), encode(vd).alias("code")
     )
     return PQIndex(books, codes, normalize)
