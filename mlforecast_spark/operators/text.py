@@ -80,7 +80,12 @@ def _marker_score_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tokenize → keep only the 20 marker tokens → 4 conditional SUMs. The
     filter discards ~all of the token stream before the aggregation, so the
     shuffle moves marker hits only; docs with no hits are absent (callers
-    left-join + coalesce to 0)."""
+    left-join + coalesce to 0).
+
+    Kept for the duplicate-id grouping semantics (scores summed across rows
+    sharing an id); the per-row formulation below (`_marker_hits_col` +
+    `_marker_score_cols`) replaces it inside ``text_profile`` /
+    ``language_scores``, where rows are per-document."""
     all_words = [w for words in LANG_MARKERS.values() for w in words]
     toks = df.select(
         F.col(id_col),
@@ -91,6 +96,45 @@ def _marker_score_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for lang, words in LANG_MARKERS.items()
     ]
     return toks.groupBy(id_col).agg(*aggs)
+
+
+def _marker_hits_col(text: Column) -> Column:
+    """Marker tokens of one document as an array column: tokenize (same
+    ``split(lower(text), '\\s+')`` stream as ``_marker_score_agg``) and keep
+    only the 20 marker tokens. One interpreted-HOF pass over the token
+    array; materialize it as a column (NOT inline) so CollapseProject keeps
+    it and the four per-language counts below scan the filtered handful of
+    hits instead of re-filtering the full stream."""
+    all_words = [w for words in LANG_MARKERS.values() for w in words]
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t.isin(*all_words)
+    )
+
+
+def _marker_score_cols(hits: Column) -> list[Column]:
+    """Per-row language scores over a `_marker_hits_col` array — the r11
+    replacement for the explode → filter → two-level groupBy → shuffle →
+    left-join formulation (optimization guide §2.4: remove shuffles
+    outright). The old plan scanned and round-robin-exchanged the corpus
+    TWICE (the left join pushed ``isnotnull(id)`` into only one exchange
+    subtree, so AQE could not reuse the scan — measured at the 100x bench
+    scale: two 85 MB corpus exchanges plus an (id, 4 sums) shuffle and a
+    join, vs ONE corpus pass and zero joins here). Values: long counts of
+    tokens in each language's marker set, 0 for docs with no hits —
+    identical to the old sum/coalesce for per-document rows (null text
+    coalesces to 0 like the old explode-drops-row path; rows sharing an id
+    now score their OWN text instead of the group's sum, which is the
+    documented per-document contract)."""
+    zero = F.lit(0).cast("long")
+    return [
+        F.coalesce(
+            F.aggregate(
+                hits, zero, lambda acc, t: acc + t.isin(*words).cast("long")
+            ),
+            zero,
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
 
 
 def _coalesced_score_cols() -> list[Column]:
@@ -149,11 +193,12 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-token counts per language + argmax guess (n-gram-heuristic
-    language ID). One tokenize→filter→aggregate pass joined back onto the
-    id set; ties broken by language order."""
-    scores = _marker_score_agg(df, text_col, id_col)
-    base = df.select(F.col(id_col)).join(scores, id_col, "left")
-    return base.select(F.col(id_col), *_coalesced_score_cols()).withColumn(
+    language ID). Pure per-row projection (r11, see ``_marker_score_cols``):
+    one corpus pass, no shuffle, no join; ties broken by language order."""
+    base = df.select(
+        F.col(id_col), _marker_hits_col(F.col(text_col)).alias("_mk")
+    )
+    return base.select(F.col(id_col), *_marker_score_cols(F.col("_mk"))).withColumn(
         "lang_guess", _guess_col()
     )
 
@@ -168,36 +213,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token stats + language ID + fingerprint: one per-row projection over
-    a single corpus scan, plus the single-pass marker aggregation joined
-    back by id — the plan to run at 100 TB. The join moves (id, 4 ints) per
-    doc with a marker hit, far cheaper than the 20 extra full-text string
-    passes of the replace-arithmetic formulation it replaced (sf1 A/B: 4.2 s
-    vs 5.5 s, 5 interleaved warm reps).
+    """Token stats + language ID + fingerprint: ONE per-row projection over
+    a single corpus scan — the plan to run at 100 TB. r11: the marker
+    scores moved from a tokenize→filter→groupBy→left-join leg into the same
+    projection (`_marker_score_cols`). The old two-leg plan was supposed to
+    share the spread corpus exchange via AQE stage reuse, but the left join
+    pushed ``isnotnull(id)`` into only the aggregation leg's exchange
+    subtree, so the corpus was scanned AND round-robin-exchanged twice
+    (measured at the 100x bench scale: two 85 MB exchanges + an (id, sums)
+    shuffle + a join — all gone here; sf10 warm min 7.9 s -> see
+    OPTIMIZATION_r11.md).
 
-    Both legs read the spread corpus frame (``utils.spread_scan``): a
-    row-group-starved scan pins the tokenizing projection to a handful of
-    tasks, and with the spread exchange shared by AQE stage reuse the
-    corpus is read from parquet ONCE for both legs instead of twice."""
+    The single scan is spread (``utils.spread_scan``): a row-group-starved
+    scan pins the regex/tokenize projection to a handful of tasks."""
     text = F.col(text_col)
     df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     stage1 = df.select(
         F.col(id_col),
         *_raw_count_cols(text),
         _fingerprint_col(text),
+        _marker_hits_col(text).alias("_mk"),
     )
-    counts = stage1.select(
-        F.col(id_col), "n_chars", "n_tokens", *_ratio_cols(), "fingerprint"
-    )
-    merged = counts.join(_marker_score_agg(df, text_col, id_col), id_col, "left")
-    scored = merged.select(
+    scored = stage1.select(
         F.col(id_col),
         "n_chars",
         "n_tokens",
-        "avg_token_len",
-        "punct_ratio",
-        "space_ratio",
-        *_coalesced_score_cols(),
+        *_ratio_cols(),
+        *_marker_score_cols(F.col("_mk")),
         "fingerprint",
     )
     return scored.select(

@@ -3526,3 +3526,67 @@ def test_centroid_probe_large_quantizer_fallback(spark, monkeypatch):
         literal.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
         == fallback.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
     )
+
+
+def test_text_profile_perrow_scores_match_agg_join(spark):
+    """r11: text_profile/language_scores compute marker scores per row in
+    the projection pass (no explode/groupBy/join legs). Must be
+    value-identical to the old _marker_score_agg + left-join formulation on
+    per-document rows — including empty / whitespace / null-text / marker-
+    heavy / mixed-case edge docs."""
+    from pyspark.sql import functions as F
+
+    from mlforecast_spark.operators.text import (
+        LANG_MARKERS,
+        _coalesced_score_cols,
+        _marker_score_agg,
+        language_scores,
+        text_profile,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "\tder und die nicht ist der und die"),
+        (5, None),
+        (6, "le et les des est " * 30),
+        (7, "el los que es una el los"),
+        (8, "mixed CASE Tokens With the AND of to is"),
+        (9, "the the the und und le el"),
+        (10, "no markers here whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    old = (
+        df.select("doc_id")
+        .join(_marker_score_agg(df, "text", "doc_id"), "doc_id", "left")
+        .select("doc_id", *_coalesced_score_cols())
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    score_cols = [f"score_{lang}" for lang in LANG_MARKERS]
+
+    new_ls = (
+        language_scores(df)
+        .select("doc_id", *score_cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert new_ls[["doc_id", *score_cols]].equals(old[["doc_id", *score_cols]])
+
+    new_tp = (
+        text_profile(df)
+        .select("doc_id", *score_cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert new_tp[["doc_id", *score_cols]].equals(old[["doc_id", *score_cols]])
+
+    # plan shape: the single-pass form plans exactly ONE scan of the source
+    # and no joins
+    plan = text_profile(df)._jdf.queryExecution().optimizedPlan().treeString()
+    assert "Join" not in plan
