@@ -255,6 +255,135 @@ def _attach_est_jaccard(
     )
 
 
+def _minhash_lsh_candidates_grouped(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    num_hashes: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Rep-space banded LSH: band DISTINCT signatures, join reps, expand rep
+    pairs back to id pairs (the same collapse as
+    :func:`_simhash_candidates_grouped` — guide §2.3/§2.5). Measured at the
+    100× bench scale: 500k docs hold 260,964 distinct signatures, and both
+    the banded self-join volume and the per-pair ``est_jaccard`` work (the
+    query's CPU wall — an ``aggregate(zip_with(...))`` over 32-slot arrays
+    per candidate pair) shrink by the clone-pair ratio; identical-signature
+    pairs skip the join entirely (est_jaccard is exactly
+    ``size/size = 1.0`` for them, or NULL for degenerate empty signatures,
+    matching the row-space 0/0).
+
+    Cap semantics are preserved in DOC counts: ``_bn = sum(group size)``
+    per (band, bucket), per-rep ``_cap`` flags, first-UNCAPPED-agreeing-band
+    claims a rep pair, and an identical-signature pair survives iff any
+    band's bucket is uncapped (``NOT array_min(_cap)``) — identical
+    signatures agree on every band. Multiset-pinned against the row-space
+    plan by ``test_minhash_candidates_grouped_matches_rowspace``."""
+    import os
+
+    spark = signatures.sparkSession
+    rpb = max(1, num_hashes // num_bands)
+    iq = f"`{id_col}`"
+    bks = (
+        "array("
+        + ",".join(
+            f"xxhash64(slice(signature, {b * rpb + 1}, {rpb}))"
+            for b in range(num_bands)
+        )
+        + ")"
+    )
+    groups = (
+        f"SELECT signature, count(1) AS _cnt, "
+        f"array_sort(collect_list({iq})) AS _ids, min({iq}) AS rk "
+        f"FROM (SELECT {iq}, signature FROM {{sig}} "
+        f"WHERE {iq} IS NOT NULL AND signature IS NOT NULL) "
+        f"GROUP BY signature"
+    )
+    exploded = (
+        f"SELECT rk, _bks, band, bucket, _cnt FROM "
+        f"(SELECT rk, {bks} AS _bks, _cnt FROM ({groups})) "
+        f"LATERAL VIEW posexplode(_bks) t AS band, bucket"
+    )
+    counted = (
+        f"SELECT *, count(1) OVER (PARTITION BY band, bucket) AS _rn, "
+        f"sum(_cnt) OVER (PARTITION BY band, bucket) AS _bn "
+        f"FROM ({exploded})"
+    )
+    self_est = "round(CAST(size(signature) AS DOUBLE) / size(signature), 6)"
+    if max_bucket_size is None:
+        bands_sql = (
+            f"SELECT rk, _bks, band, bucket FROM ({counted}) WHERE _rn >= 2"
+        )
+        self_sql = (
+            f"SELECT ia AS id_a, ib AS id_b, {self_est} AS est_jaccard "
+            f"FROM ({groups}) "
+            f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
+            f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
+            f"WHERE _cnt >= 2 AND pa < pb"
+        )
+    else:
+        capped = (
+            f"SELECT rk, _bks, band, bucket, _rn, _bn, "
+            f"transform(array_sort(collect_list(named_struct("
+            f"'band', band, 'c', _bn > {max_bucket_size})) "
+            f"OVER (PARTITION BY rk)), s -> s.c) AS _cap "
+            f"FROM ({counted})"
+        )
+        bands_sql = (
+            f"SELECT rk, _bks, band, bucket, _cap FROM ({capped}) "
+            f"WHERE _rn >= 2 AND _bn <= {max_bucket_size}"
+        )
+        self_sql = (
+            f"SELECT ia AS id_a, ib AS id_b, {self_est} AS est_jaccard "
+            f"FROM ({groups}) g "
+            f"JOIN (SELECT rk AS _crk, _cap FROM ({capped}) WHERE band = 0) c "
+            f"ON g.rk = c._crk "
+            f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
+            f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
+            f"WHERE _cnt >= 2 AND pa < pb AND NOT array_min(_cap)"
+        )
+    force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
+    join_hint = (
+        "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
+    )
+    est_hint = "/*+ SHUFFLE_HASH(sa, sb) */ " if force else ""
+    if max_bucket_size is None:
+        terms = [
+            f"IF(a.band > {j}, a._bks[{j}] != b._bks[{j}], TRUE)"
+            for j in range(num_bands - 1)
+        ]
+    else:
+        terms = [
+            f"IF(a.band > {j}, "
+            f"NOT(a._bks[{j}] = b._bks[{j}] AND NOT a._cap[{j}]), TRUE)"
+            for j in range(num_bands - 1)
+        ]
+    first_band = " AND ".join(terms) if terms else "TRUE"
+    rep_pairs = (
+        f"SELECT {join_hint}a.rk AS rk_a, b.rk AS rk_b "
+        f"FROM ({bands_sql}) a JOIN ({bands_sql}) b "
+        f"ON a.band = b.band AND a.bucket = b.bucket AND a.rk < b.rk "
+        f"WHERE {first_band}"
+    )
+    attach = (
+        f"SELECT {est_hint}sa._ids AS ids_a, sb._ids AS ids_b, "
+        f"round(aggregate(zip_with(sa.signature, sb.signature, "
+        f"(x, y) -> CAST(x = y AS INT)), 0, (acc, x) -> acc + x) "
+        f"/ size(sa.signature), 6) AS est_jaccard "
+        f"FROM ({rep_pairs}) p "
+        f"JOIN ({groups}) sa ON p.rk_a = sa.rk "
+        f"JOIN ({groups}) sb ON p.rk_b = sb.rk"
+    )
+    cross_sql = (
+        f"SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, "
+        f"est_jaccard FROM ({attach}) "
+        f"LATERAL VIEW explode(ids_a) ta AS ia "
+        f"LATERAL VIEW explode(ids_b) tb AS ib"
+    )
+    sql = f"{cross_sql} UNION ALL {self_sql}"
+    return sql_with_frames(spark, sql, sig=signatures)
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -262,6 +391,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     max_bucket_size: int | None = None,
     cache: bool = False,
+    group_identical: bool | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: hash each band of the
     signature to a bucket, self-join on (band, bucket). Returns distinct
@@ -311,6 +441,17 @@ def minhash_lsh_candidates(
 
     if cache:
         signatures = signatures.cache()
+    if group_identical is None:
+        min_bytes = int(
+            signatures.sparkSession.conf.get(
+                "spark.mlforecast.groupFingerprints.minBytes", str(16 << 20)
+            )
+        )
+        group_identical = _input_bytes(signatures) >= min_bytes
+    if group_identical:
+        return _minhash_lsh_candidates_grouped(
+            signatures, id_col, num_bands, num_hashes, max_bucket_size
+        )
     spark = signatures.sparkSession
     rpb = max(1, num_hashes // num_bands)
     iq = f"`{id_col}`"
@@ -788,16 +929,187 @@ def connected_components(
     )
 
 
+def _input_bytes(df: DataFrame) -> int:
+    """Sum of the optimized plan's LEAF relation sizes — the same probe
+    ``utils.spread_scan`` uses (leaf stats, not the projected root, whose
+    string-width defaults badly underestimate text corpora). Drives the
+    scale gates below; memoized per (session, plan)."""
+    key = (id(df.sparkSession), df._jdf.queryExecution().optimizedPlan().treeString())
+    got = _INPUT_BYTES_CACHE.get(key)
+    if got is None:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        got = _INPUT_BYTES_CACHE[key] = sum(
+            int(str(leaves.apply(i).stats().sizeInBytes()))
+            for i in range(leaves.length())
+        )
+    return got
+
+
+_INPUT_BYTES_CACHE: dict = {}
+
+
+def _simhash_candidates_grouped(
+    fps: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Rep-space banded self-join: group ids by DISTINCT fingerprint first,
+    band/join the distinct fingerprints only, then expand rep pairs back to
+    id pairs (guide §2.3 "shuffle keys instead of payloads" / §2.5 hot
+    keys). Near-dup corpora are clone-heavy, so the quadratic join mass
+    collapses by the squared duplication factor: measured at the 100×
+    bench scale, 500k docs hold 167,829 distinct simhashes and the banded
+    join's comparison volume Σ_bucket n² drops 5.6B → 0.3B (18×), while
+    the hottest (chunk, bucket) key shrinks 18,397 → 3,271 rows — the
+    compute skew that pinned the join stage to ~10 of 32 cores (byte-based
+    AQE skew splitting can never fire on a 2 MB partition) disappears
+    with it. Identical-fingerprint pairs never enter the join at all: they
+    are emitted directly from each group (hamming 0, subject to the same
+    cap rules — an identical pair survives iff any of its four buckets is
+    uncapped, exactly the old first-uncapped-agreeing-band condition,
+    since identical fingerprints agree everywhere).
+
+    Output is the exact multiset the row-space join produces
+    (``test_simhash_candidates_grouped_matches_rowspace``): each unordered
+    id pair once, oriented id_a < id_b, same cap semantics (``_bn`` stays
+    the DOC count per bucket — ``sum(_cnt)`` over the bucket's reps).
+
+    Per-group state is one sorted id array; a group so large that its
+    array is a memory hazard implies a quadratic OUTPUT (m²/2 pairs) that
+    is infeasible anyway — run ``exact_duplicates`` first, as
+    ``dedup_corpus`` does, to collapse byte-identical mass."""
+    import os
+
+    spark = fps.sparkSession
+    iq = f"`{id_col}`"
+    chunk_arr = "array(" + ", ".join(
+        f"shiftright(simhash, {16 * i}) & 65535L" for i in range(4)
+    ) + ")"
+    groups = (
+        f"SELECT simhash, count(1) AS _cnt, array_sort(collect_list({iq})) AS _ids "
+        f"FROM (SELECT {iq}, simhash FROM {{fps}} "
+        f"WHERE {iq} IS NOT NULL AND simhash IS NOT NULL) "
+        f"GROUP BY simhash"
+    )
+    exploded = (
+        f"SELECT simhash, _cnt, _ids, chunk_idx, chunk FROM ({groups}) "
+        f"LATERAL VIEW posexplode({chunk_arr}) t AS chunk_idx, chunk"
+    )
+    if max_bucket_size is None:
+        # _rn (reps per bucket) >= 2 is the rep-space analogue of the old
+        # doc-count filter: a single-rep bucket cannot form a cross pair
+        # (its identical pairs come from the group branch below).
+        counted = (
+            f"SELECT *, count(1) OVER (PARTITION BY chunk_idx, chunk) AS _rn "
+            f"FROM ({exploded})"
+        )
+        chunks_sql = (
+            f"SELECT simhash, _ids, chunk_idx, chunk FROM ({counted}) "
+            f"WHERE _rn >= 2"
+        )
+        self_sql = (
+            f"SELECT ia AS id_a, ib AS id_b, CAST(0 AS INT) AS hamming "
+            f"FROM ({groups}) "
+            f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
+            f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
+            f"WHERE _cnt >= 2 AND pa < pb"
+        )
+    else:
+        # cap semantics are DOC counts, exactly as the row-space plan: _bn
+        # = sum of group sizes in the bucket, _cap = the rep's per-band
+        # capped flags. _rn >= 2 is a pure pruning filter on top.
+        counted = (
+            f"SELECT *, count(1) OVER (PARTITION BY chunk_idx, chunk) AS _rn, "
+            f"sum(_cnt) OVER (PARTITION BY chunk_idx, chunk) AS _bn "
+            f"FROM ({exploded})"
+        )
+        capped = (
+            f"SELECT simhash, _cnt, _ids, chunk_idx, chunk, _rn, _bn, "
+            f"transform(array_sort(collect_list(named_struct("
+            f"'chunk_idx', chunk_idx, 'c', _bn > {max_bucket_size})) "
+            f"OVER (PARTITION BY simhash)), s -> s.c) AS _cap "
+            f"FROM ({counted})"
+        )
+        chunks_sql = (
+            f"SELECT simhash, _ids, chunk_idx, chunk, _cap FROM ({capped}) "
+            f"WHERE _rn >= 2 AND _bn <= {max_bucket_size}"
+        )
+        # identical pairs survive iff any of the four shared buckets is
+        # uncapped (they agree on every band, so "first band agreeing in
+        # an uncapped bucket" reduces to "not all four buckets capped")
+        self_sql = (
+            f"SELECT ia AS id_a, ib AS id_b, CAST(0 AS INT) AS hamming "
+            f"FROM (SELECT _cnt, _ids, _cap FROM ({capped}) WHERE chunk_idx = 0) "
+            f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
+            f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
+            f"WHERE _cnt >= 2 AND pa < pb "
+            f"AND NOT (_cap[0] AND _cap[1] AND _cap[2] AND _cap[3])"
+        )
+    force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
+    join_hint = (
+        "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
+    )
+    # first-matching-band dedup at rep level (identical reasoning to the
+    # row-space plan, with simhash ordering standing in for id ordering:
+    # each unordered REP pair joins once per agreeing band and exactly one
+    # band claims it)
+    terms = []
+    for j in range(3):
+        differs = (
+            f"(shiftright(a.simhash ^ b.simhash, {16 * j}) & 65535L) != 0"
+        )
+        claim_free = (
+            differs
+            if max_bucket_size is None
+            else f"(({differs}) OR a._cap[{j}])"
+        )
+        terms.append(f"IF(a.chunk_idx > {j}, {claim_free}, TRUE)")
+    no_earlier = " AND ".join(terms)
+    rep_pairs = (
+        f"SELECT {join_hint}a._ids AS ids_a, b._ids AS ids_b, "
+        f"bit_count(a.simhash ^ b.simhash) AS hamming "
+        f"FROM ({chunks_sql}) a JOIN ({chunks_sql}) b "
+        f"ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk "
+        f"AND a.simhash < b.simhash "
+        f"WHERE {no_earlier}"
+    )
+    cross_sql = (
+        f"SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, hamming "
+        f"FROM (SELECT * FROM ({rep_pairs}) WHERE hamming <= {max_hamming}) "
+        f"LATERAL VIEW explode(ids_a) ta AS ia "
+        f"LATERAL VIEW explode(ids_b) tb AS ib"
+    )
+    sql = f"{cross_sql} UNION ALL {self_sql}"
+    return sql_with_frames(spark, sql, fps=fps)
+
+
 def simhash_candidates(
     fps: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     cache: bool = False,
+    group_identical: bool | None = None,
 ) -> DataFrame:
     """Near-dup candidates: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join per chunk,
     verify exact hamming distance.
+
+    ``group_identical`` (r11): run the banded self-join over DISTINCT
+    fingerprints and expand rep pairs back to id pairs — output multiset
+    identical (pinned by
+    ``test_simhash_candidates_grouped_matches_rowspace``), join mass and
+    hot-bucket skew collapse by the corpus' duplication factor squared
+    (see :func:`_simhash_candidates_grouped` for the measurements).
+    Default ``None`` auto-enables it when the input's leaf bytes reach
+    ``spark.mlforecast.groupFingerprints.minBytes`` (16 MB): measured
+    interleaved min-of-4 walls — 100× corpus (58 MB) 8.25 → 5.57 s (−32%),
+    10× (5.9 MB) a wash (2.38 vs 2.38 s), driver sf0.1 (0.64 MB) a
+    regression (0.80 → 1.36 s; the extra distinct-fingerprint aggregation
+    exchange is pure floor at 5k docs) — so the gate sits above the wash
+    point and the rep-space plan engages exactly where duplication mass
+    exists to collapse.
 
     ``max_bucket_size`` is OFF by default: capping breaks the pigeonhole
     guarantee for pairs whose every equal chunk sits in a capped bucket. Set
@@ -817,6 +1129,17 @@ def simhash_candidates(
 
     if cache:
         fps = fps.cache()
+    if group_identical is None:
+        min_bytes = int(
+            fps.sparkSession.conf.get(
+                "spark.mlforecast.groupFingerprints.minBytes", str(16 << 20)
+            )
+        )
+        group_identical = _input_bytes(fps) >= min_bytes
+    if group_identical:
+        return _simhash_candidates_grouped(
+            fps, id_col, max_hamming, max_bucket_size
+        )
     spark = fps.sparkSession
     iq = f"`{id_col}`"
     chunk_arr = "array(" + ", ".join(

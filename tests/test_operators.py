@@ -1148,6 +1148,112 @@ def test_simhash_capped_first_band_matches_dropduplicates(spark):
         assert len(got) > 0 and not got.duplicated(["id_a", "id_b"]).any()
 
 
+def test_simhash_candidates_grouped_matches_rowspace(spark):
+    """The r11 rep-space plan (band DISTINCT fingerprints, expand rep pairs
+    back to id pairs) must be multiset-identical to the row-space banded
+    join, capped and uncapped, on a corpus with clone families (identical
+    fingerprints), near-dups, singletons, and null id / null fingerprint
+    rows that must never form pairs."""
+    from mlforecast_spark.operators.dedup import simhash_candidates
+
+    rows = []
+    did = 0
+    # clone family: 7 docs, one fingerprint
+    for _ in range(7):
+        rows.append((did, 0x1234_5678_9ABC_DEF0)); did += 1
+    # near family: hamming 1-2 off the clone fp
+    for fp in (0x1234_5678_9ABC_DEF1, 0x1234_5678_9ABC_DEF3,
+               0x1234_5678_9ABC_DEF1):
+        rows.append((did, fp)); did += 1
+    # second clone family sharing ONE 16-bit chunk with the first
+    for _ in range(4):
+        rows.append((did, 0x7777_8888_9ABC_0001)); did += 1
+    # singletons
+    for k in range(5):
+        rows.append((did, 0x0F0F_0000_0000_0000 + (k << 20))); did += 1
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    # null rows: must be invisible to both plans
+    nulls = spark.createDataFrame(
+        [(None, 0x1234_5678_9ABC_DEF0), (999, None)],
+        "doc_id long, simhash long",
+    )
+    fps = fps.unionByName(nulls)
+    for cap in (None, 3, 10**9):
+        for mh in (0, 3, 64):
+            new = simhash_candidates(
+                fps, max_hamming=mh, max_bucket_size=cap, group_identical=True
+            ).collect()
+            old = simhash_candidates(
+                fps, max_hamming=mh, max_bucket_size=cap, group_identical=False
+            ).collect()
+            assert sorted(map(tuple, new)) == sorted(map(tuple, old)), (
+                f"cap={cap} mh={mh}"
+            )
+    # the auto gate: flipping the conf floor to zero switches a tiny frame
+    # onto the grouped plan and the result is unchanged
+    auto = simhash_candidates(fps, max_hamming=3)
+    spark.conf.set("spark.mlforecast.groupFingerprints.minBytes", "0")
+    try:
+        forced = simhash_candidates(fps, max_hamming=3)
+        assert sorted(map(tuple, forced.collect())) == sorted(
+            map(tuple, auto.collect())
+        )
+    finally:
+        spark.conf.unset("spark.mlforecast.groupFingerprints.minBytes")
+
+
+def test_minhash_candidates_grouped_matches_rowspace(spark):
+    """The r11 rep-space LSH plan (band DISTINCT signatures, expand rep
+    pairs) must be multiset-identical to the row-space plan — including
+    est_jaccard values — on a corpus with clone families, near-dups and
+    null rows, across cap settings and band counts."""
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    rows = []
+    did = 0
+    # clone family: 6 identical docs (identical signatures, est 1.0)
+    for _ in range(6):
+        rows.append((did, "alpha beta gamma delta epsilon zeta eta theta")); did += 1
+    # near family: shared prefix, varying tails (partial signature overlap)
+    for k in range(5):
+        rows.append((did, f"alpha beta gamma delta epsilon zeta tail{k} x{k}")); did += 1
+    # second clone family
+    for _ in range(3):
+        rows.append((did, "one two three four five six seven eight nine")); did += 1
+    # singletons + degenerate docs
+    for k in range(4):
+        rows.append((did, f"unique doc {k} with tokens w{k} y{k} z{k} q{k}")); did += 1
+    rows.append((did, None)); did += 1
+    rows.append((did, "  ")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
+    sig = sig.unionByName(
+        spark.createDataFrame(
+            [(None, [1, 2, 3, 4] * 8)], "doc_id long, signature array<bigint>"
+        )
+    )
+
+    def canon(df):
+        return sorted(
+            (r[0], r[1], None if r[2] is None else round(r[2], 6))
+            for r in df.collect()
+        )
+
+    for cap in (None, 4, 10**9):
+        for nb in (8, 12):
+            new = canon(minhash_lsh_candidates(
+                sig, num_bands=nb, max_bucket_size=cap, group_identical=True
+            ))
+            old = canon(minhash_lsh_candidates(
+                sig, num_bands=nb, max_bucket_size=cap, group_identical=False
+            ))
+            assert new == old, f"cap={cap} nb={nb}"
+
+
 def _gif_lzw_encode(indices, min_code_size, uncompressed=False):
     """GIF LZW encoder for tests. ``uncompressed=True`` emits only literal
     codes with frequent CLEARs (trivially correct by construction, so it
