@@ -293,7 +293,7 @@ def _minhash_lsh_candidates_grouped(
         + ")"
     )
     groups = (
-        f"SELECT signature, count(1) AS _cnt, "
+        f"SELECT signature, "
         f"array_sort(collect_list({iq})) AS _ids, min({iq}) AS rk "
         f"FROM (SELECT {iq}, signature FROM {{sig}} "
         f"WHERE {iq} IS NOT NULL AND signature IS NOT NULL) "
@@ -301,7 +301,7 @@ def _minhash_lsh_candidates_grouped(
     )
     exploded = (
         f"SELECT rk, _bks, band, bucket, _cnt FROM "
-        f"(SELECT rk, {bks} AS _bks, _cnt FROM ({groups})) "
+        f"(SELECT size(_ids) AS _cnt, rk, {bks} AS _bks FROM ({groups})) "
         f"LATERAL VIEW posexplode(_bks) t AS band, bucket"
     )
     counted = (
@@ -319,7 +319,7 @@ def _minhash_lsh_candidates_grouped(
             f"FROM ({groups}) "
             f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
             f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
-            f"WHERE _cnt >= 2 AND pa < pb"
+            f"WHERE size(_ids) >= 2 AND pa < pb"
         )
     else:
         capped = (
@@ -340,7 +340,7 @@ def _minhash_lsh_candidates_grouped(
             f"ON g.rk = c._crk "
             f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
             f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
-            f"WHERE _cnt >= 2 AND pa < pb AND NOT array_min(_cap)"
+            f"WHERE size(_ids) >= 2 AND pa < pb AND NOT array_min(_cap)"
         )
     force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
     join_hint = (
@@ -987,13 +987,14 @@ def _simhash_candidates_grouped(
         f"shiftright(simhash, {16 * i}) & 65535L" for i in range(4)
     ) + ")"
     groups = (
-        f"SELECT simhash, count(1) AS _cnt, array_sort(collect_list({iq})) AS _ids "
+        f"SELECT simhash, array_sort(collect_list({iq})) AS _ids "
         f"FROM (SELECT {iq}, simhash FROM {{fps}} "
         f"WHERE {iq} IS NOT NULL AND simhash IS NOT NULL) "
         f"GROUP BY simhash"
     )
     exploded = (
-        f"SELECT simhash, _cnt, _ids, chunk_idx, chunk FROM ({groups}) "
+        f"SELECT simhash, size(_ids) AS _cnt, _ids, chunk_idx, chunk "
+        f"FROM ({groups}) "
         f"LATERAL VIEW posexplode({chunk_arr}) t AS chunk_idx, chunk"
     )
     if max_bucket_size is None:
@@ -1013,7 +1014,7 @@ def _simhash_candidates_grouped(
             f"FROM ({groups}) "
             f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
             f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
-            f"WHERE _cnt >= 2 AND pa < pb"
+            f"WHERE size(_ids) >= 2 AND pa < pb"
         )
     else:
         # cap semantics are DOC counts, exactly as the row-space plan: _bn
@@ -1040,10 +1041,10 @@ def _simhash_candidates_grouped(
         # an uncapped bucket" reduces to "not all four buckets capped")
         self_sql = (
             f"SELECT ia AS id_a, ib AS id_b, CAST(0 AS INT) AS hamming "
-            f"FROM (SELECT _cnt, _ids, _cap FROM ({capped}) WHERE chunk_idx = 0) "
+            f"FROM (SELECT _ids, _cap FROM ({capped}) WHERE chunk_idx = 0) "
             f"LATERAL VIEW posexplode(_ids) ta AS pa, ia "
             f"LATERAL VIEW posexplode(_ids) tb AS pb, ib "
-            f"WHERE _cnt >= 2 AND pa < pb "
+            f"WHERE size(_ids) >= 2 AND pa < pb "
             f"AND NOT (_cap[0] AND _cap[1] AND _cap[2] AND _cap[3])"
         )
     force = os.environ.get("MLFS_FORCE_SHUFFLE_HASH") == "1"
