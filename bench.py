@@ -208,6 +208,15 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # r12: self-report the core-count contract so the scaling probe can
+        # verify it from the bench output instead of guessing (the r11
+        # driver's `suspect_cpus_ignored` flag fired on a guess: every
+        # 8-vs-32 ratio read ~1.0 because sf0.1 is floor-bound, and nothing
+        # in the JSON proved the env var reached the master/partitions).
+        # `cpus` is $SPARK_GRAFT_CPUS as parsed; `default_parallelism` is
+        # what the live SparkContext actually runs with.
+        "cpus": cpus,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     # Same-session DuckDB baseline (bench_both protocol): re-measure the
     # oracle in THIS process so ratio_vs_oracle always pairs identical

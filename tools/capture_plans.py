@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <sf_dir> <suffix> [query ...]
 
-Writes `plans/r11/<name>_<suffix>.txt` for every selected bench line,
+Writes `plans/$PLANS_ROUND/<name>_<suffix>.txt` (default r12) for every selected bench line,
 using the SAME workload builders as bench.py (including the pinned
 `dedup_exact` / `doc_text_profile` bench overrides), so a before/after
 pair diffs the exact plan the bench times. Two extra names document the
@@ -89,7 +89,7 @@ def main() -> None:
     builders["doc_text_profile_entry"] = qs["doc_text_profile"]
     builders["doc_text_profile_entry_composed"] = _entry_composed
 
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     # EXECUTE=1: run the query first so the SAME QueryExecution finalizes its
     # AdaptiveSparkPlan — the formatted explain then shows the runtime plan
