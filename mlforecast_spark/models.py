@@ -128,7 +128,24 @@ class _LinearBase:
             aggs.append(f"sum(cast({valid} as long)) as n")
         else:
             aggs.append(f"sum(if({valid}, {w}, null)) as n")
-        row = df.agg(F.expr(f"struct({', '.join(aggs)})").alias("_g")).collect()[0]["_g"]
+        # r12: compute the Gram via observe() + a noop write instead of
+        # agg().collect(). CollectMetrics evaluates the same per-partition
+        # partial aggregates and merges them on the DRIVER, so the
+        # single-partition Exchange + final-aggregate stage the collect form
+        # planned disappears (guide §2.4: remove shuffles outright) — one
+        # Spark job per fit instead of two, and one less full pass over the
+        # feature matrix when the frame is cached (the partial-Gram stage
+        # used to re-read the cache the materialization pass had just
+        # built). Merge order of the 32 partials is arbitrary in BOTH forms
+        # (shuffled final agg vs driver-side task-completion order), so the
+        # float reassociation class is unchanged.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, F.expr(f"struct({', '.join(aggs)})").alias("_g")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row = obs.get["_g"]
         gram = np.zeros((k + 1, k + 1))
         xty = np.zeros(k + 1)
         for i in range(k + 1):
