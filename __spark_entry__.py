@@ -60,6 +60,69 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_FATNESS_CACHE: dict = {}
+
+
+def _panel_rows_per_group(sf_dir: str) -> float:
+    """Driver-only, footer-only estimate of orders rows per (nation, day)
+    panel group: parquet row counts plus the o_orderdate min/max column
+    statistics — no Spark job, no data pages read. Memoized per directory
+    (the footers are immutable test fixtures). Returns -1.0 when the
+    footers carry no usable stats: UNKNOWN fatness keeps the raw-row
+    repartition plan (the measured-right default at every driver SF)."""
+    est = _FATNESS_CACHE.get(sf_dir)
+    if est is None:
+        try:
+            import pyarrow.parquet as pq
+
+            omd = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata
+            names = {
+                omd.schema.column(i).name: i for i in range(omd.num_columns)
+            }
+            ci = names["o_orderdate"]
+            mn = mx = None
+            for rg in range(omd.num_row_groups):
+                st = omd.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no o_orderdate min/max stats")
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            days = max(1.0, (mx - mn).total_seconds() / 86400.0 + 1.0)
+            nations = pq.ParquetFile(f"{sf_dir}/nation.parquet").metadata.num_rows
+            est = omd.num_rows / max(1.0, days * nations)
+        except Exception:
+            est = -1.0
+        _FATNESS_CACHE[sf_dir] = est
+    return est
+
+
+def _fat_groups(spark: SparkSession, sf_dir: str) -> bool:
+    """r12 gate for the r11 id-keyed RAW-row panel exchange (guide §2.3,
+    'aggregate before you shuffle'). The raw repartition trades map-side
+    partial aggregation away for exchange reuse — right when ingest rows
+    reduce only ~2-3x into panel rows (every driver SF measures ~2.5
+    orders per (nation, day)), silently wrong when (id, ds) groups are
+    fat: a workload with hundreds of raw rows per group would shuffle
+    hundreds of times more bytes than the partially-aggregated form. Same
+    measured-threshold pattern as spreadScan.minBytes /
+    groupFingerprints.minBytes: estimate rows-per-group from parquet
+    footers alone and fall back to aggregate-then-shuffle above the
+    threshold (default 32; synthetic A/B at 256 and 1024 rows/group over
+    6.1M raw rows measured the partial-agg plan 1.33x faster end-to-end
+    through a rolling-mean consumer, y bit-identical — OPTIMIZATION_r12.md).
+    Set spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup=-1 to pin
+    the raw plan unconditionally."""
+    max_rpg = float(
+        spark.conf.get(
+            "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup", "32"
+        )
+    )
+    if max_rpg < 0:
+        return False
+    est = _panel_rows_per_group(sf_dir)
+    return est > max_rpg
+
+
 def _panel(spark: SparkSession, sf_dir: str, with_region: bool = False) -> DataFrame:
     orders = _read(spark, f"{sf_dir}/orders.parquet")
     customer = _read(spark, f"{sf_dir}/customer.parquet")
@@ -86,9 +149,21 @@ def _panel(spark: SparkSession, sf_dir: str, with_region: bool = False) -> DataF
     # the group key is to_date(o_orderdate) either way, so shuffling the
     # 4-byte date instead of the 8-byte timestamp is value-identical and
     # drops ~13% of the panel exchange's raw row width.
-    return joined.withColumn("_panel_ds", F.to_date("o_orderdate")).repartition(
-        F.col("n_name")
-    ).groupBy(
+    #
+    # r12: the raw-row repartition is now GATED on group fatness (see
+    # _fat_groups). Fat (id, ds) groups take the aggregate-then-shuffle
+    # plan: partial aggregation collapses the fat groups map-side, the
+    # exchange carries panel rows instead of raw rows, and a cheap
+    # repartition of the AGGREGATED frame (one row per (id, ds)) restores
+    # the id-clustering every downstream window pass reuses.
+    joined = joined.withColumn("_panel_ds", F.to_date("o_orderdate"))
+    if _fat_groups(spark, sf_dir):
+        return joined.groupBy(
+            *keys, F.col("_panel_ds").alias("ds")
+        ).agg(F.round(F.sum("o_totalprice"), 2).alias("y")).repartition(
+            F.col("unique_id")
+        )
+    return joined.repartition(F.col("n_name")).groupBy(
         *keys, F.col("_panel_ds").alias("ds")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
 
@@ -99,14 +174,25 @@ def _count_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, f"{sf_dir}/orders.parquet")
     customer = _read(spark, f"{sf_dir}/customer.parquet")
     nation = _read(spark, f"{sf_dir}/nation.parquet")
-    return (
+    base = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         # same id-keyed exchange as _panel (guide §2.4); COUNT is
         # order-invariant, so this one is trivially value-safe. Date cast
-        # pre-exchange as in _panel (guide §2.3).
+        # pre-exchange as in _panel (guide §2.3). Same r12 fatness gate as
+        # _panel: fat groups aggregate before the shuffle.
         .withColumn("_panel_ds", F.to_date("o_orderdate"))
-        .repartition(F.col("n_name"))
+    )
+    if _fat_groups(spark, sf_dir):
+        return (
+            base.groupBy(
+                F.col("n_name").alias("unique_id"), F.col("_panel_ds").alias("ds")
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("y"))
+            .repartition(F.col("unique_id"))
+        )
+    return (
+        base.repartition(F.col("n_name"))
         .groupBy(F.col("n_name").alias("unique_id"), F.col("_panel_ds").alias("ds"))
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )

@@ -488,3 +488,102 @@ def test_spread_scan_consumers_results_identical(spark, tmp_path):
             spark.conf.unset("spark.mlforecast.spreadScan.minBytes")
         else:
             spark.conf.set("spark.mlforecast.spreadScan.minBytes", old)
+
+
+def test_panel_fat_group_gate(spark, tmp_path):
+    """The r11 id-keyed RAW-row panel exchange is gated on group fatness
+    (r12): thin groups (every driver SF) keep the single REPARTITION_BY_COL
+    exchange the window passes reuse; fat (id, ds) groups flip to
+    aggregate-then-shuffle (partial aggregation collapses the fat groups
+    map-side), with y identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    # driver testdata must stay on the raw plan (estimate ~2.5 rows/group)
+    est = entry._panel_rows_per_group("/root/testdata/sf0.001")
+    assert 0 < est < 32, est
+    raw_plan = _plan(entry._panel(spark, "/root/testdata/sf0.001"))
+    assert "REPARTITION_BY_COL" in raw_plan
+    assert raw_plan.count("Exchange hashpartitioning") == 1
+
+    # fat synthetic: 5 nations x 10 days x 64 rows/group, integral prices
+    # so group sums are fp-exact and both plans produce bit-identical y
+    fat = tmp_path / "fat"
+    fat.mkdir()
+    n_nations, n_days, per_group = 5, 10, 64
+    n = n_nations * n_days * per_group
+    rng = np.random.default_rng(3)
+    day = np.repeat(np.arange(n_days), n_nations * per_group)
+    base = np.datetime64("1995-01-01").astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(rng.integers(0, n_nations * 4, n), pa.int64()),
+                "o_totalprice": pa.array(
+                    rng.integers(1, 1000, n).astype("float64")
+                ),
+                "o_orderdate": pa.array(
+                    base + day * np.timedelta64(86_400_000_000, "us"),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(fat / "orders.parquet"),
+    )
+    ck = np.arange(n_nations * 4)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "c_nationkey": pa.array((ck % n_nations).astype("int32")),
+            }
+        ),
+        str(fat / "customer.parquet"),
+    )
+    nk = np.arange(n_nations)
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(nk.astype("int32")),
+                "n_name": pa.array([f"NATION_{i}" for i in nk]),
+                "n_regionkey": pa.array((nk % 5).astype("int32")),
+            }
+        ),
+        str(fat / "nation.parquet"),
+    )
+
+    assert entry._panel_rows_per_group(str(fat)) == pytest.approx(64.0)
+    fat_plan = _plan(entry._panel(spark, str(fat)))
+    # aggregate-then-shuffle: the group exchange is keyed by BOTH keys and
+    # fed by a partial aggregate, plus the cheap post-agg id repartition
+    assert fat_plan.count("Exchange hashpartitioning") == 2, fat_plan[:1500]
+
+    def rows(df):
+        return sorted(
+            (r["unique_id"], str(r["ds"]), r["y"])
+            for r in df.collect()
+        )
+
+    fat_rows = rows(entry._panel(spark, str(fat)))
+    old = spark.conf.get(
+        "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup", None
+    )
+    try:
+        spark.conf.set(
+            "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup", "-1"
+        )
+        raw_fat = entry._panel(spark, str(fat))
+        assert "REPARTITION_BY_COL" in _plan(raw_fat)
+        assert rows(raw_fat) == fat_rows
+    finally:
+        if old is None:
+            spark.conf.unset(
+                "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup"
+            )
+        else:
+            spark.conf.set(
+                "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup", old
+            )
