@@ -242,6 +242,14 @@ def _attach_est_jaccard(
     it blows the generated method past HotSpot's JIT limit). Sum of
     ``CAST(x = y AS INT)`` equals the count of agreeing slots, so
     est_jaccard is value-identical to the former filter/size form."""
+    import os
+
+    if os.environ.get("MLFS_FORCE_SHUFFLE_HASH") != "1" and _attach_broadcast(
+        sigs_a
+    ):
+        # gated broadcast (see _attach_broadcast): the second shuffle join
+        # would re-exchange pair rows already carrying sig_a's payload
+        sigs_a, sigs_b = F.broadcast(sigs_a), F.broadcast(sigs_b)
     pairs = pairs.join(_shuffle_hash(sigs_a), a_col).join(
         _shuffle_hash(sigs_b), b_col
     )
@@ -346,7 +354,16 @@ def _minhash_lsh_candidates_grouped(
     join_hint = (
         "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
     )
-    est_hint = "/*+ SHUFFLE_HASH(sa, sb) */ " if force else ""
+    # broadcast the rep signature frame into both attach joins when the
+    # corpus is small enough to bound the built relation (see
+    # _attach_broadcast): kills the mid-attach exchange that re-shuffled
+    # pair rows already carrying sa's signatures + id arrays.
+    if force:
+        est_hint = "/*+ SHUFFLE_HASH(sa, sb) */ "
+    elif _attach_broadcast(signatures):
+        est_hint = "/*+ BROADCAST(sa, sb) */ "
+    else:
+        est_hint = ""
     if max_bucket_size is None:
         terms = [
             f"IF(a.band > {j}, a._bks[{j}] != b._bks[{j}], TRUE)"
@@ -523,7 +540,13 @@ def minhash_lsh_candidates(
     join_hint = (
         "/*+ SHUFFLE_HASH(b) */ " if (force and max_bucket_size) else ""
     )
-    est_hint = "/*+ SHUFFLE_HASH(sa, sb) */ " if force else ""
+    # same gated broadcast as the grouped path (see _attach_broadcast)
+    if force:
+        est_hint = "/*+ SHUFFLE_HASH(sa, sb) */ "
+    elif _attach_broadcast(signatures):
+        est_hint = "/*+ BROADCAST(sa, sb) */ "
+    else:
+        est_hint = ""
     if max_bucket_size is None:
         # first-matching-band dedup (same trick as simhash_candidates): a
         # pair joins once per agreeing band, and both bucket vectors ride the
@@ -946,6 +969,38 @@ def _input_bytes(df: DataFrame) -> int:
 
 
 _INPUT_BYTES_CACHE: dict = {}
+
+
+def _attach_broadcast(df: DataFrame) -> bool:
+    """r12 gate for broadcasting the per-doc signature/fingerprint frame
+    into the pair-attach joins (guide §3.1). The attach used to run as two
+    chained shuffle joins, so the FIRST join's output — candidate pairs
+    already carrying one side's signature payload — was re-shuffled by the
+    second join key: at the 100x bench corpus that middle exchange alone
+    was ~1.06 GB of the query's 1.72 GB total shuffle. Broadcasting both
+    attach sides removes it (measured, min-of-3 interleaved: total task
+    time 254 -> 193 s, executor CPU 230 -> 169 s, shuffle write
+    1718 -> 654 MB, wall 10.9 -> 8.5 s; bit_xor row-hash identical).
+    Gated BOTH ways on the same leaf-stats probe as ``group_identical``:
+    above ``maxInputBytes`` (default 2 GiB of input parquet — the per-doc
+    signature relation that builds from it is ~100-200 MB, far under
+    Spark's 8 GiB broadcast cap) the planner keeps today's shuffle joins,
+    AQE picking the strategy from actual sizes; below ``minBytes``
+    (default 16 MiB) the hint is also skipped, because at tiny inputs
+    AQE's runtime broadcast conversion already handles the joins and the
+    static hint only adds a dedicated broadcast-build job (measured at
+    sf0.1, interleaved min-of-6: 0.850 s hinted vs 0.824 s AQE — the
+    driver bench SF must keep the AQE plan). Tune with
+    ``spark.mlforecast.attachBroadcast.{minBytes,maxInputBytes}``
+    (maxInputBytes <= 0 disables)."""
+    conf = df.sparkSession.conf
+    max_b = int(
+        conf.get("spark.mlforecast.attachBroadcast.maxInputBytes", str(2 << 30))
+    )
+    min_b = int(
+        conf.get("spark.mlforecast.attachBroadcast.minBytes", str(16 << 20))
+    )
+    return max_b > 0 and min_b <= _input_bytes(df) <= max_b
 
 
 def _simhash_candidates_grouped(
@@ -1713,20 +1768,39 @@ def dedup_paragraphs(
     # forces SortAggregate; two staged primitive mins keep every aggregate
     # a HashAggregate: (1) min doc per hash (+ count, to prune unique
     # paragraphs from the join entirely), (2) min pos within that doc.
+    #
+    # r12 (guide §2.4, remove shuffles/scans outright): winner selection is
+    # now TWO CHAINED aggregations over ONE scan — per (hash, doc) first
+    # (min pos + count; map-side combine collapses within-doc repeats
+    # before the shuffle), then per hash with ``min_by(_dpos, _did)``
+    # picking the min-doc's first position without ever revisiting the
+    # occurrence rows. Before, the min-pos stage re-scanned and re-exploded
+    # the whole corpus as the probe side of a broadcast join against the
+    # repeated-hash set — a full extra pass, and at a scale where that set
+    # outgrows a broadcast the planner would have shuffled the occurrence
+    # rows anyway ON TOP of the re-scan. The second aggregation's input is
+    # the per-(hash, doc) combined rows — strictly no more than the old
+    # g1 shuffle — and ``min_by`` over the unique-per-group ``_did`` is
+    # deterministic and stays a HashAggregate (primitive buffer; pinned by
+    # test_dedup_paragraphs_aggregates_are_hash_not_sort). Executed-plan
+    # delta on the merged dedup_exact slot: 5 documents scans -> 4,
+    # 11 -> 9 jobs (plans/r12/dedup_exact_entry_before/after.txt);
+    # multiset-identical output.
     narrow = hashed.select("_did", "_pos", "_h1", "_h2").filter(
         F.col("_h1").isNotNull()
     )
-    g1 = (
-        narrow.groupBy("_h1", "_h2")
-        .agg(F.min("_did").alias("_wdid"), F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .drop("_c")
+    per_doc = narrow.groupBy("_h1", "_h2", "_did").agg(
+        F.min("_pos").alias("_dpos"), F.count(F.lit(1)).alias("_dc")
     )
     winners = (
-        narrow.join(g1, on=["_h1", "_h2"])
-        .filter(F.col("_did") == F.col("_wdid"))
-        .groupBy("_h1", "_h2", "_wdid")
-        .agg(F.min("_pos").alias("_wpos"))
+        per_doc.groupBy("_h1", "_h2")
+        .agg(
+            F.min("_did").alias("_wdid"),
+            F.expr("min_by(_dpos, _did)").alias("_wpos"),
+            F.sum("_dc").alias("_c"),
+        )
+        .filter(F.col("_c") > 1)
+        .drop("_c")
     )
     kept = hashed.join(winners, on=["_h1", "_h2"], how="left").filter(
         F.col("_wdid").isNull()

@@ -587,3 +587,42 @@ def test_panel_fat_group_gate(spark, tmp_path):
             spark.conf.set(
                 "spark.mlforecast.panel.rawRepartitionMaxRowsPerGroup", old
             )
+
+
+def test_minhash_attach_broadcast_gate(spark):
+    """The r12 attach-broadcast gate: tiny corpora keep the AQE-planned
+    joins (no static broadcast hint — the hint only adds a broadcast-build
+    job there), while corpora past minBytes get the static BROADCAST
+    attach that removes the mid-attach exchange; values identical."""
+    from mlforecast_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = minhash_signatures(shingle_df(docs, n=3, distinct=False))
+
+    def static_plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    old = spark.conf.get("spark.mlforecast.attachBroadcast.minBytes", None)
+    try:
+        # default gate: input far below minBytes -> no static broadcast of
+        # the signature attach (the banded self-join side is never hinted)
+        spark.conf.set("spark.mlforecast.attachBroadcast.minBytes", str(16 << 20))
+        ungated = minhash_lsh_candidates(sig, max_bucket_size=1000)
+        assert "BROADCAST" not in ungated._jdf.queryExecution().logical().toString()
+        # force the gate open: the attach joins are statically broadcast
+        spark.conf.set("spark.mlforecast.attachBroadcast.minBytes", "0")
+        gated = minhash_lsh_candidates(sig, max_bucket_size=1000)
+        assert "broadcast" in gated._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert canon(gated) == canon(ungated)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.mlforecast.attachBroadcast.minBytes")
+        else:
+            spark.conf.set("spark.mlforecast.attachBroadcast.minBytes", old)
