@@ -62,8 +62,32 @@ def sql_with_frames(spark: SparkSession, sql_text: str, **frames):
             for nm in names.values():
                 cat.dropTempView(nm)
         except Exception:  # pragma: no cover - non-classic sessions
+            # r12 hardening: this fallback is the cache-killing
+            # ``catalog.dropTempView`` the function exists to avoid (it
+            # fires on Spark Connect or if the private JVM surface drifts).
+            # Re-persist any argument frame that was cached so the
+            # CacheManager entry survives — the re-registration is lazy
+            # (no job); the one cost is that an already-materialized cache
+            # is rebuilt on next use. Warn so the regression is visible.
+            import warnings
+
+            cached = [df for df in frames.values() if df.is_cached]
             for nm in names.values():
                 spark.catalog.dropTempView(nm)
+            for df in cached:
+                lvl = df.storageLevel
+                df.unpersist()
+                df.persist(lvl)
+            if cached:
+                warnings.warn(
+                    "sql_with_frames fell back to catalog.dropTempView, "
+                    "which uncaches matching plans; re-persisted "
+                    f"{len(cached)} argument frame(s) (lazily). The "
+                    "low-level SessionCatalog path is unavailable in "
+                    "this session type.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
 
 _FREQ_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
