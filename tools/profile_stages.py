@@ -51,7 +51,11 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     import __spark_entry__ as entry
 
+    import bench
+
     qs = entry.queries()
+    qs["wide_feature_matrix"] = bench._wide_feature_matrix
+    qs["fit_predict_linreg_h7"] = bench._fit_predict
     sc = spark.sparkContext
     for name in names:
         fn = qs[name]
